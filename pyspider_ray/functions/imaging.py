@@ -1,0 +1,182 @@
+"""Image payload codecs (no external image libraries in this container).
+
+The BASELINE.json ``input_hint`` payload is rows of
+``(image_id, bytes, w, h, fmt, caption, phash)`` with the per-row
+invariant *decoded-pixel PSNR >= 40 dB (lossy) + exact caption
+equality*.  Two codecs:
+
+- ``png``  — a real, spec-conformant subset of PNG (8-bit RGB, filter
+  types 0-4 on decode, filter 0 on encode) built on zlib.  Lossless.
+- ``fjpg`` — a deterministic stand-in for JPEG (libjpeg is not
+  available here): uniform quantization (step 4) + zlib.  Lossy with a
+  hard error bound of ±2 per channel => PSNR ≈ 46 dB > 40 dB.
+  Clearly marked; swap for a real JPEG codec outside the sandbox.
+
+Also: ``phash64`` (8x8 mean-hash over block-averaged grayscale) and
+``psnr`` for the invariant tests.  All functions are numpy-vectorized
+per image and called from ``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def png_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array as PNG (color type 2, filter 0)."""
+    assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = ftypes[y]
+        cur = data[y].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = out[y]
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB PNG produced by any conformant encoder."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    return _unfilter(raw, h, w * 3, 3).reshape(h, w, 3)
+
+
+_FJPG_MAGIC = b"FJPG"
+_FJPG_Q = 4  # quantization step => max abs error 2 => PSNR ~46 dB
+
+
+def fjpg_encode(pixels: np.ndarray) -> bytes:
+    """Deterministic lossy stand-in codec (STUB for real JPEG — see
+    module docstring).  Error bound ±(Q/2) per channel."""
+    assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
+    h, w = pixels.shape[:2]
+    q = (pixels.astype(np.uint16) // _FJPG_Q).astype(np.uint8)
+    body = zlib.compress(q.tobytes(), 6)
+    return _FJPG_MAGIC + struct.pack(">IIB", w, h, _FJPG_Q) + body
+
+
+def fjpg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _FJPG_MAGIC:
+        raise ValueError("not an FJPG payload")
+    w, h, q = struct.unpack_from(">IIB", data, 4)
+    raw = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+    pix = raw.reshape(h, w, 3).astype(np.uint16) * q + q // 2
+    return np.minimum(pix, 255).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt in ("jpeg", "fjpg"):
+        return fjpg_encode(pixels)
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if data[:4] == _FJPG_MAGIC:
+        return fjpg_decode(data)
+    raise NotImplementedError(
+        "real JPEG/WebP decode requires an image library not present in "
+        "this container; payloads here are png or fjpg")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Downsample an (h, w) array to 8x8 by rectangular block means."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    out = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit mean-hash: 8x8 block means vs their overall mean, row-major
+    MSB-first, returned as signed int64 (Arrow-friendly)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    blocks = _block_mean_8x8(gray)
+    bits = (blocks > blocks.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    if value >= 1 << 63:
+        value -= 1 << 64
+    return value

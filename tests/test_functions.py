@@ -1,0 +1,134 @@
+"""Units for URL canonicalization, image codecs, synthetic web."""
+
+import numpy as np
+import pytest
+
+from pyspider_ray.functions import (build_url, canonical_url, curl_to_arguments,
+                                    md5_taskid, quote_non_ascii, url_host,
+                                    urlhash64)
+from pyspider_ray.functions.imaging import (decode_image, encode_image,
+                                            fjpg_decode, fjpg_encode,
+                                            phash64, png_decode, png_encode,
+                                            psnr)
+from pyspider_ray.functions import synthweb
+
+
+class TestUrls:
+    def test_build_url_default_path(self):
+        assert build_url("http://a.com") == "http://a.com/"
+
+    def test_build_url_params(self):
+        assert build_url("http://a.com/x?k=1", {"j": "2"}) == "http://a.com/x?k=1&j=2"
+
+    def test_idna(self):
+        assert build_url("http://中文.test/p") == "http://xn--fiq228c.test/p"
+
+    def test_quote_non_ascii(self):
+        # reference golden: tests/test_utils-style percent encoding
+        assert quote_non_ascii("http://a.com/中") == "http://a.com/%E4%B8%AD"
+        assert quote_non_ascii("http://a.com/x") == "http://a.com/x"
+
+    def test_md5_taskid(self):
+        # md5string('http://a.com/') — pyspider/libs/utils.py:20
+        import hashlib
+        assert md5_taskid("http://a.com/") == hashlib.md5(b"http://a.com/").hexdigest()
+
+    def test_urlhash_stable(self):
+        assert urlhash64("http://a.com/") == urlhash64("http://a.com/")
+        assert urlhash64("http://a.com/") != urlhash64("http://a.com/x")
+
+    def test_host(self):
+        assert url_host("http://Site3.Test:99/p/1") == "site3.test:99"
+
+    def test_curl(self):
+        kw = curl_to_arguments("curl -X POST -H 'A: b' -d payload http://x.com/")
+        assert kw == {"method": "POST", "data": "payload",
+                      "urls": ["http://x.com/"], "headers": {"A": "b"}}
+        with pytest.raises(TypeError):
+            curl_to_arguments("curl")
+
+
+class TestImaging:
+    def test_png_roundtrip_lossless(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (48, 80, 3), dtype=np.uint8)
+        data = png_encode(img)
+        out = png_decode(data)
+        assert np.array_equal(img, out)
+        assert psnr(img, out) == float("inf")
+
+    def test_png_filters_decode(self):
+        # hand-build a Sub-filtered PNG and check the generic unfilter path
+        import struct
+        import zlib
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        rows = []
+        for y in range(2):
+            line = img[y].reshape(-1).astype(np.int32)
+            enc = line.copy()
+            enc[3:] = (line[3:] - line[:-3]) & 0xFF
+            rows.append(b"\x01" + enc.astype(np.uint8).tobytes())
+        from pyspider_ray.functions.imaging import _PNG_SIG, _chunk
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        data = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + _chunk(b"IEND", b""))
+        assert np.array_equal(png_decode(data), img)
+
+    def test_fjpg_psnr_above_40(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        out = fjpg_decode(fjpg_encode(img))
+        assert psnr(img, out) >= 40.0
+        assert np.max(np.abs(img.astype(int) - out.astype(int))) <= 2
+
+    def test_dispatch(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        assert decode_image(encode_image(img, "png")).shape == (8, 8, 3)
+        assert decode_image(encode_image(img, "jpeg")).shape == (8, 8, 3)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 real jpeg not supported")
+
+    def test_phash_properties(self):
+        img = synthweb.page_pixels(17)
+        h1 = phash64(img)
+        assert h1 == phash64(img)
+        # lossy roundtrip keeps the perceptual hash close
+        lossy = fjpg_decode(fjpg_encode(img))
+        xor = (h1 ^ phash64(lossy)) & ((1 << 64) - 1)
+        assert bin(xor).count("1") <= 4
+
+
+class TestSynthWeb:
+    def test_children_deterministic_in_range(self):
+        a = synthweb.child_ids([0, 1, 2], total=1000)
+        b = synthweb.child_ids([0, 1, 2], total=1000)
+        assert np.array_equal(a, b)
+        assert a.shape == (3, 20)
+        assert a.min() >= 0 and a.max() < 1000
+
+    def test_host_skew(self):
+        ids = np.arange(10_000)
+        plain = synthweb.host_of(ids, 5)
+        assert set(np.unique(plain)) == set(range(5))
+        skewed = synthweb.host_of(ids, 5, skew=True)
+        frac0 = float(np.mean(skewed == 0))
+        assert 0.35 <= frac0 <= 0.55     # 20% base + ~30% extra hot routing
+
+    def test_payload_deterministic(self):
+        p1 = synthweb.page_payload(123)
+        p2 = synthweb.page_payload(123)
+        assert p1 == p2
+        assert p1["image_id"] == "img-000000000123"
+        assert p1["fmt"] == "png"
+        assert synthweb.page_fmt(124) == "jpeg"
+        w, h = synthweb.page_dims(123)
+        assert (w, h) == (32 + 3 * 16, 32 + 4 * 16)
+        img = decode_image(p1["bytes"])
+        assert img.shape == (h, w, 3)
+        assert np.array_equal(img, synthweb.page_pixels(123))
+
+    def test_url_roundtrip(self):
+        urls = synthweb.urls_of(np.array([7, 12]))
+        assert urls[0] == "http://site2.test/page/7"
+        assert synthweb.parse_url_id(urls[1]) == 12
