@@ -1,6 +1,9 @@
 from .clock import VirtualClock, SequenceSource
 from .token_bucket import TokenBucket
 from .task_queue import QueueEntry, MergingHeap, TaskQueue
+from .cuckoo import CuckooFilter
+from .frontier import FrontierShard, ProjectConfig
+from .coordinator import Coordinator, ProjectRuntime
 
 __all__ = [
     "VirtualClock",
@@ -9,4 +12,9 @@ __all__ = [
     "QueueEntry",
     "MergingHeap",
     "TaskQueue",
+    "CuckooFilter",
+    "FrontierShard",
+    "ProjectConfig",
+    "Coordinator",
+    "ProjectRuntime",
 ]

@@ -1,0 +1,317 @@
+"""Crawl coordinator: the driver-side half of pyspider's scheduler loop.
+
+One ``round()`` is one iteration of the reference's ``run_once``
+(scheduler.py:661-671): drain status packs → drain new tasks → cronjob
+ticks → select under quotas.  Shards may be plain ``FrontierShard``
+objects (tests, differential oracle) or Ray actor handles (the crawl
+pipeline wraps calls and ``ray.get``s them); the coordinator only owns
+the *sequential* state the reference keeps per project:
+
+- select quotas  — weight-proportional, clamped to [limit/10, limit/3]
+  (scheduler.py:500-522, O4);
+- project token bucket — the reference has ONE bucket per project
+  (task_queue.py:142), so rate limiting lives here, not per shard;
+- ``on_finished`` emission — FAIL_PAUSE_NUM empty-select rounds after
+  drain (scheduler.py:541-561, W3);
+- pause FSM — 10-consecutive-fail pause / 5-min re-check / 3-probe
+  unpause (scheduler.py:51-102, T6);
+- cronjob ticks — 1 Hz virtual ticks, ``_on_cronjob`` every
+  ``min_tick`` seconds (scheduler.py:419-449, W2).
+
+Cross-shard ordering: every shard returns its top candidates
+``(taskid, priority, sequence)``; the coordinator k-way merges by
+(priority DESC, sequence ASC) — the exact single-heap comparator
+(task_queue.py:55-66) — so the emitted fetch order is bit-for-bit the
+reference's under the same seed list and budget.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Callable, Iterable
+
+from ..functions.urls import urlhash64
+from ..model import FAIL_PAUSE_NUM, LOOP_LIMIT, PAUSE_TIME, UNPAUSE_CHECK_NUM
+from .clock import wall_clock
+from .frontier import FrontierShard, ProjectConfig
+from .token_bucket import TokenBucket
+
+TASK_PACK = 1
+
+
+class ProjectRuntime:
+    """Per-project sequential state (reference ``Project``, scheduler.py:26-137)."""
+
+    def __init__(self, cfg: ProjectConfig, clock: Callable[[], float]):
+        self.cfg = cfg
+        self._clock = clock
+        self.bucket = TokenBucket(rate=cfg.rate, burst=cfg.burst, clock=clock)
+        self.active_tasks: deque = deque(maxlen=100)
+        self.selected_tasks = False
+        self.finished_event_wait = 0
+        self._paused: bool | str = False
+        self._paused_time = 0.0
+        self._unpause_last_seen = None
+
+    @property
+    def paused(self) -> bool:
+        """Pause FSM, transition-for-transition per scheduler.py:51-102."""
+        if FAIL_PAUSE_NUM <= 0:
+            return False
+        now = self._clock()
+        if not self._paused:
+            fail_cnt = 0
+            for _, task in self.active_tasks:
+                if task.get("type") == TASK_PACK:
+                    continue
+                if task["track"]["process_ok"]:
+                    break
+                fail_cnt += 1
+                if fail_cnt >= FAIL_PAUSE_NUM:
+                    break
+            if fail_cnt >= FAIL_PAUSE_NUM:
+                self._paused = True
+                self._paused_time = now
+        elif self._paused is True and self._paused_time + PAUSE_TIME < now:
+            self._paused = "checking"
+            self._unpause_last_seen = (self.active_tasks[0][1]
+                                       if self.active_tasks else None)
+        elif self._paused == "checking":
+            cnt = fail_cnt = 0
+            for _, task in self.active_tasks:
+                if task is self._unpause_last_seen:
+                    break
+                if task.get("type") == TASK_PACK:
+                    continue
+                cnt += 1
+                if task["track"]["process_ok"]:
+                    cnt = max(cnt, UNPAUSE_CHECK_NUM)
+                    break
+                fail_cnt += 1
+            if cnt >= UNPAUSE_CHECK_NUM:
+                if fail_cnt == cnt:
+                    self._paused = True
+                    self._paused_time = now
+                else:
+                    self._paused = False
+        return self._paused is True
+
+
+class Coordinator:
+    def __init__(self, shards: list[FrontierShard],
+                 clock: Callable[[], float] = wall_clock,
+                 loop_limit: int = LOOP_LIMIT):
+        self.shards = shards
+        self.n_shards = len(shards)
+        self._clock = clock
+        self.loop_limit = loop_limit
+        self.projects: dict[str, ProjectRuntime] = {}
+        self._last_tick = int(clock())
+        self._pending_control: list[dict] = []  # on_finished etc, next round
+        self.emitted_log: list[tuple[str, str]] = []  # (project, taskid)
+        self._seq = 0  # global enqueue-sequence counter (AtomInt parity)
+
+    def _next_seq(self) -> int:
+        self._seq += 1
+        return self._seq
+
+    # -- plumbing (overridden by the Ray-actor coordinator) ------------------
+    def _call(self, shard, method: str, *args):
+        return getattr(shard, method)(*args)
+
+    def _call_all(self, method: str, *args) -> list:
+        return [self._call(s, method, *args) for s in self.shards]
+
+    # -- projects ------------------------------------------------------------
+    def update_project(self, cfg: ProjectConfig) -> None:
+        if cfg.name in self.projects:
+            self.projects[cfg.name].cfg = cfg
+            rt = self.projects[cfg.name]
+            rt.bucket.rate, rt.bucket.burst = cfg.rate, cfg.burst
+        else:
+            self.projects[cfg.name] = ProjectRuntime(cfg, self._clock)
+        self._call_all("update_project", cfg)
+
+    def shard_of(self, taskid_hash: int) -> FrontierShard:
+        return self.shards[taskid_hash % self.n_shards]
+
+    def route(self, task: dict) -> int:
+        h = task.get("urlhash")
+        if h is None:
+            h = urlhash64(task.get("url") or task["taskid"])
+            task["urlhash"] = h
+        return h % self.n_shards
+
+    # -- round phases ---------------------------------------------------------
+    def dispatch_status(self, packs: Iterable[dict]) -> dict:
+        """Route status packs to owning shards (J3) + feed active_tasks ring
+        with only the shard-accepted packs (scheduler.py:889-911)."""
+        packs = list(packs)
+        per_shard: list[list[dict]] = [[] for _ in self.shards]
+        for pack in packs:
+            pack["seq"] = self._next_seq()  # sequence for a potential re-put
+            per_shard[self.route(pack)].append(pack)
+        totals: dict[str, int] = {}
+        now = self._clock()
+        for shard, batch in zip(self.shards, per_shard):
+            if not batch:
+                continue
+            stats = self._call(shard, "on_status_batch", batch)
+            for i in stats.pop("accepted", []):
+                rt = self.projects.get(batch[i].get("project"))
+                if rt is not None:
+                    rt.active_tasks.appendleft((now, batch[i]))
+            for k, v in stats.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def dispatch_requests(self, tasks: Iterable[dict]) -> dict:
+        """Per-batch dedup (D2: last-wins unless force_update skips the
+        overwrite guard, scheduler.py:387-412) then shard routing."""
+        merged: dict[tuple[str, str], dict] = {}
+        for task in list(self._pending_control) + list(tasks):
+            key = (task.get("project", ""), task.get("taskid", ""))
+            if key in merged and not (task.get("schedule") or {}).get("force_update"):
+                continue
+            merged[key] = task
+        self._pending_control = []
+        per_shard: list[list[dict]] = [[] for _ in self.shards]
+        for task in merged.values():
+            task["seq"] = self._next_seq()
+            per_shard[self.route(task)].append(task)
+        totals: dict[str, int] = {}
+        # call every shard even with an empty batch: postponed force_updates
+        # replay on each pass (scheduler.py:374-385)
+        for shard, batch in zip(self.shards, per_shard):
+            stats = self._call(shard, "on_request_batch", batch)
+            for k, v in stats.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def tick_cronjobs(self) -> list[dict]:
+        """W2: virtual 1 Hz ticks; emit _on_cronjob control rows."""
+        out = []
+        now = self._clock()
+        while now - self._last_tick >= 1:
+            self._last_tick += 1
+            for name, rt in self.projects.items():
+                mt = int(rt.cfg.min_tick or 0)
+                if not rt.cfg.active or mt == 0 or self._last_tick % mt:
+                    continue
+                out.append({
+                    "taskid": "_on_cronjob", "project": name,
+                    "url": "data:,_on_cronjob",
+                    "fetch": {"save": str(self._last_tick)},
+                    "process": {"callback": "_on_cronjob"},
+                    "type": TASK_PACK,
+                })
+        return out
+
+    def select(self) -> list[dict]:
+        """_check_select (scheduler.py:463-566) over sharded frontiers."""
+        self._call_all("check_update")
+
+        weights: dict[str, int] = {}
+        sizes_by_shard = self._call_all("queue_sizes")
+        for name, rt in self.projects.items():
+            if not rt.cfg.active or rt.paused:
+                continue
+            weights[name] = sum(s.get(name, 0) for s in sizes_by_shard)
+        total_weight = sum(weights.values())
+        limit = self.loop_limit
+        min_limit, max_limit = int(limit / 10.0), int(limit / 3.0)
+
+        selected: list[dict] = []
+        cnt = 0
+        for name, weight in weights.items():
+            if cnt >= limit:
+                break
+            rt = self.projects[name]
+            if total_weight < 1 or weight < 1:
+                project_limit = min_limit
+            else:
+                project_limit = int(1.0 * weight / total_weight * limit)
+                project_limit = min(max(project_limit, min_limit), max_limit)
+            budget = min(project_limit, limit - cnt)
+            # single per-project politeness bucket (reference semantics)
+            tokens = int(rt.bucket.get())
+            budget = min(budget, max(tokens, 0))
+            project_cnt = 0
+            if budget > 0:
+                candidates = []  # (priority, sequence, shard_idx, taskid)
+                for idx, peeked in enumerate(
+                        self._call_all("peek_ready", name, budget)):
+                    for taskid, priority, seq in peeked:
+                        candidates.append((-priority, seq, idx, taskid))
+                candidates.sort()
+                chosen = candidates[:budget]
+                per_shard: dict[int, list[str]] = {}
+                for _, _, idx, taskid in chosen:
+                    per_shard.setdefault(idx, []).append(taskid)
+                got: dict[str, dict] = {}
+                for idx, ids in per_shard.items():
+                    for task in self._call(self.shards[idx], "take", name, ids):
+                        got[task["taskid"]] = task
+                for _, _, _, taskid in chosen:
+                    task = got.get(taskid)
+                    if task is None:
+                        continue
+                    rt.bucket.desc()
+                    selected.append(self._on_select_task(task, rt))
+                    if taskid != "on_finished":
+                        project_cnt += 1
+                    cnt += 1
+            if project_cnt:
+                rt.selected_tasks = True
+                rt.finished_event_wait = 0
+
+            # on_finished quiescence (W3)
+            if not project_cnt and weights.get(name, 0) == 0 and rt.selected_tasks:
+                if rt.finished_event_wait < FAIL_PAUSE_NUM:
+                    rt.finished_event_wait += 1
+                else:
+                    rt.selected_tasks = False
+                    rt.finished_event_wait = 0
+                    self._pending_control.append({
+                        "project": name,
+                        "taskid": "on_finished",
+                        "url": "data:,on_finished",
+                        "process": {"callback": "on_finished"},
+                        "schedule": {"age": 0, "priority": 9,
+                                     "force_update": True},
+                    })
+        return selected
+
+    def _on_select_task(self, task: dict, rt: ProjectRuntime) -> dict:
+        """on_select_task (scheduler.py:990-1008): crawl_config join (J6)
+        + active-task ring append."""
+        task = dict(task)
+        task["type"] = TASK_PACK
+        if rt.cfg.crawl_config:
+            fetch = dict(rt.cfg.crawl_config.get("fetch") or {})
+            fetch.update(task.get("fetch") or {})
+            if fetch:
+                task["fetch"] = fetch
+            process = dict(rt.cfg.crawl_config.get("process") or {})
+            process.update(task.get("process") or {})
+            if process:
+                task["process"] = process
+        rt.active_tasks.appendleft((self._clock(), task))
+        self.emitted_log.append((task["project"], task["taskid"]))
+        return task
+
+    def round(self, status_packs: list[dict] | None = None,
+              new_tasks: list[dict] | None = None) -> list[dict]:
+        """One scheduler loop pass; returns the fetch batch in emission
+        order (status → requests → cronjob → select, run_once order)."""
+        self.dispatch_status(status_packs or [])
+        self.dispatch_requests(new_tasks or [])
+        control = [self._on_select_task(t, self.projects[t["project"]])
+                   for t in self.tick_cronjobs()]
+        return control + self.select()
+
+    def total_size(self) -> int:
+        return sum(self._call_all("queue_size", None))
+
+    def is_quiescent(self) -> bool:
+        return all(self._call_all("is_quiescent")) and not self._pending_control

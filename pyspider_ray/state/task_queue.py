@@ -88,7 +88,7 @@ class MergingHeap:
     def pop(self) -> Optional[QueueEntry]:
         while self._heap:
             entry = heapq.heappop(self._heap)
-            if entry.dead:
+            if entry.dead or self._by_id.get(entry.taskid) is not entry:
                 continue
             del self._by_id[entry.taskid]
             return entry
@@ -197,6 +197,30 @@ class TaskQueue:
         entry.exetime = self._clock() + self.processing_timeout
         self.processing.put(entry)
         return entry.taskid
+
+    def peek_ready(self, n: int) -> list[tuple[str, int, int]]:
+        """Top-n ready entries as (taskid, priority, sequence) WITHOUT
+        popping — the shard half of a cross-shard k-way merge select.
+        Does not consume politeness tokens."""
+        import heapq as _hq
+        live = [e for e in self.ready.entries()]
+        return [(e.taskid, e.priority, e.sequence)
+                for e in _hq.nsmallest(n, live)]
+
+    def take(self, taskid: str) -> bool:
+        """Pop a specific ready entry (chosen by the coordinator's merge)
+        into processing.  Token accounting happens at the coordinator's
+        project-level bucket, mirroring the reference's single
+        per-project bucket (task_queue.py:227-242)."""
+        if taskid not in self.ready:
+            return False
+        old = self.ready[taskid]
+        self.ready.discard(taskid)  # leaves a tombstone in the ready heap
+        moved = QueueEntry(taskid, old.priority,
+                           self._clock() + self.processing_timeout,
+                           old.sequence)
+        self.processing.put(moved)
+        return True
 
     def done(self, taskid: str) -> bool:
         return self.processing.discard(taskid)
