@@ -91,6 +91,28 @@ def page_caption(url_id: int) -> str:
     return f"caption {url_id}: " + " ".join(_WORDS[int(i)] for i in idx)
 
 
+_PAGE_MAGIC = b"PAGE"
+
+
+def encode_page(url_id: int) -> bytes:
+    """Serialized synthetic page: caption + encoded image in one binary
+    container (what the synthetic fetcher 'downloads')."""
+    import struct
+    payload = page_payload(url_id)
+    cap = payload["caption"].encode("utf-8")
+    return _PAGE_MAGIC + struct.pack(">I", len(cap)) + cap + payload["bytes"]
+
+
+def decode_page(data: bytes) -> tuple[str, bytes]:
+    """→ (caption, image_bytes).  Raises on non-page payloads."""
+    import struct
+    if data[:4] != _PAGE_MAGIC:
+        raise ValueError("not a synthetic page payload")
+    (n,) = struct.unpack_from(">I", data, 4)
+    cap = data[8:8 + n].decode("utf-8")
+    return cap, data[8 + n:]
+
+
 def page_payload(url_id: int) -> dict:
     """Full fetchable page row (image_id, bytes, w, h, fmt, caption, phash)."""
     pixels = page_pixels(url_id)

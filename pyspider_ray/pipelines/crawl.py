@@ -1,0 +1,455 @@
+"""The crawl loop: pyspider's ``run_once`` topology (scheduler.py:661-671
++ run.py:501-582 ``all`` mode) as a round-based Ray Data pipeline.
+
+Each round:
+
+1. coordinator ``round()`` — drain status packs, drain follows, cronjob
+   ticks, budgeted cross-shard select (reference-identical order);
+2. politeness gate — per-host token buckets + robots (deferred tasks
+   re-queue, robots-blocked become 403 failures);
+3. the data plane — a Ray Data pipeline over the admitted batch:
+   ``from_arrow → map_batches(SyntheticFetcher, actor pool)
+   → map_batches(ProcessorStage, actor pool)``; payload rows stream to
+   partitioned Parquet (one directory per round — resumable), compact
+   control rows (status + follows) come back to the driver;
+4. feedback — follows canonicalize → next round's new_tasks; status
+   packs → next round's dispatch.
+
+Frontier state lives in per-shard actors (``ray.remote`` wrapping
+``FrontierShard``); the driver holds only the coordinator's sequential
+state, exactly the split the reference has between its singleton
+scheduler process and its worker pools.  The virtual clock advances a
+fixed step per round, making fetch order and the URL-seen set
+bit-for-bit reproducible under a fixed seed list + politeness budget.
+
+Checkpoint/resume (M4): per-shard snapshots + coordinator snapshot +
+manifest with lineage (round, virtual time, config digest, finished
+result partitions).  A killed run resumes from the last round boundary
+and does not re-fetch completed partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field, asdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import VIRTUAL_EPOCH
+from ..functions import synthweb
+from ..stages.canonicalize import canonicalize_urls
+from ..stages.fetcher import SyntheticFetcher
+from ..stages.politeness import HostPolicy, PolitenessGate
+from ..stages.processor import (CONTROL_COLUMNS, ProcessorStage,
+                                ResultBuilder, control_table)
+from ..state import (Coordinator, FrontierShard, ProjectConfig, VirtualClock)
+
+FETCH_INPUT_COLUMNS = ("taskid", "urlhash", "project", "url", "host")
+
+
+@dataclass
+class CrawlConfig:
+    total: int = 2_000                 # synthetic URL id-space
+    n_seeds: int = 20
+    show: int = synthweb.DEFAULT_SHOW  # links per page
+    n_hosts: int = 5
+    skew: bool = False
+    n_shards: int = 4
+    project: str = "bench"
+    rate: float = 1e10                 # project bucket (bench: 1e10)
+    burst: float = 1e10
+    host_rate: float = 1e9             # per-host politeness budget
+    host_burst: float = 1e9
+    robots_disallow: dict = field(default_factory=dict)  # host -> [prefix]
+    retry_delay: dict | None = None    # project retry ladder override (W4)
+    fail_permille: int = 0
+    loop_limit: int = 1000
+    clock_step: float = 1.0
+    out_dir: str = "/tmp/pyspider_ray_out"
+    use_ray: bool = True
+    concurrency: int = 4
+    batch_size: int = 256
+    follow_priority: int = 0
+    seed_priority: int = 1
+
+    def digest(self) -> str:
+        import hashlib
+        return hashlib.md5(json.dumps(asdict(self), sort_keys=True)
+                           .encode()).hexdigest()[:12]
+
+
+class _ActorShard:
+    """Module-level wrapper turned into a Ray actor: owns a FrontierShard
+    plus its shard-local virtual clock (synced by the driver)."""
+
+    def __init__(self, shard_id: int, n_shards: int, start_time: float,
+                 inqueue_limit: int = 0):
+        self._clock = VirtualClock(start_time)
+        self._shard = FrontierShard(shard_id, n_shards, clock=self._clock,
+                                    inqueue_limit=inqueue_limit)
+
+    def call(self, method: str, *args):
+        return getattr(self._shard, method)(*args)
+
+    def set_time(self, t: float) -> None:
+        self._clock.set(t)
+
+    def snapshot_to(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self._shard.snapshot(), f)
+
+    def restore_from(self, path: str, projects: list[ProjectConfig]) -> None:
+        with open(path, "rb") as f:
+            snap = pickle.load(f)
+        self._shard = FrontierShard.restore(snap, clock=self._clock,
+                                            projects=projects)
+
+
+class _RayCoordinator(Coordinator):
+    """Coordinator over Ray actor handles; _call_all fans out in parallel."""
+
+    def _call(self, shard, method: str, *args):
+        import ray
+        return ray.get(shard.call.remote(method, *args))
+
+    def _call_all(self, method: str, *args) -> list:
+        import ray
+        return ray.get([s.call.remote(method, *args) for s in self.shards])
+
+
+class CrawlPipeline:
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.clock = VirtualClock(VIRTUAL_EPOCH)
+        self.round_idx = 0
+        self.metrics: list[dict] = []
+        self._pending_status: list[dict] = []
+        self._pending_new: list[dict] = []
+        os.makedirs(self.results_dir, exist_ok=True)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        if cfg.use_ray:
+            import ray
+            # workers import this package by path; make that independent of
+            # the driver's cwd (repo root = two levels up from this file)
+            repo_root = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
+                                os.environ.get("PYTHONPATH", "")}}
+            actor_cls = ray.remote(num_cpus=0.5, runtime_env=env)(_ActorShard)
+            self.shards = [actor_cls.remote(i, cfg.n_shards, self.clock.now())
+                           for i in range(cfg.n_shards)]
+            self.coord = _RayCoordinator(self.shards, clock=self.clock,
+                                         loop_limit=cfg.loop_limit)
+        else:
+            self.shards = [FrontierShard(i, cfg.n_shards, clock=self.clock)
+                           for i in range(cfg.n_shards)]
+            self.coord = Coordinator(self.shards, clock=self.clock,
+                                     loop_limit=cfg.loop_limit)
+
+        self.coord.update_project(ProjectConfig(
+            cfg.project, rate=cfg.rate, burst=cfg.burst,
+            retry_delay=cfg.retry_delay))
+        self.gate = PolitenessGate(
+            default_policy=HostPolicy(cfg.host_rate, cfg.host_burst),
+            host_policies={h: HostPolicy(cfg.host_rate, cfg.host_burst,
+                                         tuple(rules))
+                           for h, rules in cfg.robots_disallow.items()},
+            clock=self.clock)
+
+    # -- paths ---------------------------------------------------------------
+    @property
+    def results_dir(self) -> str:
+        return os.path.join(self.cfg.out_dir, "results")
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.cfg.out_dir, "checkpoints")
+
+    def _round_dir(self, idx: int) -> str:
+        return os.path.join(self.results_dir, f"round={idx:05d}")
+
+    # -- clock sync ----------------------------------------------------------
+    def _sync_clocks(self) -> None:
+        if self.cfg.use_ray:
+            import ray
+            ray.get([s.set_time.remote(self.clock.now()) for s in self.shards])
+
+    # -- seeding -------------------------------------------------------------
+    def seed_tasks(self) -> list[dict]:
+        ids = np.arange(self.cfg.n_seeds, dtype=np.int64)
+        urls = synthweb.urls_of(ids, self.cfg.n_hosts, self.cfg.skew)
+        cols = canonicalize_urls(urls)
+        return [{
+            "taskid": cols["taskid"][i],
+            "urlhash": int(cols["urlhash"][i]),
+            "project": self.cfg.project,
+            "url": cols["url"][i],
+            "host": cols["host"][i],
+            "schedule": {"priority": self.cfg.seed_priority},
+            "process": {"callback": "on_page"},
+        } for i in range(len(urls))]
+
+    def seed(self) -> None:
+        self._pending_new.extend(self.seed_tasks())
+
+    # -- the data plane ------------------------------------------------------
+    def _tasks_to_table(self, tasks: list[dict]) -> pa.Table:
+        return pa.table({
+            "taskid": pa.array([t["taskid"] for t in tasks], pa.string()),
+            "urlhash": pa.array([t.get("urlhash", 0) for t in tasks], pa.int64()),
+            "project": pa.array([t["project"] for t in tasks], pa.string()),
+            "url": pa.array([t["url"] for t in tasks], pa.string()),
+            "host": pa.array([t.get("host", "") for t in tasks], pa.string()),
+            "retried": pa.array([(t.get("schedule") or {}).get("retried") or 0
+                                 for t in tasks], pa.int32()),
+        })
+
+    def _run_data_plane(self, table: pa.Table, round_dir: str) -> pa.Table:
+        """fetch → process; payload rows to Parquet, control rows back."""
+        cfg = self.cfg
+        fetcher = SyntheticFetcher(fail_permille=cfg.fail_permille)
+        processor = ProcessorStage(cfg.total, cfg.show, cfg.n_hosts, cfg.skew,
+                                   cfg.follow_priority)
+        if cfg.use_ray and len(table) >= cfg.batch_size:
+            import ray.data as rd
+            ds = rd.from_arrow(table)
+            processed = (ds
+                         .map_batches(SyntheticFetcher,
+                                      fn_constructor_kwargs={
+                                          "fail_permille": cfg.fail_permille},
+                                      batch_format="pyarrow",
+                                      batch_size=cfg.batch_size,
+                                      concurrency=cfg.concurrency)
+                         .map_batches(ProcessorStage,
+                                      fn_constructor_kwargs={
+                                          "total": cfg.total,
+                                          "show": cfg.show,
+                                          "n_hosts": cfg.n_hosts,
+                                          "skew": cfg.skew,
+                                          "follow_priority": cfg.follow_priority},
+                                      batch_format="pyarrow",
+                                      batch_size=cfg.batch_size,
+                                      concurrency=cfg.concurrency)
+                         .materialize())  # bounded: one round <= loop_limit rows
+            processed.map_batches(ResultBuilder, batch_format="pyarrow") \
+                .write_parquet(round_dir)
+            ctrl = processed.map_batches(control_table, batch_format="pyarrow")
+            return pa.concat_tables(
+                [b for b in ctrl.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)],
+                promote_options="default")
+        # small-batch / no-ray path: same stages, driver-side
+        fetched = fetcher(table)
+        processed = processor(fetched)
+        results = ResultBuilder(processed)
+        if len(results):
+            os.makedirs(round_dir, exist_ok=True)
+            pq.write_table(results, os.path.join(round_dir, "part-0.parquet"))
+        return control_table(processed)
+
+    # -- feedback ------------------------------------------------------------
+    def _control_to_feedback(self, ctrl: pa.Table) -> None:
+        n = len(ctrl)
+        if not n:
+            return
+        cols = {name: ctrl[name].to_pylist() for name in ctrl.column_names}
+        follow_urls: list[str] = []
+        for i in range(n):
+            self._pending_status.append({
+                "taskid": cols["taskid"][i],
+                "urlhash": cols["urlhash"][i],
+                "project": cols["project"][i],
+                "url": cols["url"][i],
+                "track": {
+                    "fetch_ok": cols["status_code"][i] < 400,
+                    "fetch_time": cols["fetch_time"][i],
+                    "status_code": cols["status_code"][i],
+                    "process_ok": bool(cols["process_ok"][i]),
+                    "process_time": cols["process_time"][i],
+                    "follows": len(cols["follows"][i] or ()),
+                },
+            })
+            follow_urls.extend(cols["follows"][i] or ())
+        if follow_urls:
+            c = canonicalize_urls(follow_urls)
+            for i in range(len(follow_urls)):
+                self._pending_new.append({
+                    "taskid": c["taskid"][i],
+                    "urlhash": int(c["urlhash"][i]),
+                    "project": self.cfg.project,
+                    "url": c["url"][i],
+                    "host": c["host"][i],
+                    "schedule": {"priority": self.cfg.follow_priority},
+                    "process": {"callback": "on_page"},
+                })
+
+    def _blocked_status(self, task: dict) -> dict:
+        """Robots-disallowed → 403 failure pack (tornado_fetcher.py:360-363)."""
+        return {
+            "taskid": task["taskid"], "urlhash": task.get("urlhash", 0),
+            "project": task["project"], "url": task["url"],
+            "track": {"fetch_ok": False, "fetch_time": 0.0,
+                      "status_code": 403, "process_ok": False,
+                      "process_time": 0.0, "follows": 0},
+        }
+
+    # -- rounds --------------------------------------------------------------
+    def run_round(self) -> dict:
+        cfg = self.cfg
+        self._sync_clocks()
+        status, self._pending_status = self._pending_status, []
+        new, self._pending_new = self._pending_new, []
+        batch = self.coord.round(status_packs=status, new_tasks=new)
+
+        admitted, deferred, blocked = self.gate.admit(batch)
+        if deferred:
+            per_shard: dict[int, dict[str, list]] = {}
+            for t in deferred:
+                idx = self.coord.route(t)
+                per_shard.setdefault(idx, {}).setdefault(t["project"], []).append(
+                    (t["taskid"], self.clock.now() + self.gate.defer_delay,
+                     self.coord._next_seq()))
+            for idx, projs in per_shard.items():
+                for project, items in projs.items():
+                    self.coord._call(self.coord.shards[idx], "requeue",
+                                     project, items)
+        self._pending_status.extend(self._blocked_status(t) for t in blocked)
+
+        n_results = 0
+        if admitted:
+            table = self._tasks_to_table(admitted)
+            round_dir = self._round_dir(self.round_idx)
+            ctrl = self._run_data_plane(table, round_dir)
+            n_results = len(ctrl)
+            self._control_to_feedback(ctrl)
+
+        metric = {"round": self.round_idx, "emitted": len(batch),
+                  "admitted": len(admitted), "deferred": len(deferred),
+                  "blocked": len(blocked), "fetched": n_results,
+                  "pending_new": len(self._pending_new),
+                  "vtime": self.clock.now()}
+        self.metrics.append(metric)
+        self.round_idx += 1
+        self.clock.advance(cfg.clock_step)
+        return metric
+
+    def run(self, max_rounds: int = 10_000,
+            checkpoint_every: int = 0,
+            stop_on_quiescent: bool = True) -> dict:
+        while self.round_idx < max_rounds:
+            m = self.run_round()
+            if checkpoint_every and self.round_idx % checkpoint_every == 0:
+                self.checkpoint()
+            if stop_on_quiescent and not m["emitted"] and not m["admitted"] \
+                    and not self._pending_new and not self._pending_status \
+                    and self.coord.is_quiescent():
+                break
+        return {"rounds": self.round_idx,
+                "fetched": sum(m["fetched"] for m in self.metrics),
+                "metrics": self.metrics}
+
+    # -- inspection ----------------------------------------------------------
+    def seen_taskids(self) -> list[str]:
+        out: list[str] = []
+        for ids in self.coord._call_all("seen_taskids", self.cfg.project):
+            out.extend(ids)
+        return sorted(out)
+
+    def emitted_order(self) -> list[str]:
+        return [tid for _, tid in self.coord.emitted_log]
+
+    def results_dataset(self):
+        import ray.data as rd
+        return rd.read_parquet(self.results_dir)
+
+    def results_table(self) -> pa.Table:
+        import pyarrow.dataset as pads
+        return pads.dataset(self.results_dir).to_table()
+
+    # -- checkpoint / resume (M4) --------------------------------------------
+    def checkpoint(self) -> str:
+        tag = f"round={self.round_idx:05d}"
+        cdir = os.path.join(self.ckpt_dir, tag + ".tmp")
+        os.makedirs(cdir, exist_ok=True)
+        if self.cfg.use_ray:
+            import ray
+            ray.get([s.snapshot_to.remote(os.path.join(cdir, f"shard_{i}.pkl"))
+                     for i, s in enumerate(self.shards)])
+        else:
+            for i, s in enumerate(self.shards):
+                with open(os.path.join(cdir, f"shard_{i}.pkl"), "wb") as f:
+                    pickle.dump(s.snapshot(), f)
+        state = {
+            "coordinator": self.coord.snapshot(),
+            "gate": self.gate.snapshot(),
+            "pending_status": self._pending_status,
+            "pending_new": self._pending_new,
+            "metrics": self.metrics,
+        }
+        with open(os.path.join(cdir, "driver.pkl"), "wb") as f:
+            pickle.dump(state, f)
+        manifest = {
+            "round": self.round_idx,
+            "vtime": self.clock.now(),
+            "config_digest": self.cfg.digest(),
+            "n_shards": self.cfg.n_shards,
+            "completed_result_dirs": sorted(
+                d for d in os.listdir(self.results_dir)
+                if d.startswith("round=")),
+            "fetched": sum(m["fetched"] for m in self.metrics),
+        }
+        with open(os.path.join(cdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        final = os.path.join(self.ckpt_dir, tag)
+        if os.path.exists(final):
+            import shutil
+            shutil.rmtree(final)
+        os.rename(cdir, final)  # atomic publish
+        return final
+
+    @classmethod
+    def resume(cls, cfg: CrawlConfig) -> "CrawlPipeline":
+        """Rebuild from the newest checkpoint under cfg.out_dir; completed
+        result partitions are kept (not re-fetched)."""
+        ckpts = sorted(d for d in os.listdir(os.path.join(cfg.out_dir,
+                                                          "checkpoints"))
+                       if d.startswith("round=") and not d.endswith(".tmp"))
+        if not ckpts:
+            raise FileNotFoundError("no checkpoint to resume from")
+        cdir = os.path.join(cfg.out_dir, "checkpoints", ckpts[-1])
+        with open(os.path.join(cdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest["config_digest"] != cfg.digest():
+            raise ValueError("checkpoint was written by a different config")
+
+        pipe = cls(cfg)
+        pipe.round_idx = manifest["round"]
+        pipe.clock.set(manifest["vtime"])
+        pipe._sync_clocks()
+        projects = [ProjectConfig(cfg.project, rate=cfg.rate, burst=cfg.burst,
+                                  retry_delay=cfg.retry_delay)]
+        if cfg.use_ray:
+            import ray
+            ray.get([s.restore_from.remote(
+                os.path.join(cdir, f"shard_{i}.pkl"), projects)
+                for i, s in enumerate(pipe.shards)])
+        else:
+            for i in range(cfg.n_shards):
+                with open(os.path.join(cdir, f"shard_{i}.pkl"), "rb") as f:
+                    snap = pickle.load(f)
+                pipe.shards[i] = FrontierShard.restore(
+                    snap, clock=pipe.clock, projects=projects)
+            pipe.coord.shards = pipe.shards
+        with open(os.path.join(cdir, "driver.pkl"), "rb") as f:
+            state = pickle.load(f)
+        pipe.coord.restore_state(state["coordinator"])
+        pipe.gate.restore_buckets(state["gate"])
+        pipe._pending_status = state["pending_status"]
+        pipe._pending_new = state["pending_new"]
+        pipe.metrics = state["metrics"]
+        return pipe

@@ -1,0 +1,73 @@
+"""Synthetic fetch stage — the sandboxed stand-in for pyspider's
+HTTP fetcher (S7, tornado_fetcher.py:326-428) as a Ray Data actor-pool
+``map_batches`` stage.
+
+Real-network fetching is out of scope in this sealed sandbox; the
+architecture is the real part: a callable CLASS (one instance per
+actor, constructor cost amortized) that maps an Arrow batch of task
+rows to an Arrow batch of fetch results, never raising — every failure
+becomes a row with ``status_code=599`` and ``error`` set
+(handle_error parity, tornado_fetcher.py:202-216).  ``data:`` URLs are
+decoded inline as synthetic 200s (S8, tornado_fetcher.py:178-200).
+Page URLs resolve deterministically from the url_id to an
+image+caption payload (synthweb), with an optional seeded failure rate
+to exercise the retry ladder.
+
+Swap ``SyntheticFetcher`` for an aiohttp/curl actor outside the
+sandbox; the stage contract (schema in/out) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import synthweb
+
+
+class SyntheticFetcher:
+    def __init__(self, fail_permille: int = 0, fail_salt: int = 0xFA11,
+                 fail_until_retry: int = 1):
+        self.fail_permille = fail_permille
+        self.fail_salt = fail_salt
+        # a failing id returns 503 until the task's ``retried`` count
+        # reaches this value — deterministic across any actor-pool layout
+        # (no per-actor state), exercising the W4 retry ladder
+        self.fail_until_retry = fail_until_retry
+
+    def _fetch_one(self, url: str, retried: int) -> tuple[int, bytes, str]:
+        if url.startswith("data:"):
+            body = url.split(",", 1)[1] if "," in url else ""
+            return 200, body.encode("utf-8"), ""
+        try:
+            url_id = synthweb.parse_url_id(url)
+        except (ValueError, IndexError):
+            return 599, b"", "malformed synthetic url"
+        if self.fail_permille and retried < self.fail_until_retry:
+            roll = int(synthweb.mix64(url_id, self.fail_salt) % np.uint64(1000))
+            if roll < self.fail_permille:
+                return 503, b"", "synthetic transient failure"
+        return 200, synthweb.encode_page(url_id), ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        if "retried" in batch.column_names:
+            retried = batch["retried"].to_pylist()
+        else:
+            retried = [0] * len(urls)
+        codes = np.empty(len(urls), dtype=np.int32)
+        contents: list[bytes] = []
+        errors: list[str] = []
+        times = np.empty(len(urls), dtype=np.float64)
+        for i, url in enumerate(urls):
+            code, content, err = self._fetch_one(url, retried[i] or 0)
+            codes[i] = code
+            contents.append(content)
+            errors.append(err)
+            # deterministic pseudo fetch latency (metrics plumbing)
+            times[i] = 0.01 + float(synthweb.mix64(i, 77) % np.uint64(50)) / 1000.0
+        return (batch
+                .append_column("status_code", pa.array(codes, pa.int32()))
+                .append_column("content", pa.array(contents, pa.binary()))
+                .append_column("fetch_error", pa.array(errors, pa.string()))
+                .append_column("fetch_time", pa.array(times, pa.float64())))

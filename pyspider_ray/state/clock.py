@@ -29,6 +29,12 @@ class VirtualClock:
         self._t += dt
         return self._t
 
+    def set(self, t: float) -> None:
+        """Jump to an absolute time (used to sync shard-actor clocks and
+        to restore from checkpoint)."""
+        assert t >= self._t, "virtual time cannot go backwards"
+        self._t = float(t)
+
     def __call__(self) -> float:  # usable directly as a clock callable
         return self._t
 

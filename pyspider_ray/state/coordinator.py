@@ -315,3 +315,38 @@ class Coordinator:
 
     def is_quiescent(self) -> bool:
         return all(self._call_all("is_quiescent")) and not self._pending_control
+
+    # -- checkpoint (coordinator's own sequential state; shard snapshots
+    # are taken separately per partition) ------------------------------------
+    def snapshot(self) -> dict:
+        return {
+            "seq": self._seq,
+            "last_tick": self._last_tick,
+            "pending_control": list(self._pending_control),
+            "emitted": len(self.emitted_log),
+            "projects": {
+                name: {
+                    "bucket": rt.bucket.snapshot(),
+                    "selected_tasks": rt.selected_tasks,
+                    "finished_event_wait": rt.finished_event_wait,
+                    "paused": rt._paused,
+                    "paused_time": rt._paused_time,
+                    "active_tasks": list(rt.active_tasks),
+                } for name, rt in self.projects.items()
+            },
+        }
+
+    def restore_state(self, snap: dict) -> None:
+        self._seq = snap["seq"]
+        self._last_tick = snap["last_tick"]
+        self._pending_control = list(snap["pending_control"])
+        for name, pstate in snap["projects"].items():
+            rt = self.projects.get(name)
+            if rt is None:
+                continue
+            rt.bucket = TokenBucket.restore(pstate["bucket"], self._clock)
+            rt.selected_tasks = pstate["selected_tasks"]
+            rt.finished_event_wait = pstate["finished_event_wait"]
+            rt._paused = pstate["paused"]
+            rt._paused_time = pstate["paused_time"]
+            rt.active_tasks.extend(pstate["active_tasks"])

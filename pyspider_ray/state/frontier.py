@@ -360,6 +360,20 @@ class FrontierShard:
                 self.emitted_log.append(taskid)
         return out
 
+    def requeue(self, project: str, items: list[tuple[str, float, int]]) -> int:
+        """Politeness deferral: move (taskid, exetime, seq) tuples from
+        processing back to the queues without touching retry state."""
+        tq = self._queue(project)
+        n = 0
+        for taskid, exetime, seq in items:
+            if not tq.done(taskid):
+                continue
+            task = self.store.get((project, taskid))
+            priority = (_sched(task) or {}).get("priority", 0) if task else 0
+            tq.put(taskid, priority, exetime, sequence=seq)
+            n += 1
+        return n
+
     def check_update(self) -> None:
         for tq in self.queues.values():
             tq.check_update()

@@ -1,0 +1,175 @@
+"""End-to-end crawl loop tests: coverage, exact dedup, payload
+invariants (PSNR >= 40 dB + caption equality, BASELINE.json input_hint),
+politeness, robots, checkpoint/resume, and Ray-actor mode."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from pyspider_ray.functions import synthweb
+from pyspider_ray.functions.imaging import decode_image, psnr
+from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+
+
+def fresh(cfg_kw, tmp_path, name):
+    out = str(tmp_path / name)
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(out_dir=out, use_ray=False, **cfg_kw)
+    return CrawlPipeline(cfg)
+
+
+BASE = dict(total=300, n_seeds=10, n_shards=4, loop_limit=100)
+
+
+class TestCrawlE2E:
+    def test_full_coverage_and_exact_dedup(self, tmp_path):
+        pipe = fresh(BASE, tmp_path, "cov")
+        pipe.seed()
+        summary = pipe.run(max_rounds=100)
+        t = pipe.results_table()
+        ids = t["image_id"].to_pylist()
+        # every reachable id fetched exactly once (D4 exact dedup)
+        assert len(ids) == len(set(ids)) == 300
+        assert len(pipe.seen_taskids()) == 300
+        assert summary["rounds"] < 100
+
+    def test_payload_invariant(self, tmp_path):
+        """Per-row: decoded pixels PSNR>=40dB (inf for png) vs the
+        reference generator + exact caption equality."""
+        pipe = fresh(dict(BASE, total=60, n_seeds=6), tmp_path, "inv")
+        pipe.seed()
+        pipe.run(max_rounds=50)
+        t = pipe.results_table()
+        assert t.num_rows == 60
+        for row in t.slice(0, 60).to_pylist():
+            url_id = int(row["image_id"].split("-")[1])
+            expect = synthweb.page_pixels(url_id)
+            got = decode_image(row["bytes"])
+            score = psnr(expect, got)
+            if row["fmt"] == "png":
+                assert score == float("inf")
+            else:
+                assert score >= 40.0
+            assert row["caption"] == synthweb.page_caption(url_id)
+            assert (row["h"], row["w"], 3) == expect.shape
+
+    def test_deterministic_rerun(self, tmp_path):
+        runs = []
+        for i in range(2):
+            pipe = fresh(BASE, tmp_path, f"det{i}")
+            pipe.seed()
+            pipe.run(max_rounds=100)
+            runs.append((pipe.emitted_order(), pipe.seen_taskids()))
+        assert runs[0][0] == runs[1][0]       # bit-for-bit fetch order
+        assert runs[0][1] == runs[1][1]       # identical URL-seen set
+
+    def test_politeness_budget_defers(self, tmp_path):
+        # tight host budget: rate 2/s, burst 2 over 5 hosts throttles rounds
+        pipe = fresh(dict(BASE, total=100, host_rate=2, host_burst=2),
+                     tmp_path, "pol")
+        pipe.seed()
+        summary = pipe.run(max_rounds=300)
+        deferred_total = sum(m["deferred"] for m in pipe.metrics)
+        assert deferred_total > 0             # budget actually binds
+        t = pipe.results_table()
+        ids = t["image_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == 100   # still complete, no dupes
+        # per-round admitted per host never exceeds burst
+        for m in pipe.metrics:
+            assert m["admitted"] <= 2 * 5 + 1  # 5 hosts * burst (+control)
+
+    def test_robots_blocking(self, tmp_path):
+        # disallow /page/7* on host 0 -> ids 70 and 75 are robots-blocked;
+        # the rest keep succeeding so the pause FSM never engages and the
+        # blocked pair walks the 403 -> retry ladder -> FAILED path
+        pipe = fresh(dict(BASE, total=100, retry_delay={"": 1},
+                          robots_disallow={"site0.test": ["/page/7"]}),
+                     tmp_path, "rob")
+        pipe.seed()
+        pipe.run(max_rounds=200)
+        fetched = {int(i.split("-")[1])
+                   for i in pipe.results_table()["image_id"].to_pylist()}
+        assert fetched == set(range(100)) - {70, 75}
+        assert sum(m["blocked"] for m in pipe.metrics) >= 8
+        from pyspider_ray.model import FAILED
+        failed_urls = sorted(
+            task["url"] for shard in pipe.shards
+            for task in shard.store.values() if task.get("status") == FAILED)
+        assert failed_urls == ["http://site0.test/page/70",
+                               "http://site0.test/page/75"]
+
+    def test_retry_ladder_with_failures(self, tmp_path):
+        pipe = fresh(dict(BASE, total=80, fail_permille=150,
+                          retry_delay={"": 1}), tmp_path, "fail")
+        pipe.seed()
+        pipe.run(max_rounds=400)
+        t = pipe.results_table()
+        ids = t["image_id"].to_pylist()
+        # transient 503s recover deterministically on the first retry
+        assert len(ids) == len(set(ids)) == 80
+
+    def test_checkpoint_resume_no_refetch(self, tmp_path):
+        out = str(tmp_path / "ck")
+        cfg = CrawlConfig(out_dir=out, use_ray=False, **BASE)
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(4):
+            pipe.run_round()
+        pipe.checkpoint()
+        fetched_before = sum(m["fetched"] for m in pipe.metrics)
+        full_order = list(pipe.emitted_order())
+        # keep running the original to completion as the oracle
+        pipe.run(max_rounds=100)
+        oracle_order = pipe.emitted_order()
+        oracle_ids = sorted(pipe.results_table()["image_id"].to_pylist())
+
+        # "kill" and resume from the checkpoint; finished partitions stay
+        resumed = CrawlPipeline.resume(CrawlConfig(out_dir=out, use_ray=False,
+                                                   **BASE))
+        # the post-checkpoint result partitions were written by the oracle
+        # run; drop them to simulate the kill (they're not in the manifest)
+        import json, os
+        with open(os.path.join(resumed.ckpt_dir, "round=00004",
+                               "manifest.json")) as f:
+            manifest = json.load(f)
+        for d in os.listdir(resumed.results_dir):
+            if d not in manifest["completed_result_dirs"]:
+                shutil.rmtree(os.path.join(resumed.results_dir, d))
+        assert resumed.round_idx == 4
+        assert sum(m["fetched"] for m in resumed.metrics) == fetched_before
+        resumed.run(max_rounds=100)
+        # same final frontier and same results, with no re-fetch of the
+        # pre-checkpoint partitions (emission continues, not restarts)
+        assert resumed.emitted_order() == oracle_order[len(full_order):]
+        assert sorted(resumed.results_table()["image_id"].to_pylist()) == \
+            oracle_ids
+        assert resumed.seen_taskids() == pipe.seen_taskids()
+
+    def test_hot_host_skew_still_completes(self, tmp_path):
+        pipe = fresh(dict(BASE, total=200, skew=True, host_rate=5,
+                          host_burst=5), tmp_path, "skew")
+        pipe.seed()
+        pipe.run(max_rounds=300)
+        ids = pipe.results_table()["image_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlRayMode:
+    def test_ray_actor_mode_matches_local(self, tmp_path):
+        local = fresh(dict(BASE, total=200), tmp_path, "raylocal")
+        local.seed()
+        local.run(max_rounds=100)
+
+        out = str(tmp_path / "rayray")
+        cfg = CrawlConfig(out_dir=out, use_ray=True, batch_size=64,
+                          concurrency=2, **dict(BASE, total=200))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=100)
+        assert pipe.emitted_order() == local.emitted_order()
+        assert pipe.seen_taskids() == local.seen_taskids()
+        a = sorted(pipe.results_table()["image_id"].to_pylist())
+        b = sorted(local.results_table()["image_id"].to_pylist())
+        assert a == b == [f"img-{i:012d}" for i in range(200)]
