@@ -1,44 +1,81 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native pyspider engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``  — flagship: a deterministic crawl (sharded frontier actors,
+politeness gate, synthetic fetch/process stages, Parquet results) seeded
+from the sf0.001 ``events`` table; returns the image+caption result rows.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
+Ray Data pipelines with DuckDB oracles (pyspider_ray/queries.py), plus
+rows-only entries for the non-SQL-expressible crawl/dedup/multimodal ops.
+
+Ray is initialised by the caller; nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow.parquet as pq
+
+    from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+
+    events = pq.read_table(f"{SF0001}/events.parquet",
+                           columns=["event_id", "user_id"])
+    total = 400
+    out_dir = "/tmp/pyspider_ray_entry"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(total=total, n_seeds=0, n_shards=4, use_ray=True,
+                      out_dir=out_dir, batch_size=128, concurrency=2,
+                      loop_limit=1000)
+    pipe = CrawlPipeline(cfg)
+    # seed the frontier from the first 10 event rows (sf-table-derived),
+    # mapped onto the synthetic web's canonical host layout
+    import numpy as np
+
+    from pyspider_ray.functions.synthweb import urls_of
+    from pyspider_ray.stages.canonicalize import canonicalize_urls
+    rows = events.slice(0, 10).to_pylist()
+    seed_ids = np.array([r["event_id"] % total for r in rows], dtype=np.int64)
+    urls = urls_of(seed_ids, cfg.n_hosts)
+    cols = canonicalize_urls(urls)
+    pipe._pending_new.extend({
+        "taskid": cols["taskid"][i],
+        "urlhash": int(cols["urlhash"][i]),
+        "project": cfg.project,
+        "url": cols["url"][i],
+        "host": cols["host"][i],
+        "schedule": {"priority": 1},
+        "process": {"callback": "on_page"},
+    } for i in range(len(urls)))
+    pipe.run(max_rounds=60)
+    return pipe.results_dataset()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pyspider_ray import queries as q
+    out: dict[str, Callable[[str], Any]] = dict(q.QUERIES)
+    out.update(_extra_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyspider_ray import queries as q
+    oracles = dict(q.ORACLES)
+    from pyspider_ray import training_queries as tq
+    oracles.update(tq.ORACLES)
+    return oracles
+
+
+def _extra_queries() -> dict[str, Callable[[str], Any]]:
+    from pyspider_ray import training_queries as tq
+    return dict(tq.QUERIES)

@@ -1,0 +1,458 @@
+"""SURVEY.md §2 operator inventory as Ray Data pipelines over the
+driver's parquet tables, each paired (where SQL-expressible) with a
+DuckDB oracle in ``oracles()``.
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a Dataset / pyarrow.Table;
+- computed columns carry the SAME names as the oracle SQL aliases;
+- outputs avoid raw float columns (money → cents int64, timestamps →
+  epoch micros) so the driver's value-hash is stable across engines;
+- reads prune columns at the source; aggregations pre-aggregate inside
+  ``map_batches`` before the shuffle; small join sides are broadcast
+  into actor constructors (never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return rd
+
+
+def _read(sf_dir, table, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# frontier / scheduler operators (SURVEY §2.1, §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+def q_status_count(sf_dir):
+    """A1 — per-status GROUP BY count (sqlite/taskdb.py:85-98)."""
+    from ray.data.aggregate import Count
+    return (_read(sf_dir, "orders", ["o_orderstatus"])
+            .groupby("o_orderstatus").aggregate(Count(alias_name="n")))
+
+
+def q_load_tasks_scan(sf_dir):
+    """S1 — status-filtered frontier scan (taskdb.load_tasks)."""
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["l_returnflag"], "R"))
+    return (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
+            .map_batches(flt, batch_format="pyarrow")
+            .select_columns(["l_orderkey", "l_partkey", "l_quantity"]))
+
+
+def q_point_lookup(sf_dir):
+    """S2 — batched point lookups (get_task): key-set filter, no shuffle."""
+    keys = pa.array([1, 7, 42, 4242], pa.int64())
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["o_orderkey"], value_set=keys))
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+            .map_batches(flt, batch_format="pyarrow"))
+
+
+def q_task_verify(sf_dir):
+    """M1 — task_verify predicate (scheduler.py:297-315): drop rows with
+    missing/invalid identity fields."""
+    def flt(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b["value"]),
+                            pc.greater_equal(b["user_id"], 0)),
+                    pc.not_equal(b["event_type"], ""))
+        return b.filter(m)
+    return (_read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                     "value"])
+            .map_batches(flt, batch_format="pyarrow")
+            .select_columns(["event_id", "user_id", "event_type"]))
+
+
+def q_merge_on_put(sf_dir):
+    """T2 — merge-on-put aggregation shape (task_queue.py:83-95):
+    priority=max, exetime=min, grouped by key."""
+    from ray.data.aggregate import Max, Min
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["value"], 100)).cast(pa.int64())
+        us = b["ts"].cast(pa.int64())
+        return pa.table({"user_id": b["user_id"], "value_cents": cents,
+                         "ts_us": us})
+    return (_read(sf_dir, "events", ["user_id", "value", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Max("value_cents", alias_name="max_value_cents"),
+                       Min("ts_us", alias_name="min_ts_us")))
+
+
+def q_priority_topk(sf_dir):
+    """O1 — priority DESC, key ASC emission order, top 100."""
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100)).cast(pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "price_cents": cents})
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["price_cents", "o_orderkey"], descending=[True, False])
+            .limit(100))
+
+
+def q_time_order(sf_dir):
+    """O2 — exetime-ascending promotion order, first 100."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+    return (_read(sf_dir, "events", ["event_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["ts_us", "event_id"]).limit(100))
+
+
+def q_select_quota(sf_dir):
+    """O4/A2 — weight-proportional select quotas clamped to
+    [limit/10, limit/3] (scheduler.py:500-522), integer arithmetic."""
+    from ray.data.aggregate import Count
+    counts = (_read(sf_dir, "customer", ["c_nationkey"])
+              .groupby("c_nationkey").aggregate(Count(alias_name="w"))
+              .to_pandas())
+    total = int(counts["w"].sum())
+    w = counts["w"].astype("int64")
+    quota = (w * 1000) // max(total, 1)
+    quota = quota.clip(lower=100, upper=333)
+    quota[(total < 1) | (w < 1)] = 100
+    counts["quota"] = quota.astype("int64")
+    return pa.Table.from_pandas(counts[["c_nationkey", "w", "quota"]],
+                                preserve_index=False)
+
+
+def q_retry_ladder(sf_dir):
+    """W4 — DEFAULT_RETRY_DELAY ladder (scheduler.py:155-161) applied to
+    a retried-count column, then counted per (retried, delay)."""
+    from ray.data.aggregate import Count
+    ladder = {0: 30, 1: 3600, 2: 21600, 3: 43200}
+    def prep(b: pa.Table) -> pa.Table:
+        retried = pc.subtract(b["l_linenumber"], 1).to_numpy(zero_copy_only=False)
+        delay = np.array([ladder.get(int(r), 86400) for r in retried],
+                         dtype=np.int64)
+        return pa.table({"retried": pa.array(retried.astype(np.int64)),
+                         "delay": pa.array(delay)})
+    return (_read(sf_dir, "lineitem", ["l_linenumber"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["retried", "delay"]).aggregate(Count(alias_name="n")))
+
+
+def q_topn_per_group(sf_dir):
+    """O4 per-project budget shape — top-3 rows per group by priority."""
+    import pandas as pd
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        return g[["o_custkey", "o_orderkey"]]
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+            .groupby("o_custkey").map_groups(top3, batch_format="pandas"))
+
+
+def q_active_tasks(sf_dir):
+    """A5 — merged recent-task feed: time DESC, id DESC, limit 100."""
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "ts_us": b["ts"].cast(pa.int64())})
+    return (_read(sf_dir, "events", ["event_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["ts_us", "event_id"], descending=[True, True]).limit(100))
+
+
+def q_result_paging(sf_dir):
+    """O6 — resultdb.select(offset=100, limit=50)."""
+    t = (_read(sf_dir, "events", ["event_id", "user_id"])
+         .sort("event_id").limit(150).take_all())
+    rows = t[100:]
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+class _JoinCustomer:
+    """Broadcast hash-join side: customer dim loaded once per actor."""
+
+    def __init__(self, sf_dir: str):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+        keys = t["c_custkey"].to_numpy()
+        vals = t["c_nationkey"].to_numpy()
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.vals = vals[order]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy()
+        idx = np.searchsorted(self.keys, ck)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        hit = self.keys[idx] == ck
+        nk = np.where(hit, self.vals[idx], -1)
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100)) \
+            .cast(pa.int64()).to_numpy()
+        out = pa.table({"c_nationkey": pa.array(nk.astype(np.int32)),
+                        "price_cents": pa.array(cents)})
+        return out.filter(pa.array(hit))
+
+
+def q_hash_join_revenue(sf_dir):
+    """J1/J6 — fact ⋈ broadcast dim + grouped rollup; the small side rides
+    in the actor constructor (one ship per actor, not per batch)."""
+    from ray.data.aggregate import Count, Sum
+    return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(_JoinCustomer, fn_constructor_kwargs={"sf_dir": sf_dir},
+                         batch_format="pyarrow", concurrency=2)
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("price_cents", alias_name="revenue_cents")))
+
+
+class _KeySetFilter:
+    """Broadcast semi/anti-join: the key set is built once per actor."""
+
+    def __init__(self, sf_dir: str, negate: bool):
+        import pyarrow.parquet as pq
+        keys = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey"])["l_orderkey"]
+        self.keys = pa.array(pc.unique(keys))
+        self.negate = negate
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["o_orderkey"], value_set=self.keys)
+        if self.negate:
+            m = pc.invert(m)
+        return b.filter(m)
+
+
+def q_anti_join(sf_dir):
+    """J1 left-anti — 'new request' detection: orders with no lineitem,
+    via a broadcast key set (a Bloom filter at larger key cardinality)."""
+    return (_read(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(_KeySetFilter,
+                         fn_constructor_kwargs={"sf_dir": sf_dir,
+                                                "negate": True},
+                         batch_format="pyarrow", concurrency=2))
+
+
+def q_semi_join(sf_dir):
+    """J3 semi — status packs must match the processing set."""
+    return (_read(sf_dir, "orders", ["o_orderkey"])
+            .map_batches(_KeySetFilter,
+                         fn_constructor_kwargs={"sf_dir": sf_dir,
+                                                "negate": False},
+                         batch_format="pyarrow", concurrency=2))
+
+
+# ---------------------------------------------------------------------------
+# streaming-ish aggregates (SURVEY §2.5, §2.9)
+# ---------------------------------------------------------------------------
+
+def q_windowed_counter(sf_dir):
+    """A3 — 5-minute tumbling window counters, pre-aggregated per batch
+    before the (tiny) final shuffle."""
+    from ray.data.aggregate import Sum
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        win = us // (300 * 1_000_000)
+        cents = pc.round(pc.multiply(b["value"], 100)).cast(pa.int64()) \
+            .to_numpy()
+        import pandas as pd
+        g = pd.DataFrame({"win": win, "n": 1, "value_cents": cents}) \
+            .groupby("win", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+    return (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("win")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("value_cents", alias_name="value_cents")))
+
+
+def q_common_fields(sf_dir):
+    """A6 — csv common-fields: keys present in every result row
+    (result_dump.py:97-108), as partial key-sets merged on the driver."""
+    def keysets(b: pa.Table) -> pa.Table:
+        rows = b["props"].to_pylist()
+        inter: set | None = None
+        union: set = set()
+        for r in rows:
+            ks = set(json.loads(r).keys()) if r else set()
+            union |= ks
+            inter = ks if inter is None else (inter & ks)
+        return pa.table({"inter": [json.dumps(sorted(inter or []))],
+                         "union": [json.dumps(sorted(union))],
+                         "rows": [len(rows)]})
+    parts = (_read(sf_dir, "events", ["props"])
+             .map_batches(keysets, batch_format="pyarrow").take_all())
+    inter: set | None = None
+    for p in parts:
+        ks = set(json.loads(p["inter"]))
+        inter = ks if inter is None else (inter & ks)
+    return pa.table({"key": pa.array(sorted(inter or []), pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# scalar functions / canonicalization (SURVEY §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+def q_canonical_tasks(sf_dir):
+    """M2/M6 — URL build + md5 task identity, vectorized per batch."""
+    def canon(b: pa.Table) -> pa.Table:
+        eids = b["event_id"].to_pylist()
+        uids = b["user_id"].to_pylist()
+        urls = [f"http://site{u}.test/page/{e}" for u, e in zip(uids, eids)]
+        taskids = [hashlib.md5(u.encode()).hexdigest() for u in urls]
+        return pa.table({"event_id": pa.array(eids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "taskid": pa.array(taskids, pa.string())})
+    return (_read(sf_dir, "events", ["event_id", "user_id"])
+            .map_batches(canon, batch_format="pyarrow"))
+
+
+def q_doc_fingerprint(sf_dir):
+    """Document fingerprinting — md5 content hash per doc."""
+    def fp(b: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode()).hexdigest()
+               for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "fp": pa.array(fps, pa.string())})
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fp, batch_format="pyarrow"))
+
+
+ORACLES: dict[str, str] = {
+    "status_count": """
+        SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+    """,
+    "load_tasks_scan": """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+    "point_lookup": """
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderkey IN (1, 7, 42, 4242)
+    """,
+    "task_verify": """
+        SELECT event_id, user_id, event_type FROM events
+        WHERE value IS NOT NULL AND user_id >= 0 AND event_type <> ''
+    """,
+    "merge_on_put": """
+        SELECT user_id,
+               CAST(round(max(value) * 100) AS BIGINT) AS max_value_cents,
+               min(epoch_us(ts)) AS min_ts_us
+        FROM events GROUP BY user_id
+    """,
+    "priority_topk": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100
+    """,
+    "time_order": """
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        ORDER BY ts_us, event_id LIMIT 100
+    """,
+    "select_quota": """
+        WITH w AS (SELECT c_nationkey, count(*) AS w FROM customer
+                   GROUP BY c_nationkey),
+             t AS (SELECT sum(w) AS total FROM w)
+        SELECT c_nationkey, w,
+               CASE WHEN total < 1 OR w < 1 THEN 100
+                    ELSE least(greatest((w * 1000) // total, 100), 333)
+               END AS quota
+        FROM w, t
+    """,
+    "retry_ladder": """
+        SELECT l_linenumber - 1 AS retried,
+               CASE l_linenumber - 1
+                    WHEN 0 THEN 30 WHEN 1 THEN 3600
+                    WHEN 2 THEN 21600 WHEN 3 THEN 43200
+                    ELSE 86400 END AS delay,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "topn_per_group": """
+        SELECT o_custkey, o_orderkey FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+    "active_tasks": """
+        SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        ORDER BY ts_us DESC, event_id DESC LIMIT 100
+    """,
+    "result_paging": """
+        SELECT event_id, user_id FROM events
+        ORDER BY event_id LIMIT 50 OFFSET 100
+    """,
+    "hash_join_revenue": """
+        SELECT c_nationkey, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    "anti_join": """
+        SELECT o_orderkey FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey)
+    """,
+    "semi_join": """
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    "windowed_counter": """
+        SELECT epoch_us(ts) // 300000000 AS win, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY win
+    """,
+    "common_fields": """
+        WITH total AS (SELECT count(*) AS c FROM events),
+             keys AS (SELECT unnest(json_keys(props)) AS key FROM events)
+        SELECT key FROM keys GROUP BY key
+        HAVING count(*) = (SELECT c FROM total)
+    """,
+    "canonical_tasks": """
+        SELECT event_id,
+               'http://site' || user_id || '.test/page/' || event_id AS url,
+               md5('http://site' || user_id || '.test/page/' || event_id)
+                   AS taskid
+        FROM events
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+}
+
+QUERIES = {
+    "status_count": q_status_count,
+    "load_tasks_scan": q_load_tasks_scan,
+    "point_lookup": q_point_lookup,
+    "task_verify": q_task_verify,
+    "merge_on_put": q_merge_on_put,
+    "priority_topk": q_priority_topk,
+    "time_order": q_time_order,
+    "select_quota": q_select_quota,
+    "retry_ladder": q_retry_ladder,
+    "topn_per_group": q_topn_per_group,
+    "active_tasks": q_active_tasks,
+    "result_paging": q_result_paging,
+    "hash_join_revenue": q_hash_join_revenue,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "windowed_counter": q_windowed_counter,
+    "common_fields": q_common_fields,
+    "canonical_tasks": q_canonical_tasks,
+    "doc_fingerprint": q_doc_fingerprint,
+}
