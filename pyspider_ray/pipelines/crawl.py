@@ -110,7 +110,7 @@ class _ActorShard:
 
 
 class _RayCoordinator(Coordinator):
-    """Coordinator over Ray actor handles; _call_all fans out in parallel."""
+    """Coordinator over Ray actor handles; fan-outs run in parallel."""
 
     def _call(self, shard, method: str, *args):
         import ray
@@ -119,6 +119,14 @@ class _RayCoordinator(Coordinator):
     def _call_all(self, method: str, *args) -> list:
         import ray
         return ray.get([s.call.remote(method, *args) for s in self.shards])
+
+    def _submit(self, method: str, args_per_shard: list) -> list:
+        import ray
+        refs = [s.call.remote(method, *args) if args is not None else None
+                for s, args in zip(self.shards, args_per_shard)]
+        live = [r for r in refs if r is not None]
+        got = iter(ray.get(live))
+        return [next(got) if r is not None else None for r in refs]
 
 
 class CrawlPipeline:
@@ -217,7 +225,11 @@ class CrawlPipeline:
                                    cfg.follow_priority)
         if cfg.use_ray and len(table) >= cfg.batch_size:
             import ray.data as rd
-            ds = rd.from_arrow(table)
+            # one block per batch_size slice so the actor pools see enough
+            # input blocks to reach their configured concurrency
+            slices = [table.slice(i, cfg.batch_size)
+                      for i in range(0, len(table), cfg.batch_size)]
+            ds = rd.from_arrow(slices)
             processed = (ds
                          .map_batches(SyntheticFetcher,
                                       fn_constructor_kwargs={
@@ -258,8 +270,8 @@ class CrawlPipeline:
         if not n:
             return
         cols = {name: ctrl[name].to_pylist() for name in ctrl.column_names}
-        follow_urls: list[str] = []
         for i in range(n):
+            follows = cols["follows"][i] or ()
             self._pending_status.append({
                 "taskid": cols["taskid"][i],
                 "urlhash": cols["urlhash"][i],
@@ -271,19 +283,20 @@ class CrawlPipeline:
                     "status_code": cols["status_code"][i],
                     "process_ok": bool(cols["process_ok"][i]),
                     "process_time": cols["process_time"][i],
-                    "follows": len(cols["follows"][i] or ()),
+                    "follows": len(follows),
                 },
             })
-            follow_urls.extend(cols["follows"][i] or ())
-        if follow_urls:
-            c = canonicalize_urls(follow_urls)
-            for i in range(len(follow_urls)):
+            # follow identities were canonicalized in the processor stage
+            for j in range(len(follows)):
                 self._pending_new.append({
-                    "taskid": c["taskid"][i],
-                    "urlhash": int(c["urlhash"][i]),
+                    "taskid": cols["follows_taskid"][i][j],
+                    "urlhash": cols["follows_urlhash"][i][j],
                     "project": self.cfg.project,
-                    "url": c["url"][i],
-                    "host": c["host"][i],
+                    "url": follows[j],
+                    "host": cols["follows_host"][i][j],
+                    # fresh dicts per task: schedule is mutated in place by
+                    # the retry ladder, so sharing one object would leak
+                    # retry state across tasks
                     "schedule": {"priority": self.cfg.follow_priority},
                     "process": {"callback": "on_page"},
                 })

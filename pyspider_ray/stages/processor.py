@@ -55,6 +55,8 @@ class ProcessorStage:
                 continue
             seen.add(k)
             follows.append(synthweb.url_of(k, int(khost)))
+        # canonicalize in-stage so the driver never md5s follow URLs
+        # (the M2/M6 work stays in the distributed data plane)
         result = {
             "image_id": f"img-{url_id:012d}",
             "bytes": img_bytes,
@@ -108,6 +110,21 @@ class ProcessorStage:
                 res["caption"].append("")
                 res["phash"].append(0)
 
+        # batch-level canonicalization of all follow URLs (M2/M6 in-stage)
+        from .canonicalize import canonicalize_urls
+        flat = [u for fl in follows_col for u in fl]
+        canon = canonicalize_urls(flat)
+        f_taskid: list[list[str]] = []
+        f_urlhash: list[list[int]] = []
+        f_host: list[list[str]] = []
+        pos = 0
+        for fl in follows_col:
+            k = len(fl)
+            f_taskid.append(canon["taskid"][pos:pos + k])
+            f_urlhash.append([int(x) for x in canon["urlhash"][pos:pos + k]])
+            f_host.append(canon["host"][pos:pos + k])
+            pos += k
+
         drop = [c for c in ("content",) if c in batch.column_names]
         out = batch.drop_columns(drop)
         out = (out
@@ -115,6 +132,12 @@ class ProcessorStage:
                .append_column("process_time", pa.array(process_time))
                .append_column("follows", pa.array(follows_col,
                                                   pa.list_(pa.string())))
+               .append_column("follows_taskid",
+                              pa.array(f_taskid, pa.list_(pa.string())))
+               .append_column("follows_urlhash",
+                              pa.array(f_urlhash, pa.list_(pa.int64())))
+               .append_column("follows_host",
+                              pa.array(f_host, pa.list_(pa.string())))
                .append_column("has_result", pa.array(has_result))
                .append_column("image_id", pa.array(res["image_id"], pa.string()))
                .append_column("bytes", pa.array(res["bytes"], pa.binary()))
@@ -130,7 +153,8 @@ RESULT_COLUMNS = ["taskid", "project", "url", "image_id", "bytes", "w", "h",
                   "fmt", "caption", "phash"]
 CONTROL_COLUMNS = ["taskid", "urlhash", "project", "url", "host",
                    "status_code", "fetch_time", "process_ok", "process_time",
-                   "follows"]
+                   "follows", "follows_taskid", "follows_urlhash",
+                   "follows_host"]
 
 
 def ResultBuilder(batch: pa.Table) -> pa.Table:

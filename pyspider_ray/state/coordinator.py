@@ -153,10 +153,10 @@ class Coordinator:
             per_shard[self.route(pack)].append(pack)
         totals: dict[str, int] = {}
         now = self._clock()
-        for shard, batch in zip(self.shards, per_shard):
-            if not batch:
+        results = self._submit_per_shard("on_status_batch", per_shard)
+        for batch, stats in zip(per_shard, results):
+            if stats is None:
                 continue
-            stats = self._call(shard, "on_status_batch", batch)
             for i in stats.pop("accepted", []):
                 rt = self.projects.get(batch[i].get("project"))
                 if rt is not None:
@@ -180,13 +180,26 @@ class Coordinator:
             task["seq"] = self._next_seq()
             per_shard[self.route(task)].append(task)
         totals: dict[str, int] = {}
-        # call every shard even with an empty batch: postponed force_updates
-        # replay on each pass (scheduler.py:374-385)
-        for shard, batch in zip(self.shards, per_shard):
-            stats = self._call(shard, "on_request_batch", batch)
+        # every shard participates even with an empty batch: postponed
+        # force_updates replay on each pass (scheduler.py:374-385)
+        for stats in self._submit_per_shard("on_request_batch", per_shard,
+                                            always=True):
+            if stats is None:
+                continue
             for k, v in stats.items():
                 totals[k] = totals.get(k, 0) + v
         return totals
+
+    def _submit(self, method: str, args_per_shard: list) -> list:
+        """Fan per-shard calls out concurrently (overridden for Ray
+        actors); ``args_per_shard[i] is None`` skips shard i."""
+        return [self._call(shard, method, *args) if args is not None else None
+                for shard, args in zip(self.shards, args_per_shard)]
+
+    def _submit_per_shard(self, method: str, per_shard: list[list],
+                          always: bool = False) -> list:
+        return self._submit(method, [(batch,) if (batch or always) else None
+                                     for batch in per_shard])
 
     def tick_cronjobs(self) -> list[dict]:
         """W2: virtual 1 Hz ticks; emit _on_cronjob control rows."""
@@ -248,9 +261,11 @@ class Coordinator:
                 per_shard: dict[int, list[str]] = {}
                 for _, _, idx, taskid in chosen:
                     per_shard.setdefault(idx, []).append(taskid)
+                args = [(name, per_shard[i]) if i in per_shard else None
+                        for i in range(len(self.shards))]
                 got: dict[str, dict] = {}
-                for idx, ids in per_shard.items():
-                    for task in self._call(self.shards[idx], "take", name, ids):
+                for taken in self._submit("take", args):
+                    for task in taken or ():
                         got[task["taskid"]] = task
                 for _, _, _, taskid in chosen:
                     task = got.get(taskid)
