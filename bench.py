@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: crawl throughput (URLs fetched/sec) on a deterministic
+synthetic frontier over a 10^10-URL id space (seeded hash graph,
+image+caption payloads), plus frontier ops/sec microbench and a
+representative slice of the query suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` re-runs the headline crawl in two fresh processes
+(num_cpus=8 and 32 by default) on the same input and reports both
+throughputs + scaling efficiency (BASELINE.md criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+CRAWL_ID_SPACE = 10 ** 10          # url id space (north rule scale)
+CRAWL_ROUNDS = 5
+CRAWL_LOOP_LIMIT = 12_000          # single project caps at limit/3 = 4k/round
+CRAWL_SEEDS = 64
+
+QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
+               "priority_topk", "dedup_exact", "token_count",
+               "jaccard_near_dup", "embedding_knn"]
+
+
+def init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def bench_crawl() -> dict:
+    """Fixed-round crawl over the 10^10 id space; measures sustained
+    fetch throughput with the frontier growing every round."""
+    from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+    out = f"/tmp/pyspider_ray_bench_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    conc = max(2, NUM_CPUS - 2)    # data-plane workers; shards are num_cpus=0
+    cfg = CrawlConfig(total=CRAWL_ID_SPACE, n_seeds=CRAWL_SEEDS,
+                      n_shards=8, n_hosts=64, use_ray=True,
+                      out_dir=out, loop_limit=CRAWL_LOOP_LIMIT,
+                      batch_size=256, concurrency=conc, page_scale=4,
+                      persist_payload=False)
+    pipe = CrawlPipeline(cfg)
+    pipe.seed()
+    for _ in range(4):             # warmup rounds (actor start, ramp-up)
+        pipe.run_round()
+    t0 = time.perf_counter()
+    for _ in range(CRAWL_ROUNDS):
+        pipe.run_round()
+    elapsed = time.perf_counter() - t0
+    fetched = sum(m["fetched"] for m in pipe.metrics[4:])
+    links = fetched * cfg.show
+    return {"sec": elapsed, "fetched": fetched,
+            "urls_per_sec": fetched / elapsed,
+            "frontier_links_per_sec": links / elapsed}
+
+
+def bench_frontier_ops() -> dict:
+    """Pure frontier-state microbench (single shard, no Ray): columnar
+    link ingest + select/status cycles — the scheduler-ops ceiling."""
+    import numpy as np
+
+    from pyspider_ray.state import FrontierShard, ProjectConfig, VirtualClock
+    from pyspider_ray.functions.synthweb import mix64
+    clock = VirtualClock(1.7e9)
+    shard = FrontierShard(0, 1, clock=clock)
+    shard.update_project(ProjectConfig("bench", rate=1e12, burst=1e12))
+    n = 200_000
+    ids = np.arange(n, dtype=np.uint64)
+    hashes = mix64(ids, 1).astype(np.int64)
+    taskids = [f"t{int(i):x}" for i in ids]
+    urls = [f"u{int(i)}" for i in ids]
+    hosts = ["h"] * n
+    t0 = time.perf_counter()
+    shard.on_follow_batch(taskids, hashes.tolist(), urls, hosts,
+                          list(range(1, n + 1)), "bench", 0)
+    ingest = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    done = 0
+    while done < n:
+        tq = shard._queue("bench")
+        tq.check_update()
+        batch = [tq.get() for _ in range(min(1000, n - done))]
+        shard.on_status_batch([
+            {"taskid": t, "project": "bench",
+             "track": {"process_ok": True}} for t in batch if t])
+        done += len(batch)
+    cycle = time.perf_counter() - t1
+    return {"ingest_ops_per_sec": n / ingest,
+            "select_done_ops_per_sec": n / cycle}
+
+
+def bench_queries() -> dict:
+    import __ray_entry__ as entry
+    qs = entry.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas() if not hasattr(res, "materialize") \
+                else res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    init_ray()
+    crawl = bench_crawl()
+    frontier = bench_frontier_ops()
+    queries = bench_queries()
+    import ray
+    ray.shutdown()
+    result = {
+        "metric": "crawl URLs fetched/sec (synthetic 10^10-id frontier, "
+                  "image+caption payloads) + frontier ops/sec + query suite",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl": {k: round(v, 1) for k, v in crawl.items()},
+        "frontier_ops": {k: round(v, 1) for k, v in frontier.items()},
+    }
+    print(json.dumps(result))
+
+
+def scaling(lo: int = 8, hi: int = 32) -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"urls_per_sec_{lo}": r_lo["crawl"]["urls_per_sec"],
+        f"urls_per_sec_{hi}": r_hi["crawl"]["urls_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -72,16 +72,16 @@ def parse_url_id(url: str) -> int:
 
 # -- per-id payload (FIXTURES.md F1) ----------------------------------------
 
-def page_dims(url_id: int) -> tuple[int, int]:
-    return 32 + (url_id % 5) * 16, 32 + (url_id % 7) * 16
+def page_dims(url_id: int, scale: int = 1) -> tuple[int, int]:
+    return (32 + (url_id % 5) * 16) * scale, (32 + (url_id % 7) * 16) * scale
 
 
 def page_fmt(url_id: int) -> str:
     return "png" if url_id % 4 else "jpeg"
 
 
-def page_pixels(url_id: int) -> np.ndarray:
-    w, h = page_dims(url_id)
+def page_pixels(url_id: int, scale: int = 1) -> np.ndarray:
+    w, h = page_dims(url_id, scale)
     rng = np.random.default_rng(SEED ^ url_id)
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
@@ -94,11 +94,12 @@ def page_caption(url_id: int) -> str:
 _PAGE_MAGIC = b"PAGE"
 
 
-def encode_page(url_id: int) -> bytes:
+def encode_page(url_id: int, scale: int = 1) -> bytes:
     """Serialized synthetic page: caption + encoded image in one binary
-    container (what the synthetic fetcher 'downloads')."""
+    container (what the synthetic fetcher 'downloads').  ``scale``
+    multiplies image dimensions (bench knob for heavier payloads)."""
     import struct
-    payload = page_payload(url_id)
+    payload = page_payload(url_id, scale)
     cap = payload["caption"].encode("utf-8")
     return _PAGE_MAGIC + struct.pack(">I", len(cap)) + cap + payload["bytes"]
 
@@ -113,11 +114,11 @@ def decode_page(data: bytes) -> tuple[str, bytes]:
     return cap, data[8 + n:]
 
 
-def page_payload(url_id: int) -> dict:
+def page_payload(url_id: int, scale: int = 1) -> dict:
     """Full fetchable page row (image_id, bytes, w, h, fmt, caption, phash)."""
-    pixels = page_pixels(url_id)
+    pixels = page_pixels(url_id, scale)
     fmt = page_fmt(url_id)
-    w, h = page_dims(url_id)
+    w, h = page_dims(url_id, scale)
     return {
         "image_id": f"img-{url_id:012d}",
         "bytes": encode_image(pixels, fmt),

@@ -75,6 +75,11 @@ class CrawlConfig:
     batch_size: int = 256
     follow_priority: int = 0
     seed_priority: int = 1
+    page_scale: int = 1                # payload size multiplier (bench knob)
+    # False = persist metadata/caption/phash but not image bytes: on a
+    # single box the fixed-bandwidth local disk otherwise measures itself
+    # rather than the engine (cluster object storage scales with nodes)
+    persist_payload: bool = True
 
     def digest(self) -> str:
         import hashlib
@@ -88,6 +93,10 @@ class _ActorShard:
 
     def __init__(self, shard_id: int, n_shards: int, start_time: float,
                  inqueue_limit: int = 0):
+        import gc
+        # the store accumulates millions of small dicts; default gen2
+        # thresholds make every RPC pay a full-heap scan eventually
+        gc.set_threshold(100_000, 50, 100)
         self._clock = VirtualClock(start_time)
         self._shard = FrontierShard(shard_id, n_shards, clock=self._clock,
                                     inqueue_limit=inqueue_limit)
@@ -107,6 +116,62 @@ class _ActorShard:
             snap = pickle.load(f)
         self._shard = FrontierShard.restore(snap, clock=self._clock,
                                             projects=projects)
+
+
+class _WorkerActor:
+    """Persistent data-plane worker: one fetcher + one processor instance
+    live for the whole crawl (T5 script-cache semantics — construction
+    cost paid once, not once per round, unlike a per-execution Ray Data
+    actor pool).  Each call fetches+processes one Arrow chunk, writes
+    its payload rows straight to the round's Parquet partition (wide
+    binary columns never travel back to the driver), and returns only
+    the compact control columns."""
+
+    def __init__(self, fetcher_kwargs: dict, processor_kwargs: dict,
+                 persist_payload: bool = True):
+        import gc
+        import queue
+        import threading
+        gc.set_threshold(100_000, 50, 100)
+        from ..stages.fetcher import SyntheticFetcher
+        from ..stages.processor import ProcessorStage
+        self.fetcher = SyntheticFetcher(**fetcher_kwargs)
+        self.processor = ProcessorStage(**processor_kwargs)
+        self.persist_payload = persist_payload
+        # payload writes happen off the compute path (bounded depth so a
+        # slow disk backpressures instead of ballooning memory); flush()
+        # joins the queue — called before checkpoints/result reads
+        self._write_queue: "queue.Queue" = queue.Queue(maxsize=2)
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
+
+    def _write_loop(self) -> None:
+        while True:
+            results, round_dir, part_idx = self._write_queue.get()
+            try:
+                os.makedirs(round_dir, exist_ok=True)
+                tmp = os.path.join(round_dir, f".part-{part_idx}.tmp")
+                # image bytes are already zlib-compressed; skip recompression
+                pq.write_table(results, tmp, compression="none")
+                os.rename(tmp, os.path.join(round_dir,
+                                            f"part-{part_idx}.parquet"))
+            finally:
+                self._write_queue.task_done()
+
+    def flush(self) -> bool:
+        self._write_queue.join()
+        return True
+
+    def process_chunk(self, table: pa.Table, round_dir: str,
+                      part_idx: int) -> pa.Table:
+        from ..stages.processor import ResultBuilder, control_table
+        processed = self.processor(self.fetcher(table))
+        results = ResultBuilder(processed)
+        if not self.persist_payload and "bytes" in results.column_names:
+            results = results.drop_columns(["bytes"])
+        if len(results):
+            self._write_queue.put((results, round_dir, part_idx))
+        return control_table(processed)
 
 
 class _RayCoordinator(Coordinator):
@@ -135,8 +200,9 @@ class CrawlPipeline:
         self.clock = VirtualClock(VIRTUAL_EPOCH)
         self.round_idx = 0
         self.metrics: list[dict] = []
-        self._pending_status: list[dict] = []
-        self._pending_new: list[dict] = []
+        self._pending_status: list[dict] = []   # dict packs (403s, tests)
+        self._pending_new: list[dict] = []      # seed/control task dicts
+        self._pending_ctrl: list[pa.Table] = []  # fetched-round control tables
         os.makedirs(self.results_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -148,7 +214,10 @@ class CrawlPipeline:
                 os.path.dirname(os.path.abspath(__file__))))
             env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
                                 os.environ.get("PYTHONPATH", "")}}
-            actor_cls = ray.remote(num_cpus=0.5, runtime_env=env)(_ActorShard)
+            # num_cpus=0: shards are a lightweight control plane that must
+            # never compete with the data-plane worker pool for CPU slots
+            # (a reserved-CPU shard pool can deadlock worker scheduling)
+            actor_cls = ray.remote(num_cpus=0, runtime_env=env)(_ActorShard)
             self.shards = [actor_cls.remote(i, cfg.n_shards, self.clock.now())
                            for i in range(cfg.n_shards)]
             self.coord = _RayCoordinator(self.shards, clock=self.clock,
@@ -217,89 +286,57 @@ class CrawlPipeline:
                                  for t in tasks], pa.int32()),
         })
 
+    def _worker_pool(self) -> list:
+        """Lazily create the persistent data-plane actor pool."""
+        if getattr(self, "_workers", None):
+            return self._workers
+        import ray
+        cfg = self.cfg
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
+                            os.environ.get("PYTHONPATH", "")}}
+        worker_cls = ray.remote(num_cpus=1, runtime_env=env)(_WorkerActor)
+        fk = {"fail_permille": cfg.fail_permille,
+              "page_scale": cfg.page_scale}
+        pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
+              "skew": cfg.skew, "follow_priority": cfg.follow_priority}
+        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload)
+                         for _ in range(cfg.concurrency)]
+        return self._workers
+
     def _run_data_plane(self, table: pa.Table, round_dir: str) -> pa.Table:
         """fetch → process; payload rows to Parquet, control rows back."""
         cfg = self.cfg
-        fetcher = SyntheticFetcher(fail_permille=cfg.fail_permille)
+        if cfg.use_ray:
+            import math
+            workers = self._worker_pool()
+            # ~2 chunks per worker + completion-driven re-dispatch: the
+            # slowest chunk, not the slowest worker, bounds the round
+            per = max(16, math.ceil(len(table) / (len(workers) * 2)))
+            queue = list(enumerate(table.slice(i, per)
+                                   for i in range(0, len(table), per)))
+            state = {"round_dir": round_dir, "queue": queue, "refs": {}}
+            for w in workers:
+                if not state["queue"]:
+                    break
+                idx, chunk = state["queue"].pop(0)
+                ref = w.process_chunk.remote(chunk, round_dir, idx)
+                state["refs"][ref] = (idx, w)
+            # the caller resolves next round, overlapping worker compute
+            # with the driver's control-plane work
+            return state
+        # no-ray path: same stages, driver-side
+        fetcher = SyntheticFetcher(fail_permille=cfg.fail_permille,
+                                   page_scale=cfg.page_scale)
         processor = ProcessorStage(cfg.total, cfg.show, cfg.n_hosts, cfg.skew,
                                    cfg.follow_priority)
-        if cfg.use_ray and len(table) >= cfg.batch_size:
-            import ray.data as rd
-            # one block per batch_size slice so the actor pools see enough
-            # input blocks to reach their configured concurrency
-            slices = [table.slice(i, cfg.batch_size)
-                      for i in range(0, len(table), cfg.batch_size)]
-            ds = rd.from_arrow(slices)
-            processed = (ds
-                         .map_batches(SyntheticFetcher,
-                                      fn_constructor_kwargs={
-                                          "fail_permille": cfg.fail_permille},
-                                      batch_format="pyarrow",
-                                      batch_size=cfg.batch_size,
-                                      concurrency=cfg.concurrency)
-                         .map_batches(ProcessorStage,
-                                      fn_constructor_kwargs={
-                                          "total": cfg.total,
-                                          "show": cfg.show,
-                                          "n_hosts": cfg.n_hosts,
-                                          "skew": cfg.skew,
-                                          "follow_priority": cfg.follow_priority},
-                                      batch_format="pyarrow",
-                                      batch_size=cfg.batch_size,
-                                      concurrency=cfg.concurrency)
-                         .materialize())  # bounded: one round <= loop_limit rows
-            processed.map_batches(ResultBuilder, batch_format="pyarrow") \
-                .write_parquet(round_dir)
-            ctrl = processed.map_batches(control_table, batch_format="pyarrow")
-            return pa.concat_tables(
-                [b for b in ctrl.iter_batches(batch_format="pyarrow",
-                                              batch_size=None)],
-                promote_options="default")
-        # small-batch / no-ray path: same stages, driver-side
-        fetched = fetcher(table)
-        processed = processor(fetched)
+        processed = processor(fetcher(table))
         results = ResultBuilder(processed)
         if len(results):
             os.makedirs(round_dir, exist_ok=True)
             pq.write_table(results, os.path.join(round_dir, "part-0.parquet"))
         return control_table(processed)
-
-    # -- feedback ------------------------------------------------------------
-    def _control_to_feedback(self, ctrl: pa.Table) -> None:
-        n = len(ctrl)
-        if not n:
-            return
-        cols = {name: ctrl[name].to_pylist() for name in ctrl.column_names}
-        for i in range(n):
-            follows = cols["follows"][i] or ()
-            self._pending_status.append({
-                "taskid": cols["taskid"][i],
-                "urlhash": cols["urlhash"][i],
-                "project": cols["project"][i],
-                "url": cols["url"][i],
-                "track": {
-                    "fetch_ok": cols["status_code"][i] < 400,
-                    "fetch_time": cols["fetch_time"][i],
-                    "status_code": cols["status_code"][i],
-                    "process_ok": bool(cols["process_ok"][i]),
-                    "process_time": cols["process_time"][i],
-                    "follows": len(follows),
-                },
-            })
-            # follow identities were canonicalized in the processor stage
-            for j in range(len(follows)):
-                self._pending_new.append({
-                    "taskid": cols["follows_taskid"][i][j],
-                    "urlhash": cols["follows_urlhash"][i][j],
-                    "project": self.cfg.project,
-                    "url": follows[j],
-                    "host": cols["follows_host"][i][j],
-                    # fresh dicts per task: schedule is mutated in place by
-                    # the retry ladder, so sharing one object would leak
-                    # retry state across tasks
-                    "schedule": {"priority": self.cfg.follow_priority},
-                    "process": {"callback": "on_page"},
-                })
 
     def _blocked_status(self, task: dict) -> dict:
         """Robots-disallowed → 403 failure pack (tornado_fetcher.py:360-363)."""
@@ -312,12 +349,73 @@ class CrawlPipeline:
         }
 
     # -- rounds --------------------------------------------------------------
+    def _drain_plane(self, state: dict, on_chunk=None) -> list[pa.Table]:
+        """Run a data-plane state to completion: completion-driven
+        re-dispatch of queued chunks; ``on_chunk`` fires for each control
+        table in deterministic submission order."""
+        import ray
+        results: dict[int, pa.Table] = {}
+        ordered: list[pa.Table] = []
+        pending = dict(state["refs"])
+        next_idx = 0
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            idx, worker = pending.pop(done[0])
+            results[idx] = ray.get(done[0])
+            if state["queue"]:
+                j, chunk = state["queue"].pop(0)
+                ref = worker.process_chunk.remote(chunk, state["round_dir"], j)
+                pending[ref] = (j, worker)
+            while next_idx in results:
+                t = results.pop(next_idx)
+                if on_chunk is not None:
+                    on_chunk(t)
+                ordered.append(t)
+                next_idx += 1
+        return ordered
+
+    def _collect_ctrl(self, ingest_status: bool = True) -> list[pa.Table]:
+        """Materialize last round's in-flight control stream.  With
+        ``ingest_status`` the status packs feed the shards in buffered
+        groups as chunks land (deterministic chunk order), overlapping
+        shard ingestion with the remaining chunk compute."""
+        out: list[pa.Table] = []
+        buffer: list[pa.Table] = []
+
+        def on_chunk(t: pa.Table) -> None:
+            buffer.append(t)
+            if len(buffer) >= 8:
+                self.coord.dispatch_status_tables(buffer)
+                buffer.clear()
+
+        cb = on_chunk if ingest_status else None
+        for item in self._pending_ctrl:
+            if isinstance(item, pa.Table):
+                if cb is not None:
+                    cb(item)
+                out.append(item)
+            else:
+                out.extend(self._drain_plane(item, cb))
+        if buffer:
+            self.coord.dispatch_status_tables(buffer)
+        self._pending_ctrl = []
+        return out
+
     def run_round(self) -> dict:
         cfg = self.cfg
         self._sync_clocks()
         status, self._pending_status = self._pending_status, []
         new, self._pending_new = self._pending_new, []
-        batch = self.coord.round(status_packs=status, new_tasks=new)
+        # run_once phase order (scheduler.py:661-671): status → requests
+        # (control dicts, then the columnar follow stream) → cron → select
+        self.coord.dispatch_status(status)
+        ctrl_tables = self._collect_ctrl()   # streams statuses to shards
+        self.coord.dispatch_requests(new)
+        self.coord.dispatch_follow_tables(ctrl_tables, cfg.project,
+                                          cfg.follow_priority)
+        control = [self.coord._on_select_task(t, self.coord.projects[t["project"]])
+                   for t in self.coord.tick_cronjobs()]
+        batch = control + self.coord.select()
 
         admitted, deferred, blocked = self.gate.admit(batch)
         if deferred:
@@ -337,9 +435,9 @@ class CrawlPipeline:
         if admitted:
             table = self._tasks_to_table(admitted)
             round_dir = self._round_dir(self.round_idx)
-            ctrl = self._run_data_plane(table, round_dir)
-            n_results = len(ctrl)
-            self._control_to_feedback(ctrl)
+            out = self._run_data_plane(table, round_dir)
+            self._pending_ctrl.append(out)
+            n_results = len(admitted)  # 1 control row per admitted task
 
         metric = {"round": self.round_idx, "emitted": len(batch),
                   "admitted": len(admitted), "deferred": len(deferred),
@@ -360,11 +458,17 @@ class CrawlPipeline:
                 self.checkpoint()
             if stop_on_quiescent and not m["emitted"] and not m["admitted"] \
                     and not self._pending_new and not self._pending_status \
+                    and not self._pending_ctrl \
                     and self.coord.is_quiescent():
                 break
         return {"rounds": self.round_idx,
                 "fetched": sum(m["fetched"] for m in self.metrics),
                 "metrics": self.metrics}
+
+    def _flush_writes(self) -> None:
+        if self.cfg.use_ray and getattr(self, "_workers", None):
+            import ray
+            ray.get([w.flush.remote() for w in self._workers])
 
     # -- inspection ----------------------------------------------------------
     def seen_taskids(self) -> list[str]:
@@ -378,14 +482,17 @@ class CrawlPipeline:
 
     def results_dataset(self):
         import ray.data as rd
+        self._flush_writes()
         return rd.read_parquet(self.results_dir)
 
     def results_table(self) -> pa.Table:
         import pyarrow.dataset as pads
+        self._flush_writes()
         return pads.dataset(self.results_dir).to_table()
 
     # -- checkpoint / resume (M4) --------------------------------------------
     def checkpoint(self) -> str:
+        self._flush_writes()   # result partitions must be durable first
         tag = f"round={self.round_idx:05d}"
         cdir = os.path.join(self.ckpt_dir, tag + ".tmp")
         os.makedirs(cdir, exist_ok=True)
@@ -397,11 +504,14 @@ class CrawlPipeline:
             for i, s in enumerate(self.shards):
                 with open(os.path.join(cdir, f"shard_{i}.pkl"), "wb") as f:
                     pickle.dump(s.snapshot(), f)
+        resolved_ctrl = self._collect_ctrl(ingest_status=False)
+        self._pending_ctrl = list(resolved_ctrl)  # keep for the live run
         state = {
             "coordinator": self.coord.snapshot(),
             "gate": self.gate.snapshot(),
             "pending_status": self._pending_status,
             "pending_new": self._pending_new,
+            "pending_ctrl": resolved_ctrl,
             "metrics": self.metrics,
         }
         with open(os.path.join(cdir, "driver.pkl"), "wb") as f:
@@ -464,5 +574,6 @@ class CrawlPipeline:
         pipe.gate.restore_buckets(state["gate"])
         pipe._pending_status = state["pending_status"]
         pipe._pending_new = state["pending_new"]
+        pipe._pending_ctrl = state.get("pending_ctrl", [])
         pipe.metrics = state["metrics"]
         return pipe

@@ -27,9 +27,10 @@ from ..functions import synthweb
 
 class SyntheticFetcher:
     def __init__(self, fail_permille: int = 0, fail_salt: int = 0xFA11,
-                 fail_until_retry: int = 1):
+                 fail_until_retry: int = 1, page_scale: int = 1):
         self.fail_permille = fail_permille
         self.fail_salt = fail_salt
+        self.page_scale = page_scale
         # a failing id returns 503 until the task's ``retried`` count
         # reaches this value — deterministic across any actor-pool layout
         # (no per-actor state), exercising the W4 retry ladder
@@ -47,7 +48,7 @@ class SyntheticFetcher:
             roll = int(synthweb.mix64(url_id, self.fail_salt) % np.uint64(1000))
             if roll < self.fail_permille:
                 return 503, b"", "synthetic transient failure"
-        return 200, synthweb.encode_page(url_id), ""
+        return 200, synthweb.encode_page(url_id, self.page_scale), ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

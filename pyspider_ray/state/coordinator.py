@@ -201,6 +201,95 @@ class Coordinator:
         return self._submit(method, [(batch,) if (batch or always) else None
                                      for batch in per_shard])
 
+    def dispatch_status_tables(self, tables: list) -> dict:
+        """Columnar status fan-out: vectorized urlhash routing, per-shard
+        Arrow sub-tables, pack building inside the shards."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            return {}
+        t = pa.concat_tables(tables, promote_options="default")
+        n = len(t)
+        status = pa.table({
+            "taskid": t["taskid"], "urlhash": t["urlhash"],
+            "project": t["project"], "url": t["url"],
+            "status_code": t["status_code"], "fetch_time": t["fetch_time"],
+            "process_ok": t["process_ok"], "process_time": t["process_time"],
+            "n_follows": pc.list_value_length(t["follows"]).cast(pa.int32()),
+            "seq": pa.array(np.arange(1, n + 1, dtype=np.int64) + self._seq),
+        })
+        self._seq += n
+        hashes = status["urlhash"].to_numpy()
+        shard_of = hashes % self.n_shards
+        args = []
+        for s in range(self.n_shards):
+            mask = shard_of == s
+            args.append((status.filter(pa.array(mask)),) if mask.any()
+                        else None)
+        totals: dict[str, int] = {}
+        now = self._clock()
+        for stats in self._submit("on_status_table", args):
+            if stats is None:
+                continue
+            for project, ok in stats.pop("tail", ()):
+                rt = self.projects.get(project)
+                if rt is not None:
+                    rt.active_tasks.appendleft(
+                        (now, {"track": {"process_ok": ok}}))
+            for k, v in stats.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def dispatch_follow_tables(self, tables: list, project: str,
+                               priority: int = 0) -> dict:
+        """Flatten the processor's canonicalized follow columns and route
+        them with numpy; D2 first-wins dedup runs on the int64 urlhash
+        (64-bit md5 low bits — collision odds are negligible and a lost
+        duplicate would only skip one redundant shard check)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            return {}
+        t = pa.concat_tables(tables, promote_options="default")
+        taskids = pc.list_flatten(t["follows_taskid"])
+        if not len(taskids):
+            return {}
+        hashes = pc.list_flatten(t["follows_urlhash"]).to_numpy()
+        urls = pc.list_flatten(t["follows"])
+        hosts = pc.list_flatten(t["follows_host"])
+        _, first_idx = np.unique(hashes, return_index=True)
+        first_idx.sort()
+        seqs = np.arange(1, len(first_idx) + 1, dtype=np.int64) + self._seq
+        self._seq += len(first_idx)
+        kept_hashes = hashes[first_idx]
+        shard_of = kept_hashes % self.n_shards
+        idx_arr = pa.array(first_idx)
+        taskids_k = pc.take(taskids, idx_arr)
+        urls_k = pc.take(urls, idx_arr)
+        hosts_k = pc.take(hosts, idx_arr)
+        args = []
+        for s in range(self.n_shards):
+            mask = shard_of == s
+            if not mask.any():
+                args.append(None)
+                continue
+            m = pa.array(mask)
+            args.append((pc.filter(taskids_k, m).to_pylist(),
+                         kept_hashes[mask].tolist(),
+                         pc.filter(urls_k, m).to_pylist(),
+                         pc.filter(hosts_k, m).to_pylist(),
+                         seqs[mask].tolist(),
+                         project, priority))
+        totals: dict[str, int] = {}
+        for stats in self._submit("on_follow_batch", args):
+            for k, v in (stats or {}).items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
     def tick_cronjobs(self) -> list[dict]:
         """W2: virtual 1 Hz ticks; emit _on_cronjob control rows."""
         out = []

@@ -31,6 +31,7 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.count = 0
+        self.saturated = False
         self._seed = np.uint64(seed)
         self._rng = np.random.default_rng(seed)
 
@@ -54,7 +55,58 @@ class CuckooFilter:
         return ((bucket.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)).astype(np.int64)
 
     # -- operations ---------------------------------------------------------
+    def add_many(self, keys: np.ndarray) -> int:
+        """Vectorized bulk insert: hashing is computed for the whole batch
+        in numpy; slot placement is a tight index loop.  Once the table
+        saturates (an eviction chain fails) further inserts become no-ops
+        — membership then under-reports, which is safe: the exact store
+        is authoritative and a cuckoo miss only skips the fast path."""
+        if self.saturated:
+            return 0
+        arr = np.asarray(keys, dtype=np.int64).view(np.uint64)
+        fps = self._fingerprint(arr)
+        b1s = self._bucket1(arr)
+        b2s = self._alt_bucket(b1s, fps)
+        table = self.table
+        inserted = 0
+        for fp, b1, b2 in zip(fps, b1s, b2s):
+            placed = False
+            for b in (b1, b2):
+                row = table[b]
+                for slot in range(4):
+                    if row[slot] == 0:
+                        row[slot] = fp
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                inserted += 1
+                continue
+            if self._evict_insert(int(b1), int(b2), fp):
+                inserted += 1
+            else:
+                self.saturated = True
+                break
+        self.count += inserted
+        return inserted
+
+    def _evict_insert(self, b1: int, b2: int, fp) -> bool:
+        b = b1 if self._rng.integers(2) else b2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = int(self._rng.integers(4))
+            cur, self.table[b, slot] = self.table[b, slot], cur
+            b = int(self._alt_bucket(np.asarray([b]), np.asarray([cur]))[0])
+            empty = np.where(self.table[b] == 0)[0]
+            if empty.size:
+                self.table[b, empty[0]] = cur
+                return True
+        return False
+
     def add(self, key: int) -> bool:
+        if self.saturated:
+            return False
         arr = np.asarray([key], dtype=np.int64).view(np.uint64)
         fp = self._fingerprint(arr)[0]
         b1 = int(self._bucket1(arr)[0])
@@ -65,19 +117,11 @@ class CuckooFilter:
                 self.table[b, empty[0]] = fp
                 self.count += 1
                 return True
-        # evict
-        b = b1 if self._rng.integers(2) else b2
-        cur = fp
-        for _ in range(_MAX_KICKS):
-            slot = int(self._rng.integers(4))
-            cur, self.table[b, slot] = self.table[b, slot], cur
-            b = int(self._alt_bucket(np.asarray([b]), np.asarray([cur]))[0])
-            empty = np.where(self.table[b] == 0)[0]
-            if empty.size:
-                self.table[b, empty[0]] = cur
-                self.count += 1
-                return True
-        return False  # table full; caller falls back to exact set only
+        if self._evict_insert(b1, b2, fp):
+            self.count += 1
+            return True
+        self.saturated = True  # fall back to exact store only
+        return False
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized membership; True may be a false positive, False is
@@ -99,7 +143,8 @@ class CuckooFilter:
     # -- checkpoint ---------------------------------------------------------
     def snapshot(self) -> dict:
         return {"table": self.table.tobytes(), "n_buckets": self.n_buckets,
-                "count": self.count, "seed": int(self._seed)}
+                "count": self.count, "seed": int(self._seed),
+                "saturated": self.saturated}
 
     @classmethod
     def restore(cls, snap: dict) -> "CuckooFilter":
@@ -108,6 +153,7 @@ class CuckooFilter:
         cf.table = np.frombuffer(snap["table"], dtype=np.uint16).reshape(
             cf.n_buckets, 4).copy()
         cf.count = snap["count"]
+        cf.saturated = snap.get("saturated", False)
         cf._seed = np.uint64(snap["seed"])
         cf._rng = np.random.default_rng(snap["seed"])
         return cf

@@ -64,7 +64,7 @@ class FrontierShard:
                  clock: Callable[[], float] = wall_clock,
                  inqueue_limit: int = 0,
                  processing_timeout: float = 10 * 60,
-                 seen_capacity: int = 1 << 16):
+                 seen_capacity: int = 1 << 21):
         self.shard_id = shard_id
         self.n_shards = n_shards
         self._clock = clock
@@ -151,6 +151,77 @@ class FrontierShard:
                     stats["ignored"] += 1
                     continue
             self._dispatch_request(task, stats)
+        return stats
+
+    def on_status_table(self, table) -> dict:
+        """Columnar status ingestion: one Arrow sub-table per shard
+        (zero-copy through the object store); pack dicts are built here,
+        in parallel across shards, instead of on the driver.  Returns the
+        usual stats plus a ``tail`` of (project, process_ok) outcomes for
+        the coordinator's active-task ring (pause FSM)."""
+        cols = {name: table[name].to_pylist() for name in table.column_names}
+        stats = {"done": 0, "retry": 0, "failed": 0, "not_processing": 0,
+                 "bad_pack": 0, "accepted": []}
+        outcomes: list[tuple[str, bool]] = []
+        for i in range(len(cols["taskid"])):
+            pack = {
+                "taskid": cols["taskid"][i],
+                "urlhash": cols["urlhash"][i],
+                "project": cols["project"][i],
+                "url": cols["url"][i],
+                "seq": cols["seq"][i],
+                "track": {
+                    "fetch_ok": cols["status_code"][i] < 400,
+                    "fetch_time": cols["fetch_time"][i],
+                    "status_code": cols["status_code"][i],
+                    "process_ok": bool(cols["process_ok"][i]),
+                    "process_time": cols["process_time"][i],
+                    "follows": cols["n_follows"][i],
+                },
+            }
+            if self._on_task_status(pack, stats):
+                outcomes.append((pack["project"], pack["track"]["process_ok"]))
+        stats.pop("accepted")
+        stats["tail"] = outcomes[-100:]
+        return stats
+
+    def on_follow_batch(self, taskids: list[str], urlhashes: list[int],
+                        urls: list[str], hosts: list[str], seqs: list[int],
+                        project: str, priority: int) -> dict:
+        """Columnar fast path for plain follow links (no force_update /
+        itag / cancel / age): a link whose taskid is already queued or
+        stored is ignored (D3/D4 with age=-1 semantics), so task dicts
+        are only built for genuinely new URLs.  Behaviorally identical
+        to routing each link through on_request_batch; vectorized so the
+        80k-links-per-round control stream doesn't serialize on the
+        driver."""
+        stats = {"new": 0, "ignored": 0, "overflow": 0}
+        tq = self._queue(project)
+        store = self.store
+        limit = self.inqueue_limit
+        now = self._clock()
+        new_hashes: list[int] = []
+        for i, taskid in enumerate(taskids):
+            if taskid in tq or (project, taskid) in store:
+                stats["ignored"] += 1
+                continue
+            if limit and len(tq) >= limit:
+                stats["overflow"] += 1
+                continue
+            task = {"taskid": taskid, "urlhash": urlhashes[i],
+                    "project": project, "url": urls[i], "host": hosts[i],
+                    "schedule": {"priority": priority},
+                    "process": {"callback": "on_page"},
+                    "seq": seqs[i], "status": ACTIVE,
+                    "updatetime": now}
+            store[(project, taskid)] = task
+            new_hashes.append(urlhashes[i])
+            tq.put(taskid, priority, 0, sequence=seqs[i])
+            self._count(project, "pending")
+            stats["new"] += 1
+        if new_hashes:
+            import numpy as np
+            self.seen_filter.add_many(np.asarray(new_hashes, dtype=np.int64))
         return stats
 
     def _dispatch_request(self, task: dict, stats: dict) -> None:
