@@ -1,0 +1,351 @@
+"""User-extension surface (SURVEY.md §2.10): the handler protocol.
+
+A from-scratch re-expression of pyspider's ``BaseHandler`` API
+(pyspider/libs/base_handler.py) so reference scripts port with renames
+only:
+
+- ``self.crawl(url, **kwargs)`` — the 30-kwarg task constructor
+  (base_handler.py:255-340/:347-398): per-callback ``@config`` defaults,
+  params/data packing, schedule/fetch/process kwarg splitting,
+  ``get_taskid`` identity (md5(url), :342-344), in-callback follows
+  dedup (D1, :336-339);
+- ``@config`` / ``@every`` / ``@catch_status_code_error`` /
+  ``@not_send_status`` decorators (:26-119), with the metaclass
+  collecting cronjobs and computing the GCD ``min_tick``;
+- ``run_task`` harness (M13/M14, :145-218): callback dispatch by
+  ``process.callback``, 304 skip, ``raise_for_status`` gate, generator
+  expansion, exception capture → ``ProcessorResult``;
+- hooks: ``on_result`` / ``on_message`` / ``on_finished`` /
+  ``send_message`` (J7) (:404-427).
+
+Differences by design: no per-task SIGALRM timeout (actor pools are
+multi-threaded; a cooperative budget check replaces it), and responses
+are Arrow rows rehydrated into a lazy ``Response`` (libs/response.py
+analogue) with lxml-backed views gated behind import-try.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any
+from urllib.parse import urlencode
+
+from .functions.urls import (build_url, curl_to_arguments, md5_taskid,
+                             quote_non_ascii)
+
+
+def catch_status_code_error(func):
+    """Let the callback see non-2xx responses (base_handler.py:26-32)."""
+    func._catch_status_code_error = True
+    return func
+
+
+def not_send_status(func):
+    func._not_send_status = True
+    return func
+
+
+def config(_config=None, **kwargs):
+    """Default ``crawl`` kwargs for tasks with this callback."""
+    if _config is None:
+        _config = {}
+    _config.update(kwargs)
+
+    def wrapper(func):
+        func._config = _config
+        return func
+    return wrapper
+
+
+class _NOTSET:
+    pass
+
+
+def every(minutes=_NOTSET, seconds=_NOTSET):
+    """Mark a callback as a cronjob firing every interval (W2)."""
+    def wrapper(func):
+        func.is_cronjob = True
+        func.tick = m * 60 + s
+        return func
+
+    if inspect.isfunction(minutes):  # bare @every
+        func, m, s = minutes, 1, 0
+        return wrapper(func)
+    m = 0 if minutes is _NOTSET else minutes
+    s = 0 if seconds is _NOTSET else seconds
+    if minutes is _NOTSET and seconds is _NOTSET:
+        m = 1
+    return wrapper
+
+
+class HTTPError(Exception):
+    def __init__(self, status_code: int, message: str = ""):
+        self.status_code = status_code
+        super().__init__(f"HTTP {status_code} {message}")
+
+
+class Response:
+    """Lazy fetch-result views (pyspider/libs/response.py:22-163)."""
+
+    def __init__(self, status_code: int = 200, url: str = "",
+                 orig_url: str = "", content: bytes = b"",
+                 headers: dict | None = None, error: str | None = None,
+                 save: Any = None, time: float = 0.0):
+        self.status_code = status_code
+        self.url = url
+        self.orig_url = orig_url or url
+        self.content = content
+        self.headers = headers or {}
+        self.error = error
+        self.save = save
+        self.time = time
+        self._text: str | None = None
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = self.content.decode("utf-8", "replace") \
+                if isinstance(self.content, bytes) else str(self.content)
+        return self._text
+
+    @property
+    def json(self) -> Any:
+        return json.loads(self.text)
+
+    @property
+    def doc(self):
+        raise NotImplementedError(
+            "PyQuery-style .doc needs lxml/pyquery, absent in this "
+            "container; parse .text/.content directly")
+
+    @property
+    def etree(self):
+        try:
+            from lxml import etree as _etree
+        except ImportError as exc:
+            raise NotImplementedError("lxml not available") from exc
+        return _etree.fromstring(self.content)
+
+    def raise_for_status(self) -> None:
+        """M15 — response.py:165-184: 304 passes, errors/4xx/5xx raise."""
+        if self.status_code == 304:
+            return
+        if self.error:
+            raise HTTPError(self.status_code, self.error)
+        if self.status_code < 200 or self.status_code >= 400:
+            raise HTTPError(self.status_code)
+
+    @property
+    def ok(self) -> bool:
+        try:
+            self.raise_for_status()
+            return True
+        except HTTPError:
+            return False
+
+
+@dataclass
+class ProcessorResult:
+    """processor.py:43-98 analogue."""
+    result: Any = None
+    follows: list = field(default_factory=list)
+    messages: list = field(default_factory=list)
+    exception: str | None = None
+    not_send_status: bool = False
+
+    @property
+    def ok(self) -> bool:
+        return self.exception is None
+
+
+class HandlerMeta(type):
+    def __new__(mcls, name, bases, attrs):
+        cron_jobs = []
+        min_tick = 0
+        for value in attrs.values():
+            if inspect.isfunction(value) and getattr(value, "is_cronjob",
+                                                     False):
+                cron_jobs.append(value)
+                min_tick = math.gcd(int(min_tick), int(value.tick))
+        cls = super().__new__(mcls, name, bases, attrs)
+        # inherit parent cronjobs
+        inherited = []
+        for base in bases:
+            for job in getattr(base, "_cron_jobs", ()):
+                inherited.append(job)
+                min_tick = math.gcd(int(min_tick), int(job.tick))
+        cls._cron_jobs = inherited + cron_jobs
+        cls._min_tick = min_tick
+        return cls
+
+
+class BaseHandler(metaclass=HandlerMeta):
+    crawl_config: dict = {}
+    retry_delay: dict = {}
+    project_name: str | None = None
+
+    SCHEDULE_FIELDS = ("priority", "retries", "exetime", "age", "itag",
+                       "force_update", "auto_recrawl", "cancel")
+    FETCH_FIELDS = ("method", "headers", "user_agent", "data", "timeout",
+                    "connect_timeout", "allow_redirects", "cookies", "proxy",
+                    "etag", "last_modified", "save", "fetch_type", "use_gzip",
+                    "validate_cert", "max_redirects", "robots_txt")
+    PROCESS_FIELDS = ("callback", "process_time_limit")
+
+    def __init__(self, project_name: str | None = None):
+        if project_name:
+            self.project_name = project_name
+        self._reset()
+
+    def _reset(self) -> None:
+        self._follows: list[dict] = []
+        self._follows_keys: set[str] = set()
+        self._messages: list[tuple] = []
+        self.task: dict | None = None
+        self.response: Response | None = None
+
+    # -- the crawl API -------------------------------------------------------
+    def crawl(self, url, **kwargs):
+        if isinstance(url, str) and url.startswith("curl "):
+            curl_kwargs = curl_to_arguments(url)
+            url = curl_kwargs.pop("urls")
+            for k, v in curl_kwargs.items():
+                kwargs.setdefault(k, v)
+        if isinstance(url, str):
+            return self._crawl(url, **kwargs)
+        return [self._crawl(u, **kwargs) for u in url]
+
+    def _crawl(self, url: str, **kwargs) -> dict:
+        assert len(url) < 1024, "Maximum (1024) URL length error."
+        callback = kwargs.get("callback")
+        if callback is not None:
+            if callable(callback):
+                kwargs["callback"] = callback.__name__
+            name = kwargs["callback"]
+            if not hasattr(self, name):
+                raise NotImplementedError(f"self.{name}() not implemented!")
+            func = getattr(self, name)
+            for k, v in getattr(func, "_config", {}).items():
+                if isinstance(v, dict) and isinstance(kwargs.get(k), dict):
+                    kwargs[k].update(v)
+                else:
+                    kwargs.setdefault(k, v)
+
+        url = quote_non_ascii(build_url(url.strip(), kwargs.pop("params",
+                                                                None)))
+        if kwargs.get("data") and not isinstance(kwargs["data"], str):
+            kwargs["data"] = urlencode(kwargs["data"])
+        if kwargs.get("data"):
+            kwargs.setdefault("method", "POST")
+        if kwargs.get("user_agent"):
+            kwargs.setdefault("headers", {})
+            kwargs["headers"]["User-Agent"] = kwargs.pop("user_agent")
+
+        task: dict = {"project": self.project_name, "url": url}
+        schedule = {}
+        for key in self.SCHEDULE_FIELDS:
+            if key in kwargs:
+                schedule[key] = kwargs.pop(key)
+            elif key in self.crawl_config:
+                schedule[key] = self.crawl_config[key]
+        task["schedule"] = schedule
+        task["fetch"] = {k: kwargs.pop(k) for k in list(kwargs)
+                         if k in self.FETCH_FIELDS}
+        task["process"] = {k: kwargs.pop(k) for k in list(kwargs)
+                           if k in self.PROCESS_FIELDS}
+        task["taskid"] = kwargs.pop("taskid", None) or self.get_taskid(task)
+        if kwargs:
+            raise TypeError(f"crawl() got unexpected keyword argument: "
+                            f"{list(kwargs)}")
+        cache_key = f"{task['project']}:{task['taskid']}"
+        if cache_key not in self._follows_keys:   # D1
+            self._follows_keys.add(cache_key)
+            self._follows.append(task)
+        return task
+
+    def get_taskid(self, task: dict) -> str:
+        """md5(url) by default; override for custom identity (M6)."""
+        return md5_taskid(task["url"])
+
+    # -- dispatch harness ----------------------------------------------------
+    def run_task(self, task: dict, response: Response | dict) -> ProcessorResult:
+        if isinstance(response, dict):
+            response = Response(**response)
+        self._reset()
+        self.task = task
+        self.response = response
+        out = ProcessorResult()
+        try:
+            result = self._dispatch(task, response)
+            if inspect.isgenerator(result):
+                for r in result:
+                    self.on_result(r)
+            else:
+                self.on_result(result)
+                out.result = result
+        except Exception as exc:  # never raise out of the harness (M13)
+            out.exception = repr(exc)
+        callback = (task.get("process") or {}).get("callback", "__call__")
+        func = getattr(self, callback, None)
+        out.not_send_status = bool(getattr(func, "_not_send_status", False))
+        out.follows = self._follows
+        out.messages = self._messages
+        self.task = None
+        self.response = None
+        return out
+
+    def _dispatch(self, task: dict, response: Response):
+        callback = (task.get("process") or {}).get("callback", "__call__")
+        if not hasattr(self, callback):
+            raise NotImplementedError(f"self.{callback}() not implemented!")
+        func = getattr(self, callback)
+        catches = getattr(func, "_catch_status_code_error", False)
+        if response.status_code == 304 and not catches:
+            return None
+        if not catches:
+            response.raise_for_status()
+        sig = inspect.signature(func)
+        if len(sig.parameters) >= 2:
+            return func(response, task)
+        return func(response)
+
+    # -- hooks ---------------------------------------------------------------
+    def send_message(self, project: str, msg: Any,
+                     url: str = "data:,on_message") -> None:
+        """J7 — route a message task to another project."""
+        self._messages.append((project, msg, url))
+
+    def on_message(self, project: str, msg: Any):
+        pass
+
+    def on_result(self, result: Any) -> None:
+        pass  # collected by the processor stage; override to intercept
+
+    def on_start(self, response):
+        pass
+
+    def on_finished(self, response, task=None):
+        pass
+
+    @not_send_status
+    def _on_message(self, response):
+        project, msg = response.save
+        return self.on_message(project, msg)
+
+    @not_send_status
+    def _on_cronjob(self, response):
+        tick = int((self.response.save or {}).get("tick", 0)) \
+            if isinstance(self.response.save, dict) else 0
+        for job in self._cron_jobs:
+            if tick % int(job.tick) == 0:
+                self._run_bound(job, response)
+
+    def _run_bound(self, func, response):
+        sig = inspect.signature(func)
+        n = len(sig.parameters)
+        if n >= 2:
+            return func(self, response)
+        return func(self)

@@ -237,6 +237,8 @@ class CrawlPipeline:
                                          tuple(rules))
                            for h, rules in cfg.robots_disallow.items()},
             clock=self.clock)
+        from ..state.metrics import MetricsHub
+        self.metrics_hub = MetricsHub(self.clock)
 
     # -- paths ---------------------------------------------------------------
     @property
@@ -439,6 +441,7 @@ class CrawlPipeline:
             self._pending_ctrl.append(out)
             n_results = len(admitted)  # 1 control row per admitted task
 
+        self.metrics_hub.ingest_shard_deltas(self.coord.drain_counters())
         metric = {"round": self.round_idx, "emitted": len(batch),
                   "admitted": len(admitted), "deferred": len(deferred),
                   "blocked": len(blocked), "fetched": n_results,
@@ -516,6 +519,7 @@ class CrawlPipeline:
         }
         with open(os.path.join(cdir, "driver.pkl"), "wb") as f:
             pickle.dump(state, f)
+        self.metrics_hub.dump(os.path.join(cdir, "metrics.json"))
         manifest = {
             "round": self.round_idx,
             "vtime": self.clock.now(),
@@ -575,5 +579,8 @@ class CrawlPipeline:
         pipe._pending_status = state["pending_status"]
         pipe._pending_new = state["pending_new"]
         pipe._pending_ctrl = state.get("pending_ctrl", [])
+        mpath = os.path.join(cdir, "metrics.json")
+        if os.path.exists(mpath):
+            pipe.metrics_hub.load(mpath)
         pipe.metrics = state["metrics"]
         return pipe

@@ -414,6 +414,25 @@ class Coordinator:
                    for t in self.tick_cronjobs()]
         return control + self.select()
 
+    def drain_counters(self) -> dict[tuple[str, str], int]:
+        """Gather + merge the per-shard counter partials (A3 final step)."""
+        totals: dict[tuple[str, str], int] = {}
+        for part in self._call_all("drain_counters"):
+            for key, v in part.items():
+                key = tuple(key)
+                totals[key] = totals.get(key, 0) + v
+        return totals
+
+    def get_active_tasks(self, project: str | None = None,
+                         limit: int = 100) -> list[tuple[float, dict]]:
+        """A5 — merged recent-task feed across project rings, newest
+        first (scheduler.py:738-780)."""
+        import heapq
+        rings = [rt.active_tasks for name, rt in self.projects.items()
+                 if project is None or name == project]
+        merged = heapq.merge(*rings, key=lambda item: item[0], reverse=True)
+        return list(__import__("itertools").islice(merged, limit))
+
     def total_size(self) -> int:
         return sum(self._call_all("queue_size", None))
 

@@ -458,6 +458,12 @@ class FrontierShard:
     def queue_sizes(self) -> dict[str, int]:
         return {name: len(tq) for name, tq in self.queues.items()}
 
+    def drain_counters(self) -> dict[tuple[str, str], int]:
+        """Partial counters since the last drain (merged into the driver
+        MetricsHub each round — A3's partial/final split)."""
+        out, self.counters = self.counters, {}
+        return out
+
     def status_count(self, project: str) -> dict[int, int]:
         """A1 — per-project GROUP BY status (sqlite/taskdb.py:85-98)."""
         out: dict[int, int] = {}

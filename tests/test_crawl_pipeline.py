@@ -146,6 +146,18 @@ class TestCrawlE2E:
             oracle_ids
         assert resumed.seen_taskids() == pipe.seen_taskids()
 
+    def test_metrics_and_active_tasks(self, tmp_path):
+        pipe = fresh(dict(BASE, total=120), tmp_path, "met")
+        pipe.seed()
+        pipe.run(max_rounds=100)
+        allc = pipe.metrics_hub.to_dict("all")["bench"]
+        assert allc["success"] == 120
+        assert allc["pending"] == 0          # every pending resolved
+        recent = pipe.coord.get_active_tasks(limit=10)
+        assert len(recent) == 10
+        times = [t for t, _ in recent]
+        assert times == sorted(times, reverse=True)
+
     def test_hot_host_skew_still_completes(self, tmp_path):
         pipe = fresh(dict(BASE, total=200, skew=True, host_rate=5,
                           host_burst=5), tmp_path, "skew")

@@ -1,0 +1,186 @@
+"""Handler protocol parity tests (base_handler semantics — reference
+tests/test_base_handler.py + data_fetcher_processor_handler.py
+scenarios)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from pyspider_ray.handler import (BaseHandler, HTTPError, ProcessorResult,
+                                  Response, catch_status_code_error, config,
+                                  every, not_send_status)
+from pyspider_ray.stages.handler_processor import (HandlerProcessorStage,
+                                                   message_tasks)
+
+
+class DemoHandler(BaseHandler):
+    crawl_config = {"headers": {"User-Agent": "demo"}, "priority": 2}
+
+    def on_start(self, response):
+        self.crawl("http://site0.test/page/1", callback=self.index)
+        self.crawl("http://site0.test/page/1", callback=self.index)  # D1 dup
+        self.crawl("http://site0.test/page/2", callback=self.index,
+                   priority=7, age=60)
+
+    @config(age=10, itag="v2")
+    def index(self, response):
+        return {"url": response.url, "len": len(response.content)}
+
+    @catch_status_code_error
+    def tolerant(self, response):
+        return {"code": response.status_code}
+
+    def boom(self, response):
+        raise ValueError("nope")
+
+    def gen(self, response):
+        yield {"a": 1}
+        yield {"a": 2}
+
+    @every(minutes=2)
+    def tick2m(self):
+        self.crawl("http://site0.test/page/3", callback=self.index)
+
+    @every(seconds=180)
+    def tick3m(self):
+        self.crawl("http://site0.test/page/4", callback=self.index)
+
+
+class TestCrawlApi:
+    def setup_method(self):
+        self.h = DemoHandler(project_name="proj")
+        self.h._reset()
+
+    def test_crawl_splits_and_defaults(self):
+        self.h.on_start(Response())
+        follows = self.h._follows
+        assert len(follows) == 2               # D1 deduped the double crawl
+        t1, t2 = follows
+        assert t1["schedule"] == {"age": 10, "itag": "v2", "priority": 2}
+        assert t1["process"]["callback"] == "index"
+        assert t2["schedule"]["priority"] == 7      # explicit beats config
+        assert t2["schedule"]["age"] == 60
+        assert t1["taskid"] != t2["taskid"]
+        assert len(t1["taskid"]) == 32              # md5 identity
+
+    def test_min_tick_gcd(self):
+        assert DemoHandler._min_tick == 60          # gcd(120, 180)
+        assert len(DemoHandler._cron_jobs) == 2
+
+    def test_curl_form(self):
+        t = self.h.crawl("curl -X POST -d k=v http://x.test/a")
+        assert t[0]["fetch"]["method"] == "POST" if isinstance(t, list) \
+            else t["fetch"]["method"] == "POST"
+
+    def test_unknown_kwarg_raises(self):
+        with pytest.raises(TypeError):
+            self.h.crawl("http://x.test/", bogus=1)
+
+    def test_unknown_callback_raises(self):
+        with pytest.raises(NotImplementedError):
+            self.h.crawl("http://x.test/", callback="missing")
+
+
+class TestRunTask:
+    def run(self, callback, response):
+        h = DemoHandler(project_name="proj")
+        task = {"taskid": "t", "project": "proj", "url": response.url,
+                "process": {"callback": callback}}
+        return h.run_task(task, response)
+
+    def test_ok_result(self):
+        out = self.run("index", Response(url="http://u/", content=b"abc"))
+        assert out.ok and out.result == {"url": "http://u/", "len": 3}
+
+    def test_error_status_fails_without_catch(self):
+        out = self.run("index", Response(status_code=503, url="u"))
+        assert not out.ok and "HTTP 503" in out.exception
+
+    def test_catch_status_code_error(self):
+        out = self.run("tolerant", Response(status_code=503, url="u"))
+        assert out.ok and out.result == {"code": 503}
+
+    def test_304_skips_callback(self):
+        out = self.run("index", Response(status_code=304, url="u"))
+        assert out.ok and out.result is None
+
+    def test_exception_capture(self):
+        out = self.run("boom", Response(url="u"))
+        assert not out.ok and "ValueError" in out.exception
+
+    def test_generator_results_via_on_result(self):
+        seen = []
+
+        class GH(DemoHandler):
+            def on_result(self, result):
+                if result:
+                    seen.append(result)
+        h = GH(project_name="p")
+        out = h.run_task({"taskid": "t", "project": "p", "url": "u",
+                          "process": {"callback": "gen"}}, Response(url="u"))
+        assert out.ok and seen == [{"a": 1}, {"a": 2}]
+
+    def test_follows_from_callback(self):
+        out = self.run("on_start", Response(url="u"))
+        assert len(out.follows) == 2
+
+    def test_cronjob_dispatch(self):
+        h = DemoHandler(project_name="p")
+        resp = Response(url="data:,_on_cronjob", save={"tick": 360})
+        out = h.run_task({"taskid": "_on_cronjob", "project": "p",
+                          "url": resp.url,
+                          "process": {"callback": "_on_cronjob"}}, resp)
+        assert out.ok
+        # tick 360 fires both (120 | 360, 180 | 360)
+        assert len(out.follows) == 2
+        assert out.not_send_status                 # @not_send_status
+
+    def test_send_message(self):
+        class MH(DemoHandler):
+            def chat(self, response):
+                self.send_message("other", {"hi": 1})
+        h = MH(project_name="p")
+        out = h.run_task({"taskid": "t", "project": "p", "url": "u",
+                          "process": {"callback": "chat"}}, Response(url="u"))
+        assert out.messages == [("other", {"hi": 1}, "data:,on_message")]
+        tasks = message_tasks(json.dumps(
+            [{"project": p, "msg": m, "url": u}
+             for p, m, u in out.messages]), "p")
+        assert tasks[0]["project"] == "other"
+        assert tasks[0]["process"]["callback"] == "_on_message"
+
+    def test_on_message_roundtrip(self):
+        got = []
+
+        class RH(BaseHandler):
+            def on_message(self, project, msg):
+                got.append((project, msg))
+                return {"echo": msg}
+        h = RH(project_name="other")
+        resp = Response(url="data:,on_message", save=["p", {"hi": 1}])
+        out = h.run_task({"taskid": "m", "project": "other", "url": resp.url,
+                          "process": {"callback": "_on_message"}}, resp)
+        assert out.ok and got == [("p", {"hi": 1})]
+
+
+class TestHandlerStage:
+    def test_stage_over_batch(self):
+        batch = pa.table({
+            "taskid": ["a", "b"],
+            "urlhash": [1, 2],
+            "project": ["proj", "proj"],
+            "url": ["http://site0.test/x", "http://site0.test/y"],
+            "host": ["site0.test"] * 2,
+            "status_code": pa.array([200, 503], pa.int32()),
+            "content": [b"hello", b""],
+            "fetch_error": ["", "boom"],
+            "fetch_time": [0.1, 0.2],
+            "callback": ["index", "index"],
+        })
+        stage = HandlerProcessorStage(DemoHandler, "proj")
+        out = stage(batch)
+        ok = out["process_ok"].to_pylist()
+        assert ok == [True, False]
+        res = json.loads(out["result"].to_pylist()[0])
+        assert res["len"] == 5
