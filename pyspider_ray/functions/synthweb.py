@@ -86,6 +86,11 @@ def page_pixels(url_id: int, scale: int = 1) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def page_etag(url_id: int) -> str:
+    """Deterministic content tag for conditional fetches (J5)."""
+    return f"W/{int(mix64(url_id, 0xE7A6)):016x}"
+
+
 def page_caption(url_id: int) -> str:
     idx = mix64(SEED, url_id, np.arange(8)) % np.uint64(len(_WORDS))
     return f"caption {url_id}: " + " ".join(_WORDS[int(i)] for i in idx)

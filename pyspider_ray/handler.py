@@ -105,10 +105,40 @@ class Response:
         self._text: str | None = None
 
     @property
+    def encoding(self) -> str:
+        """M11 — charset sniffing (response.py:61-95/:211-234) without
+        chardet: Content-Type header param, then <meta charset>, then
+        utf-8; gb2312 widens to gb18030 as in the reference."""
+        enc = None
+        ctype = ""
+        for k, v in self.headers.items():
+            if k.lower() == "content-type":
+                ctype = v or ""
+        if "charset=" in ctype:
+            enc = ctype.split("charset=", 1)[1].split(";")[0].strip()
+        if not enc and isinstance(self.content, bytes):
+            head = self.content[:1024].decode("latin-1", "replace").lower()
+            for marker in ('charset="', "charset='", "charset="):
+                if marker in head:
+                    tail = head.split(marker, 1)[1]
+                    enc = tail.split('"')[0].split("'")[0] \
+                        .split(">")[0].split(";")[0].strip()
+                    break
+        enc = (enc or "utf-8").lower()
+        if enc == "gb2312":
+            enc = "gb18030"
+        return enc
+
+    @property
     def text(self) -> str:
         if self._text is None:
-            self._text = self.content.decode("utf-8", "replace") \
-                if isinstance(self.content, bytes) else str(self.content)
+            if isinstance(self.content, bytes):
+                try:
+                    self._text = self.content.decode(self.encoding, "replace")
+                except LookupError:
+                    self._text = self.content.decode("utf-8", "replace")
+            else:
+                self._text = str(self.content)
         return self._text
 
     @property

@@ -286,6 +286,8 @@ class CrawlPipeline:
             "host": pa.array([t.get("host", "") for t in tasks], pa.string()),
             "retried": pa.array([(t.get("schedule") or {}).get("retried") or 0
                                  for t in tasks], pa.int32()),
+            "etag": pa.array([t.get("etag") or "" for t in tasks],
+                             pa.string()),
         })
 
     def _worker_pool(self) -> list:

@@ -36,7 +36,12 @@ class SyntheticFetcher:
         # (no per-actor state), exercising the W4 retry ladder
         self.fail_until_retry = fail_until_retry
 
-    def _fetch_one(self, url: str, retried: int) -> tuple[int, bytes, str]:
+    def _fetch_one(self, url: str, retried: int,
+                   etag: str = "", fetch_type: str = "") -> tuple[int, bytes, str]:
+        if fetch_type in ("js", "phantomjs", "splash", "puppeteer"):
+            # S9 — JS-rendering fetchers need a sidecar browser service
+            # (tornado_fetcher.py:430-741); out of scope in this sandbox.
+            return 501, b"", f"fetch_type={fetch_type!r} not supported here"
         if url.startswith("data:"):
             body = url.split(",", 1)[1] if "," in url else ""
             return 200, body.encode("utf-8"), ""
@@ -48,20 +53,30 @@ class SyntheticFetcher:
             roll = int(synthweb.mix64(url_id, self.fail_salt) % np.uint64(1000))
             if roll < self.fail_permille:
                 return 503, b"", "synthetic transient failure"
+        # J5/M8 — conditional fetch: the previous crawl's etag rides on the
+        # frontier row (track.fetch headers reuse, tornado_fetcher.py:231-277);
+        # unchanged content answers 304 with no body
+        if etag and etag == synthweb.page_etag(url_id):
+            return 304, b"", ""
         return 200, synthweb.encode_page(url_id, self.page_scale), ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        if "retried" in batch.column_names:
-            retried = batch["retried"].to_pylist()
-        else:
-            retried = [0] * len(urls)
-        codes = np.empty(len(urls), dtype=np.int32)
+        n = len(urls)
+        def col(name, default):
+            return batch[name].to_pylist() if name in batch.column_names \
+                else [default] * n
+        retried = col("retried", 0)
+        etags = col("etag", "")
+        ftypes = col("fetch_type", "")
+        codes = np.empty(n, dtype=np.int32)
         contents: list[bytes] = []
         errors: list[str] = []
-        times = np.empty(len(urls), dtype=np.float64)
+        times = np.empty(n, dtype=np.float64)
         for i, url in enumerate(urls):
-            code, content, err = self._fetch_one(url, retried[i] or 0)
+            code, content, err = self._fetch_one(url, retried[i] or 0,
+                                                 etags[i] or "",
+                                                 ftypes[i] or "")
             codes[i] = code
             contents.append(content)
             errors.append(err)

@@ -75,6 +75,7 @@ class ProcessorStage:
         contents = batch["content"].to_pylist()
         process_ok = np.zeros(n, dtype=bool)
         process_time = np.full(n, 0.001, dtype=np.float64)
+        etags: list[str] = []
         follows_col: list[list[str]] = []
         res = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
                                "caption", "phash")}
@@ -91,11 +92,24 @@ class ProcessorStage:
                     else:
                         follows, result = self._process_page(urls[i], contents[i])
                         process_ok[i] = True
+                elif code == 304:
+                    # not-modified skips the callback but succeeds
+                    # (base_handler.py:169-171 304 skip)
+                    process_ok[i] = True
                 else:
                     # raise_for_status path (M15): non-2xx fails the task
                     process_ok[i] = False
             except Exception:
                 process_ok[i] = False
+            # content tag for the next conditional fetch (J5)
+            if not urls[i].startswith("data:") and 200 <= code < 300:
+                try:
+                    etags.append(synthweb.page_etag(
+                        synthweb.parse_url_id(urls[i])))
+                except (ValueError, IndexError):
+                    etags.append("")
+            else:
+                etags.append("")
             follows_col.append(follows)
             if result is not None:
                 has_result[i] = True
@@ -125,11 +139,14 @@ class ProcessorStage:
             f_host.append(canon["host"][pos:pos + k])
             pos += k
 
-        drop = [c for c in ("content",) if c in batch.column_names]
+        # drop fetch-input-only columns; "etag" is re-emitted fresh below
+        drop = [c for c in ("content", "retried", "etag")
+                if c in batch.column_names]
         out = batch.drop_columns(drop)
         out = (out
                .append_column("process_ok", pa.array(process_ok))
                .append_column("process_time", pa.array(process_time))
+               .append_column("etag", pa.array(etags, pa.string()))
                .append_column("follows", pa.array(follows_col,
                                                   pa.list_(pa.string())))
                .append_column("follows_taskid",
@@ -153,7 +170,7 @@ RESULT_COLUMNS = ["taskid", "project", "url", "image_id", "bytes", "w", "h",
                   "fmt", "caption", "phash"]
 CONTROL_COLUMNS = ["taskid", "urlhash", "project", "url", "host",
                    "status_code", "fetch_time", "process_ok", "process_time",
-                   "follows", "follows_taskid", "follows_urlhash",
+                   "etag", "follows", "follows_taskid", "follows_urlhash",
                    "follows_host"]
 
 

@@ -212,14 +212,17 @@ class Coordinator:
             return {}
         t = pa.concat_tables(tables, promote_options="default")
         n = len(t)
-        status = pa.table({
+        cols = {
             "taskid": t["taskid"], "urlhash": t["urlhash"],
             "project": t["project"], "url": t["url"],
             "status_code": t["status_code"], "fetch_time": t["fetch_time"],
             "process_ok": t["process_ok"], "process_time": t["process_time"],
             "n_follows": pc.list_value_length(t["follows"]).cast(pa.int32()),
             "seq": pa.array(np.arange(1, n + 1, dtype=np.int64) + self._seq),
-        })
+        }
+        if "etag" in t.column_names:
+            cols["etag"] = t["etag"]
+        status = pa.table(cols)
         self._seq += n
         hashes = status["urlhash"].to_numpy()
         shard_of = hashes % self.n_shards

@@ -163,6 +163,7 @@ class FrontierShard:
         stats = {"done": 0, "retry": 0, "failed": 0, "not_processing": 0,
                  "bad_pack": 0, "accepted": []}
         outcomes: list[tuple[str, bool]] = []
+        etags = cols.get("etag")
         for i in range(len(cols["taskid"])):
             pack = {
                 "taskid": cols["taskid"][i],
@@ -170,6 +171,7 @@ class FrontierShard:
                 "project": cols["project"][i],
                 "url": cols["url"][i],
                 "seq": cols["seq"][i],
+                "etag": (etags[i] if etags else None),
                 "track": {
                     "fetch_ok": cols["status_code"][i] < 400,
                     "fetch_time": cols["fetch_time"][i],
@@ -276,6 +278,10 @@ class FrontierShard:
             return
 
         key = (task["project"], task["taskid"])
+        # taskdb.update semantics: the new row overlays the old one, keeping
+        # accumulated fields (lastcrawltime, etag, track) it doesn't carry
+        for k, v in old.items():
+            task.setdefault(k, v)
         if sched.get("cancel"):
             task["status"] = BAD
             task["updatetime"] = now
@@ -337,6 +343,8 @@ class FrontierShard:
         task = self._merge_track(pack)
         task["status"] = SUCCESS
         task["lastcrawltime"] = now
+        if pack.get("etag"):     # carried for conditional re-crawl (J5)
+            task["etag"] = pack["etag"]
         sched = _sched(task)
         # parity with scheduler.py:919-924: the gate is auto_recrawl plus
         # presence of an ``age`` value, not its sign

@@ -146,6 +146,35 @@ class TestCrawlE2E:
             oracle_ids
         assert resumed.seen_taskids() == pipe.seen_taskids()
 
+    def test_conditional_recrawl_304(self, tmp_path):
+        """J5/M8 — an age-based re-crawl of an unchanged page answers 304
+        (etag match), succeeds, and produces no duplicate result row."""
+        pipe = fresh(dict(BASE, total=50), tmp_path, "etag")
+        pipe.seed()
+        pipe.run(max_rounds=60)
+        assert pipe.results_table().num_rows == 50
+        # force an age-0 restart of one crawled URL
+        from pyspider_ray.stages.canonicalize import canonicalize_urls
+        c = canonicalize_urls(["http://site2.test/page/7"])
+        pipe._pending_new.append({
+            "taskid": c["taskid"][0], "urlhash": int(c["urlhash"][0]),
+            "project": "bench", "url": c["url"][0], "host": c["host"][0],
+            "schedule": {"age": 0, "priority": 5},
+            "process": {"callback": "on_page"},
+        })
+        m = pipe.run_round()
+        assert m["admitted"] == 1
+        pipe.run(max_rounds=pipe.round_idx + 5)
+        # no duplicate result (304 skipped the payload), task still SUCCESS
+        ids = pipe.results_table()["image_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == 50
+        from pyspider_ray.model import SUCCESS
+        shard = pipe.shards[pipe.coord.route({"taskid": c["taskid"][0],
+                                              "url": c["url"][0]})]
+        task = shard.get_task("bench", c["taskid"][0])
+        assert task["status"] == SUCCESS
+        assert task["etag"].startswith("W/")
+
     def test_metrics_and_active_tasks(self, tmp_path):
         pipe = fresh(dict(BASE, total=120), tmp_path, "met")
         pipe.seed()
