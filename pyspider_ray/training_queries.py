@@ -483,6 +483,47 @@ def q_image_decode(sf_dir):
                          batch_size=64, concurrency=2))
 
 
+def q_image_phash_near_dup(sf_dir):
+    """Image near-dup by perceptual-hash Hamming distance <= 10 over the
+    synthetic page corpus + its lossy re-encodes (rows-only): the
+    image-payload analogue of SimHash dedup.  Each batch computes
+    pHashes in an actor stage; the small 64-bit signature table collapses
+    on the driver for pairing (at corpus scale: band the hash into 4x16
+    bit keys and groupby, as in q_jaccard_near_dup)."""
+    from .functions.imaging import fjpg_decode, fjpg_encode, phash64
+    from .functions.synthweb import page_pixels
+
+    def hashes(b: pa.Table) -> pa.Table:
+        out = []
+        for iid in b["image_id"].to_pylist():
+            base, _, variant = iid.partition(":")
+            url_id = int(base.split("-")[1])
+            px = page_pixels(url_id)
+            if variant == "lossy":
+                px = fjpg_decode(fjpg_encode(px))
+            out.append(phash64(px))
+        return pa.table({"image_id": b["image_id"],
+                         "phash": pa.array(out, pa.int64())})
+
+    ids = [f"img-{i:012d}" for i in range(100)] + \
+          [f"img-{i:012d}:lossy" for i in range(100)]
+    table = pa.table({"image_id": pa.array(ids, pa.string())})
+    sig = (_rd().from_arrow(table)
+           .map_batches(hashes, batch_format="pyarrow", batch_size=50)
+           .take_all())
+    items = [(r["image_id"], np.uint64(r["phash"] % (1 << 64)))
+             for r in sig]
+    out_a, out_b = [], []
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            d = bin(int(items[i][1]) ^ int(items[j][1])).count("1")
+            if d <= 10:
+                out_a.append(items[i][0])
+                out_b.append(items[j][0])
+    return pa.table({"image_a": pa.array(out_a, pa.string()),
+                     "image_b": pa.array(out_b, pa.string())})
+
+
 def q_crawl_order(sf_dir):
     """Frontier emission order on a 200-id synthetic web (rows-only;
     the ordering contract itself is pinned by the pytest suite)."""
@@ -578,5 +619,6 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
+    "image_phash_near_dup": q_image_phash_near_dup,
     "crawl_order": q_crawl_order,
 }
