@@ -24,8 +24,11 @@ import pyarrow.compute as pc
 from .functions.synthweb import mix64
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
-_MINHASH_PERMS = 128
-_LSH_ROWS = 4                      # 32 bands x 4 rows
+_MINHASH_PERMS = 126
+_LSH_ROWS = 6                      # 21 bands x 6 rows: at tau=0.9 the
+# per-pair miss probability is (1 - 0.9^6)^21 ~ 1.3e-7 — effectively
+# exact — while low-J pairs collide far less than with r=4 bands,
+# shrinking the candidate set several-fold on similarity-dense corpora
 _JACCARD_TAU_NUM, _JACCARD_TAU_DEN = 9, 10   # tau = 0.9, integer compare
 
 
@@ -192,19 +195,46 @@ class _SignatureStage:
 class _JaccardVerify:
     """Exact Jaccard verification with a broadcast word-set index
     (loaded once per actor; at larger scale this becomes a
-    co-partitioned join on doc_id)."""
+    co-partitioned join on doc_id).
+
+    When the corpus vocabulary fits in <=64 distinct words each doc is a
+    single uint64 bitset and the whole batch verifies vectorized
+    (AND/OR + byte-wise popcount); otherwise falls back to per-pair
+    set arithmetic."""
 
     def __init__(self, sf_dir: str):
         import pyarrow.parquet as pq
         t = pq.read_table(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"])
-        self.sets = {d: set(x.split())
-                     for d, x in zip(t["doc_id"].to_pylist(),
-                                     t["text"].to_pylist())}
+        docs = {d: set(x.split())
+                for d, x in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())}
+        vocab = sorted(set().union(*docs.values())) if docs else []
+        self.sets = docs
+        self.masks: dict[int, int] | None = None
+        if len(vocab) <= 64:
+            widx = {w: i for i, w in enumerate(vocab)}
+            self.masks = {d: sum(1 << widx[w] for w in ws)
+                          for d, ws in docs.items()}
+
+    @staticmethod
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                             axis=1).sum(axis=1)
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        a_ids = b["doc_a"].to_numpy()
+        b_ids = b["doc_b"].to_numpy()
+        if self.masks is not None:
+            ma = np.array([self.masks[i] for i in a_ids], dtype=np.uint64)
+            mb = np.array([self.masks[i] for i in b_ids], dtype=np.uint64)
+            inter = self._popcount(ma & mb).astype(np.int64)
+            union = self._popcount(ma | mb).astype(np.int64)
+            keep = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
+            return pa.table({"doc_a": pa.array(a_ids[keep]),
+                             "doc_b": pa.array(b_ids[keep])})
         out_a, out_b = [], []
-        for a, c in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+        for a, c in zip(a_ids.tolist(), b_ids.tolist()):
             sa, sb = self.sets[a], self.sets[c]
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
@@ -241,20 +271,28 @@ def q_jaccard_near_dup(sf_dir):
     new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
     starts = np.flatnonzero(new_run)
     ends = np.append(starts[1:], len(band))
-    pairs = set()
-    for s, e in zip(starts, ends):
-        if e - s < 2:
+    # vectorized within-bucket pair expansion: for a run of size m emit
+    # the m*(m-1)/2 index pairs via triu coordinates, then dedup the
+    # packed (a<<32|b) keys across all bands in one np.unique
+    packed_parts = []
+    sizes = ends - starts
+    for m in np.unique(sizes):
+        if m < 2:
             continue
-        members = doc[s:e]
-        for i in range(len(members) - 1):
-            for j in range(i + 1, len(members)):
-                pairs.add((int(members[i]), int(members[j])))
-    if not pairs:
+        runs = starts[sizes == m]                   # (r,) run starts
+        ii, jj = np.triu_indices(int(m), k=1)       # (p,) intra-run idx
+        a = doc[runs[:, None] + ii[None, :]]        # (r, p) doc ids
+        b = doc[runs[:, None] + jj[None, :]]
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        packed_parts.append((lo << np.uint64(32)) | hi)
+    if not packed_parts:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
-    arr = np.array(sorted(pairs), dtype=np.int64)
-    cand = pa.table({"doc_a": pa.array(arr[:, 0]),
-                     "doc_b": pa.array(arr[:, 1])})
+    packed = np.unique(np.concatenate([p.ravel() for p in packed_parts]))
+    cand = pa.table({
+        "doc_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+        "doc_b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64))})
     return (_rd().from_arrow(cand)
             .map_batches(_JaccardVerify,
                          fn_constructor_kwargs={"sf_dir": sf_dir},
