@@ -111,6 +111,13 @@ class _ActorShard:
         with open(path, "wb") as f:
             pickle.dump(self._shard.snapshot(), f)
 
+    def export_frontier_to(self, uri: str) -> str:
+        from ..sources.store import frontier_rows_to_table, write_table
+        table = frontier_rows_to_table(list(self._shard.store.values()),
+                                       self._shard.shard_id,
+                                       self._shard.n_shards)
+        return write_table(table, uri)
+
     def restore_from(self, path: str, projects: list[ProjectConfig]) -> None:
         with open(path, "rb") as f:
             snap = pickle.load(f)
@@ -469,6 +476,28 @@ class CrawlPipeline:
         return {"rounds": self.round_idx,
                 "fetched": sum(m["fetched"] for m in self.metrics),
                 "metrics": self.metrics}
+
+    def export_frontier(self, out_dir: str | None = None) -> str:
+        """Portable columnar taskdb snapshot (sources/store.py) with
+        lineage — engine-agnostic alternative to the pickle checkpoints."""
+        out_dir = out_dir or os.path.join(self.cfg.out_dir, "frontier")
+        os.makedirs(out_dir, exist_ok=True)
+        lineage = {"round": self.round_idx, "vtime": self.clock.now(),
+                   "config_digest": self.cfg.digest()}
+        if self.cfg.use_ray:
+            import ray
+            paths = ray.get([
+                s.export_frontier_to.remote(
+                    os.path.join(out_dir, f"shard={i:04d}"))
+                for i, s in enumerate(self.shards)])
+            from ..sources.store import storage_format
+            manifest = {"format": storage_format(), "partitions": paths,
+                        "lineage": lineage}
+            with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=1)
+            return out_dir
+        from ..sources.store import export_frontier as _export
+        return _export(self.shards, out_dir, lineage)
 
     def _flush_writes(self) -> None:
         if self.cfg.use_ray and getattr(self, "_workers", None):
