@@ -195,6 +195,24 @@ class TestCrawlE2E:
         ids = pipe.results_table()["image_id"].to_pylist()
         assert len(ids) == len(set(ids)) == 200
 
+    def test_hot_host_does_not_starve_others(self, tmp_path):
+        """Skew fairness: while the hot host (~50% of URLs under the skew
+        fixture) is budget-limited and deferring, the other hosts keep
+        being admitted — per-host buckets isolate the hot key."""
+        pipe = fresh(dict(BASE, total=400, skew=True, host_rate=3,
+                          host_burst=3), tmp_path, "fair")
+        pipe.seed()
+        saw_concurrent_progress = 0
+        for _ in range(60):
+            m = pipe.run_round()
+            if m["deferred"] > 0 and m["admitted"] > 3:
+                # host0 exhausted its 3-token budget yet >3 tasks were
+                # admitted => non-hot hosts proceeded this round
+                saw_concurrent_progress += 1
+        assert saw_concurrent_progress >= 5
+        ids = pipe.results_table()["image_id"].to_pylist()
+        assert len(ids) == len(set(ids))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCrawlRayMode:
