@@ -214,8 +214,57 @@ class TestCrawlE2E:
         assert len(ids) == len(set(ids))
 
 
+class TestMultiProjectQuota:
+    def test_fair_share_select(self):
+        """O4 — weight-proportional per-project select quotas, clamped to
+        [limit/10, limit/3] (scheduler.py:500-522) across two projects of
+        very different frontier sizes."""
+        from pyspider_ray.state import (Coordinator, FrontierShard,
+                                        ProjectConfig, VirtualClock)
+        clock = VirtualClock(1.7e9)
+        shards = [FrontierShard(i, 2, clock=clock) for i in range(2)]
+        coord = Coordinator(shards, clock=clock, loop_limit=100)
+        for name in ("big", "small"):
+            coord.update_project(ProjectConfig(name, rate=1e9, burst=1e9))
+        tasks = []
+        for i in range(300):
+            tasks.append({"taskid": f"b{i}", "project": "big",
+                          "url": f"u{i}"})
+        for i in range(20):
+            tasks.append({"taskid": f"s{i}", "project": "small",
+                          "url": f"v{i}"})
+        coord.dispatch_requests(tasks)
+        batch = coord.select()
+        per = {}
+        for t in batch:
+            per[t["project"]] = per.get(t["project"], 0) + 1
+        # big: weight 300/320 -> limit*0.94 clamped to limit/3 = 33
+        # small: weight 20/320 -> 6 -> clamped up to limit/10 = 10
+        assert per["big"] == 33
+        assert per["small"] == 10
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestCrawlRayMode:
+    def test_ray_checkpoint_resume(self, tmp_path):
+        """M4 in Ray-actor mode: checkpoint, rebuild actors, resume; no
+        re-fetch of finished partitions and identical final results."""
+        out = str(tmp_path / "rayck")
+        cfg = CrawlConfig(out_dir=out, use_ray=True, batch_size=64,
+                          concurrency=2, **dict(BASE, total=150))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(3):
+            pipe.run_round()
+        pipe.checkpoint()
+        fetched_mid = sum(m["fetched"] for m in pipe.metrics)
+        resumed = CrawlPipeline.resume(cfg)
+        assert resumed.round_idx == pipe.round_idx
+        assert sum(m["fetched"] for m in resumed.metrics) == fetched_mid
+        resumed.run(max_rounds=100)
+        ids = resumed.results_table()["image_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == 150
+
     def test_ray_actor_mode_matches_local(self, tmp_path):
         local = fresh(dict(BASE, total=200), tmp_path, "raylocal")
         local.seed()
