@@ -615,3 +615,53 @@ class CrawlPipeline:
             pipe.metrics_hub.load(mpath)
         pipe.metrics = state["metrics"]
         return pipe
+
+
+def _main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description="run a synthetic crawl")
+    ap.add_argument("--total", type=int, default=2000)
+    ap.add_argument("--seeds", type=int, default=20)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--hosts", type=int, default=5)
+    ap.add_argument("--out", default="/tmp/pyspider_ray_crawl")
+    ap.add_argument("--rounds", type=int, default=1000)
+    ap.add_argument("--loop-limit", type=int, default=1000)
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--no-ray", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    args = ap.parse_args()
+
+    import ray
+    if not args.no_ray and not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    cfg = CrawlConfig(total=args.total, n_seeds=args.seeds,
+                      n_shards=args.shards, n_hosts=args.hosts,
+                      out_dir=args.out, loop_limit=args.loop_limit,
+                      concurrency=args.concurrency, skew=args.skew,
+                      use_ray=not args.no_ray)
+    if args.resume:
+        pipe = CrawlPipeline.resume(cfg)
+    else:
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+    summary = pipe.run(max_rounds=args.rounds,
+                       checkpoint_every=args.checkpoint_every)
+    pipe.checkpoint()
+    table = pipe.results_table()
+    print(json.dumps({
+        "rounds": summary["rounds"],
+        "fetched": summary["fetched"],
+        "results": table.num_rows,
+        "unique_images": len(set(table["image_id"].to_pylist())),
+        "out_dir": cfg.out_dir,
+    }))
+    if not args.no_ray:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()
