@@ -417,6 +417,10 @@ class Coordinator:
                    for t in self.tick_cronjobs()]
         return control + self.select()
 
+    def pause_status(self) -> dict[str, bool]:
+        """get_projects_pause_status analogue (scheduler.py:782-787)."""
+        return {name: rt.paused for name, rt in self.projects.items()}
+
     def drain_counters(self) -> dict[tuple[str, str], int]:
         """Gather + merge the per-shard counter partials (A3 final step)."""
         totals: dict[tuple[str, str], int] = {}

@@ -265,6 +265,23 @@ class TestCrawlRayMode:
         ids = resumed.results_table()["image_id"].to_pylist()
         assert len(ids) == len(set(ids)) == 150
 
+    def test_ray_frontier_export(self, tmp_path):
+        """Portable frontier export in Ray-actor mode: shards write their
+        own partitions; the merged table reloads as a taskdb."""
+        out = str(tmp_path / "rayexp")
+        cfg = CrawlConfig(out_dir=out, use_ray=True, batch_size=64,
+                          concurrency=2, **dict(BASE, total=120))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=100)
+        fdir = pipe.export_frontier()
+        from pyspider_ray.sources import load_frontier
+        table = load_frontier(fdir)
+        assert table.num_rows == 120
+        from pyspider_ray.model import SUCCESS
+        assert set(table["status"].to_pylist()) == {SUCCESS}
+        assert pipe.coord.pause_status() == {"bench": False}
+
     def test_ray_actor_mode_matches_local(self, tmp_path):
         local = fresh(dict(BASE, total=200), tmp_path, "raylocal")
         local.seed()
