@@ -375,11 +375,11 @@ ORACLES: dict[str, str] = {
         FROM w, t
     """,
     "retry_ladder": """
-        SELECT l_linenumber - 1 AS retried,
-               CASE l_linenumber - 1
+        SELECT CAST(l_linenumber - 1 AS BIGINT) AS retried,
+               CAST(CASE l_linenumber - 1
                     WHEN 0 THEN 30 WHEN 1 THEN 3600
                     WHEN 2 THEN 21600 WHEN 3 THEN 43200
-                    ELSE 86400 END AS delay,
+                    ELSE 86400 END AS BIGINT) AS delay,
                count(*) AS n
         FROM lineitem GROUP BY 1, 2
     """,
