@@ -300,6 +300,36 @@ class BaseHandler(metaclass=HandlerMeta):
         """md5(url) by default; override for custom identity (M6)."""
         return md5_taskid(task["url"])
 
+    @staticmethod
+    def task_join_crawl_config(task: dict, crawl_config: dict) -> dict:
+        """M7/J6 — merge project-level crawl_config into task fetch /
+        process dicts with per-task precedence; nested dicts merge with
+        task values winning (base_handler.py:227-253)."""
+        task_fetch = task.get("fetch", {})
+        for k in BaseHandler.FETCH_FIELDS:
+            if k in crawl_config:
+                v = crawl_config[k]
+                if isinstance(v, dict) and isinstance(task_fetch.get(k), dict):
+                    merged = dict(v)
+                    merged.update(task_fetch[k])
+                    task_fetch[k] = merged
+                else:
+                    task_fetch.setdefault(k, v)
+        if task_fetch:
+            task["fetch"] = task_fetch
+        task_process = task.get("process", {})
+        for k in BaseHandler.PROCESS_FIELDS:
+            if k in crawl_config:
+                v = crawl_config[k]
+                if isinstance(v, dict) and isinstance(task_process.get(k),
+                                                      dict):
+                    task_process[k].update(v)
+                else:
+                    task_process.setdefault(k, v)
+        if task_process:
+            task["process"] = task_process
+        return task
+
     # -- dispatch harness ----------------------------------------------------
     def run_task(self, task: dict, response: Response | dict) -> ProcessorResult:
         if isinstance(response, dict):

@@ -55,6 +55,31 @@ class TotalCounter:
         return {"type": "total", "cnt": self.cnt}
 
 
+class AverageWindowCounter:
+    """Last-N-values window (counter.py:75-100): avg/sum over the most
+    recent ``window_size`` events, no time component."""
+
+    def __init__(self, window_size: int = 300):
+        self.values: deque = deque(maxlen=window_size)
+
+    def event(self, value: float = 1) -> "AverageWindowCounter":
+        self.values.append(value)
+        return self
+
+    value = event
+
+    @property
+    def sum(self) -> float:
+        return sum(self.values)
+
+    @property
+    def avg(self) -> float:
+        return self.sum / len(self.values) if self.values else 0.0
+
+    def empty(self) -> bool:
+        return not self.values
+
+
 class WindowedCounter:
     def __init__(self, window_size: int = 30, window_interval: int = 10,
                  clock: Callable[[], float] = wall_clock):

@@ -164,6 +164,29 @@ class TestRunTask:
         assert out.ok and got == [("p", {"hi": 1})]
 
 
+class TestCrawlConfigJoin:
+    def test_merge_with_task_precedence(self):
+        task = {"fetch": {"headers": {"X": "task"}, "timeout": 5},
+                "process": {"callback": "cb"}}
+        cfg = {"headers": {"X": "cfg", "UA": "bot"}, "timeout": 99,
+               "robots_txt": True, "process_time_limit": 30}
+        out = BaseHandler.task_join_crawl_config(task, cfg)
+        assert out["fetch"]["timeout"] == 5               # task wins
+        assert out["fetch"]["headers"] == {"X": "task", "UA": "bot"}
+        assert out["fetch"]["robots_txt"] is True         # config fills in
+        assert out["process"]["process_time_limit"] == 30
+
+
+class TestAverageWindowCounter:
+    def test_window(self):
+        from pyspider_ray.state.metrics import AverageWindowCounter
+        c = AverageWindowCounter(window_size=3)
+        for v in (1, 2, 3, 4):
+            c.event(v)
+        assert c.sum == 9 and c.avg == 3      # oldest value rolled out
+        assert not c.empty()
+
+
 class TestHandlerStage:
     def test_stage_over_batch(self):
         batch = pa.table({
