@@ -540,6 +540,10 @@ class CrawlPipeline:
                     pickle.dump(s.snapshot(), f)
         resolved_ctrl = self._collect_ctrl(ingest_status=False)
         self._pending_ctrl = list(resolved_ctrl)  # keep for the live run
+        # the drain above may have enqueued new async payload writes; flush
+        # again so every result partition referenced by the checkpointed
+        # control tables is durable before the manifest is published
+        self._flush_writes()
         state = {
             "coordinator": self.coord.snapshot(),
             "gate": self.gate.snapshot(),

@@ -204,7 +204,7 @@ class _JoinCustomer:
         nk = np.where(hit, self.vals[idx], -1)
         cents = pc.round(pc.multiply(b["o_totalprice"], 100)) \
             .cast(pa.int64()).to_numpy()
-        out = pa.table({"c_nationkey": pa.array(nk.astype(np.int32)),
+        out = pa.table({"c_nationkey": pa.array(nk.astype(np.int64)),
                         "price_cents": pa.array(cents)})
         return out.filter(pa.array(hit))
 
@@ -365,13 +365,14 @@ ORACLES: dict[str, str] = {
         ORDER BY ts_us, event_id LIMIT 100
     """,
     "select_quota": """
-        WITH w AS (SELECT c_nationkey, count(*) AS w FROM customer
+        WITH w AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                          count(*) AS w FROM customer
                    GROUP BY c_nationkey),
-             t AS (SELECT sum(w) AS total FROM w)
+             t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w)
         SELECT c_nationkey, w,
-               CASE WHEN total < 1 OR w < 1 THEN 100
+               CAST(CASE WHEN total < 1 OR w < 1 THEN 100
                     ELSE least(greatest((w * 1000) // total, 100), 333)
-               END AS quota
+               END AS BIGINT) AS quota
         FROM w, t
     """,
     "retry_ladder": """
@@ -398,8 +399,10 @@ ORACLES: dict[str, str] = {
         ORDER BY event_id LIMIT 50 OFFSET 100
     """,
     "hash_join_revenue": """
-        SELECT c_nationkey, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey
     """,
@@ -414,7 +417,8 @@ ORACLES: dict[str, str] = {
     """,
     "windowed_counter": """
         SELECT epoch_us(ts) // 300000000 AS win, count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
         FROM events GROUP BY win
     """,
     "common_fields": """

@@ -349,7 +349,16 @@ class Coordinator:
                     for taskid, priority, seq in peeked:
                         candidates.append((-priority, seq, idx, taskid))
                 candidates.sort()
-                chosen = candidates[:budget]
+                # 'on_finished' control tasks ride for free: they do not
+                # consume the per-project budget (scheduler.py:525-533)
+                chosen = []
+                non_ctrl = 0
+                for cand in candidates:
+                    if non_ctrl >= budget:
+                        break
+                    chosen.append(cand)
+                    if cand[3] != "on_finished":
+                        non_ctrl += 1
                 per_shard: dict[int, list[str]] = {}
                 for _, _, idx, taskid in chosen:
                     per_shard.setdefault(idx, []).append(taskid)

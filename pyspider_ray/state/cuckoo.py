@@ -125,7 +125,14 @@ class CuckooFilter:
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Vectorized membership; True may be a false positive, False is
-        definitive (no false negatives)."""
+        definitive (no false negatives).
+
+        Once the filter saturates, add() becomes a no-op, so a later-added
+        key would otherwise return False — breaking the no-false-negative
+        contract. A saturated filter therefore answers all-True (callers
+        must fall back to the exact store for every key)."""
+        if self.saturated:
+            return np.ones(len(np.atleast_1d(keys)), dtype=bool)
         arr = np.asarray(keys, dtype=np.int64).view(np.uint64)
         fp = self._fingerprint(arr)
         b1 = self._bucket1(arr)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+from ..functions.urls import urlhash64
 from ..model import (ACTIVE, BAD, DEFAULT_RETRY_DELAY, DEFAULT_SCHEDULE,
                      FAILED, SUCCESS)
 from .clock import SequenceSource, wall_clock
@@ -117,7 +118,7 @@ class FrontierShard:
         for task in rows:
             key = (task["project"], task["taskid"])
             self.store[key] = task
-            self.seen_filter.add(task.get("urlhash", hash(task["taskid"])))
+            self.seen_filter.add(task.get("urlhash") or urlhash64(task["taskid"]))
             if task.get("status", ACTIVE) == ACTIVE:
                 sched = _sched(task) or DEFAULT_SCHEDULE
                 self._queue(task["project"]).put(
@@ -250,7 +251,7 @@ class FrontierShard:
         task["updatetime"] = self._clock()
         key = (task["project"], task["taskid"])
         self.store[key] = task
-        self.seen_filter.add(task.get("urlhash", hash(task["taskid"])))
+        self.seen_filter.add(task.get("urlhash") or urlhash64(task["taskid"]))
         self._put(task)
         self._count(task["project"], "pending")
         stats["new"] += 1
@@ -296,6 +297,12 @@ class FrontierShard:
         self._put(task)
         if old.get("status") != ACTIVE:
             self._count(task["project"], "pending")
+        # restarting a finished task also retracts it from the all-window
+        # success/failed totals (scheduler.py:882-885)
+        if old.get("status") == SUCCESS:
+            self._count(task["project"], "success", -1)
+        elif old.get("status") == FAILED:
+            self._count(task["project"], "failed", -1)
         stats["restart"] += 1
 
     # -- status path ---------------------------------------------------------
