@@ -87,6 +87,16 @@ class HTTPError(Exception):
         super().__init__(f"HTTP {status_code} {message}")
 
 
+class ProcessTimeout(Exception):
+    """Cooperative stand-in for the reference's SIGALRM
+    ``process_time_limit`` (base_handler.py:145-218, utils.py:168-210).
+    Actor pools are multi-threaded so signals can't interrupt a
+    callback; instead the budget is checked at every ``self.crawl``
+    call (the natural yield point of handler code) and once more when
+    the callback returns — an over-budget callback fails its TASK (and
+    takes the retry ladder), never the actor."""
+
+
 class Response:
     """Lazy fetch-result views (pyspider/libs/response.py:22-163)."""
 
@@ -236,9 +246,22 @@ class BaseHandler(metaclass=HandlerMeta):
         self._messages: list[tuple] = []
         self.task: dict | None = None
         self.response: Response | None = None
+        self._budget_deadline: float | None = None
+
+    def check_time_budget(self) -> None:
+        """Raise ProcessTimeout once the task's ``process_time_limit``
+        budget is spent; called automatically by ``self.crawl`` and
+        available to long loops that don't crawl."""
+        import time
+        if self._budget_deadline is not None \
+                and time.monotonic() > self._budget_deadline:
+            raise ProcessTimeout(
+                f"process_time_limit exceeded in "
+                f"{(self.task or {}).get('taskid', '?')}")
 
     # -- the crawl API -------------------------------------------------------
     def crawl(self, url, **kwargs):
+        self.check_time_budget()
         if isinstance(url, str) and url.startswith("curl "):
             curl_kwargs = curl_to_arguments(url)
             url = curl_kwargs.pop("urls")
@@ -332,22 +355,35 @@ class BaseHandler(metaclass=HandlerMeta):
 
     # -- dispatch harness ----------------------------------------------------
     def run_task(self, task: dict, response: Response | dict) -> ProcessorResult:
+        import time
         if isinstance(response, dict):
             response = Response(**response)
         self._reset()
         self.task = task
         self.response = response
+        limit = (task.get("process") or {}).get("process_time_limit")
+        t0 = time.monotonic()
+        if limit:
+            self._budget_deadline = t0 + float(limit)
         out = ProcessorResult()
         try:
             result = self._dispatch(task, response)
             if inspect.isgenerator(result):
                 for r in result:
+                    self.check_time_budget()
                     self.on_result(r)
             else:
                 self.on_result(result)
                 out.result = result
+            # M14 — cooperative budget: a callback that ran past its
+            # limit fails even though it returned (the SIGALRM analogue)
+            if limit and time.monotonic() - t0 > float(limit):
+                raise ProcessTimeout(
+                    f"process_time_limit={limit}s exceeded "
+                    f"({time.monotonic() - t0:.3f}s)")
         except Exception as exc:  # never raise out of the harness (M13)
             out.exception = repr(exc)
+            out.result = None  # a failed task ships no result row
         callback = (task.get("process") or {}).get("callback", "__call__")
         func = getattr(self, callback, None)
         out.not_send_status = bool(getattr(func, "_not_send_status", False))
@@ -397,11 +433,18 @@ class BaseHandler(metaclass=HandlerMeta):
 
     @not_send_status
     def _on_cronjob(self, response):
-        tick = int((self.response.save or {}).get("tick", 0)) \
-            if isinstance(self.response.save, dict) else 0
+        """Fire every @every job whose interval divides the scheduler's
+        tick.  A trigger without a ``{'tick': N}`` save dict fires
+        NOTHING (base_handler.py:435-446) — firing all jobs on tick=0
+        would collapse every interval to the GCD min_tick."""
+        save = response.save
+        if not isinstance(save, dict) or "tick" not in save:
+            return
+        tick = int(save["tick"])
         for job in self._cron_jobs:
-            if tick % int(job.tick) == 0:
-                self._run_bound(job, response)
+            if tick % int(job.tick) != 0:
+                continue
+            self._run_bound(job, response)
 
     def _run_bound(self, func, response):
         sig = inspect.signature(func)

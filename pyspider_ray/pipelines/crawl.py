@@ -76,6 +76,10 @@ class CrawlConfig:
     follow_priority: int = 0
     seed_priority: int = 1
     page_scale: int = 1                # payload size multiplier (bench knob)
+    # a BaseHandler subclass swaps HandlerProcessorStage in as the data
+    # plane: user callbacks drive the crawl (processor.py:102-203 role),
+    # cronjobs/min_tick/crawl_config/retry_delay are read off the class
+    handler_cls: type | None = None
     # False = persist metadata/caption/phash but not image bytes: on a
     # single box the fixed-bandwidth local disk otherwise measures itself
     # rather than the engine (cluster object storage scales with nodes)
@@ -83,8 +87,33 @@ class CrawlConfig:
 
     def digest(self) -> str:
         import hashlib
-        return hashlib.md5(json.dumps(asdict(self), sort_keys=True)
+        return hashlib.md5(json.dumps(asdict(self), sort_keys=True,
+                                      default=str)
                            .encode()).hexdigest()[:12]
+
+
+def _project_config(cfg: "CrawlConfig") -> ProjectConfig:
+    """Project row for this crawl; handler mode reads min_tick /
+    crawl_config / retry_delay off the handler class (§2.10 class
+    attrs, base_handler.py:121-143 + scheduler's projectdb join)."""
+    retry_delay = cfg.retry_delay
+    min_tick = 0
+    crawl_config = None
+    h = cfg.handler_cls
+    if h is not None:
+        from ..handler import BaseHandler
+        min_tick = int(getattr(h, "_min_tick", 0) or 0)
+        if retry_delay is None and getattr(h, "retry_delay", None):
+            retry_delay = h.retry_delay
+        cc = getattr(h, "crawl_config", None) or {}
+        fetch = {k: v for k, v in cc.items() if k in BaseHandler.FETCH_FIELDS}
+        process = {k: v for k, v in cc.items()
+                   if k in BaseHandler.PROCESS_FIELDS}
+        if fetch or process:
+            crawl_config = {"fetch": fetch, "process": process}
+    return ProjectConfig(cfg.project, rate=cfg.rate, burst=cfg.burst,
+                         retry_delay=retry_delay, min_tick=min_tick,
+                         crawl_config=crawl_config)
 
 
 class _ActorShard:
@@ -135,15 +164,23 @@ class _WorkerActor:
     the compact control columns."""
 
     def __init__(self, fetcher_kwargs: dict, processor_kwargs: dict,
-                 persist_payload: bool = True):
+                 persist_payload: bool = True,
+                 handler_spec: tuple | None = None):
         import gc
         import queue
         import threading
         gc.set_threshold(100_000, 50, 100)
         from ..stages.fetcher import SyntheticFetcher
-        from ..stages.processor import ProcessorStage
         self.fetcher = SyntheticFetcher(**fetcher_kwargs)
-        self.processor = ProcessorStage(**processor_kwargs)
+        if handler_spec is not None:
+            from ..stages.handler_processor import HandlerProcessorStage
+            handler_cls, project = handler_spec
+            self.processor = HandlerProcessorStage(handler_cls, project)
+            self.handler_mode = True
+        else:
+            from ..stages.processor import ProcessorStage
+            self.processor = ProcessorStage(**processor_kwargs)
+            self.handler_mode = False
         self.persist_payload = persist_payload
         # payload writes happen off the compute path (bounded depth so a
         # slow disk backpressures instead of ballooning memory); flush()
@@ -171,14 +208,21 @@ class _WorkerActor:
 
     def process_chunk(self, table: pa.Table, round_dir: str,
                       part_idx: int) -> pa.Table:
-        from ..stages.processor import ResultBuilder, control_table
         processed = self.processor(self.fetcher(table))
-        results = ResultBuilder(processed)
+        if self.handler_mode:
+            from ..stages.handler_processor import (handler_control_table,
+                                                    handler_result_table)
+            results = handler_result_table(processed)
+            ctrl = handler_control_table(processed)
+        else:
+            from ..stages.processor import ResultBuilder, control_table
+            results = ResultBuilder(processed)
+            ctrl = control_table(processed)
         if not self.persist_payload and "bytes" in results.column_names:
             results = results.drop_columns(["bytes"])
         if len(results):
             self._write_queue.put((results, round_dir, part_idx))
-        return control_table(processed)
+        return ctrl
 
 
 class _RayCoordinator(Coordinator):
@@ -235,9 +279,7 @@ class CrawlPipeline:
             self.coord = Coordinator(self.shards, clock=self.clock,
                                      loop_limit=cfg.loop_limit)
 
-        self.coord.update_project(ProjectConfig(
-            cfg.project, rate=cfg.rate, burst=cfg.burst,
-            retry_delay=cfg.retry_delay))
+        self.coord.update_project(_project_config(cfg))
         self.gate = PolitenessGate(
             default_policy=HostPolicy(cfg.host_rate, cfg.host_burst),
             host_policies={h: HostPolicy(cfg.host_rate, cfg.host_burst,
@@ -281,9 +323,28 @@ class CrawlPipeline:
         } for i in range(len(urls))]
 
     def seed(self) -> None:
-        self._pending_new.extend(self.seed_tasks())
+        if self.cfg.handler_cls is not None:
+            # handler projects start from their on_start callback
+            # (webui 'run' semantics: a data:,on_start control task)
+            self._pending_new.append({
+                "taskid": "data:,on_start",
+                "project": self.cfg.project,
+                "url": "data:,on_start",
+                "process": {"callback": "on_start"},
+                "schedule": {"priority": 9, "force_update": True},
+            })
+        else:
+            self._pending_new.extend(self.seed_tasks())
 
     # -- the data plane ------------------------------------------------------
+    @staticmethod
+    def _save_to_str(s) -> str:
+        if s is None:
+            return ""
+        if isinstance(s, str):
+            return s
+        return json.dumps(s, default=str)
+
     def _tasks_to_table(self, tasks: list[dict]) -> pa.Table:
         return pa.table({
             "taskid": pa.array([t["taskid"] for t in tasks], pa.string()),
@@ -295,6 +356,16 @@ class CrawlPipeline:
                                  for t in tasks], pa.int32()),
             "etag": pa.array([t.get("etag") or "" for t in tasks],
                              pa.string()),
+            # handler protocol columns: callback dispatch + the fetch.save
+            # round-trip (base_handler run_task contract)
+            "callback": pa.array([(t.get("process") or {}).get("callback")
+                                  or "" for t in tasks], pa.string()),
+            "save": pa.array([self._save_to_str((t.get("fetch") or {})
+                                                .get("save"))
+                              for t in tasks], pa.string()),
+            "process_time_limit": pa.array(
+                [float((t.get("process") or {}).get("process_time_limit")
+                       or 0.0) for t in tasks], pa.float64()),
         })
 
     def _worker_pool(self) -> list:
@@ -305,14 +376,27 @@ class CrawlPipeline:
         cfg = self.cfg
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-        env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
+        path = repo_root
+        if cfg.handler_cls is not None:
+            # user handler classes unpickle by module reference in the
+            # worker; make their source directory importable there (the
+            # reference's project_module loader role)
+            import inspect
+            try:
+                hdir = os.path.dirname(os.path.abspath(
+                    inspect.getfile(cfg.handler_cls)))
+                path = hdir + ":" + path
+            except (TypeError, OSError):
+                pass
+        env = {"env_vars": {"PYTHONPATH": path + ":" +
                             os.environ.get("PYTHONPATH", "")}}
         worker_cls = ray.remote(num_cpus=1, runtime_env=env)(_WorkerActor)
         fk = {"fail_permille": cfg.fail_permille,
               "page_scale": cfg.page_scale}
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
-        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload)
+        spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
+        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload, spec)
                          for _ in range(cfg.concurrency)]
         return self._workers
 
@@ -338,16 +422,51 @@ class CrawlPipeline:
             # with the driver's control-plane work
             return state
         # no-ray path: same stages, driver-side
-        fetcher = SyntheticFetcher(fail_permille=cfg.fail_permille,
-                                   page_scale=cfg.page_scale)
-        processor = ProcessorStage(cfg.total, cfg.show, cfg.n_hosts, cfg.skew,
-                                   cfg.follow_priority)
+        fetcher = getattr(self, "_local_fetcher", None)
+        if fetcher is None:
+            fetcher = self._local_fetcher = SyntheticFetcher(
+                fail_permille=cfg.fail_permille, page_scale=cfg.page_scale)
+        processor = getattr(self, "_local_processor", None)
+        if processor is None:
+            if cfg.handler_cls is not None:
+                from ..stages.handler_processor import HandlerProcessorStage
+                processor = HandlerProcessorStage(cfg.handler_cls,
+                                                  cfg.project)
+            else:
+                processor = ProcessorStage(cfg.total, cfg.show, cfg.n_hosts,
+                                           cfg.skew, cfg.follow_priority)
+            self._local_processor = processor
         processed = processor(fetcher(table))
-        results = ResultBuilder(processed)
+        if cfg.handler_cls is not None:
+            from ..stages.handler_processor import (handler_control_table,
+                                                    handler_result_table)
+            results = handler_result_table(processed)
+            ctrl = handler_control_table(processed)
+        else:
+            results = ResultBuilder(processed)
+            ctrl = control_table(processed)
         if len(results):
             os.makedirs(round_dir, exist_ok=True)
             pq.write_table(results, os.path.join(round_dir, "part-0.parquet"))
-        return control_table(processed)
+        return ctrl
+
+    def _ingest_handler_extras(self, ctrl_tables: list[pa.Table]) -> None:
+        """Rich follows (age/itag/force_update/...) and cross-project
+        messages can't ride the columnar follow path; they re-enter as
+        task dicts next round (the reference's own scheduler-inbox path
+        for exactly these cases)."""
+        from ..stages.handler_processor import message_tasks
+        for t in ctrl_tables:
+            if "follows_extra_json" in t.column_names:
+                for blob in t["follows_extra_json"].to_pylist():
+                    if blob:
+                        self._pending_new.extend(json.loads(blob))
+            if "messages_json" in t.column_names:
+                projects = t["project"].to_pylist()
+                for i, blob in enumerate(t["messages_json"].to_pylist()):
+                    if blob:
+                        self._pending_new.extend(
+                            message_tasks(blob, projects[i]))
 
     def _blocked_status(self, task: dict) -> dict:
         """Robots-disallowed → 403 failure pack (tornado_fetcher.py:360-363)."""
@@ -424,6 +543,8 @@ class CrawlPipeline:
         self.coord.dispatch_requests(new)
         self.coord.dispatch_follow_tables(ctrl_tables, cfg.project,
                                           cfg.follow_priority)
+        if cfg.handler_cls is not None:
+            self._ingest_handler_extras(ctrl_tables)
         control = [self.coord._on_select_task(t, self.coord.projects[t["project"]])
                    for t in self.coord.tick_cronjobs()]
         batch = control + self.coord.select()
@@ -593,8 +714,7 @@ class CrawlPipeline:
         pipe.round_idx = manifest["round"]
         pipe.clock.set(manifest["vtime"])
         pipe._sync_clocks()
-        projects = [ProjectConfig(cfg.project, rate=cfg.rate, burst=cfg.burst,
-                                  retry_delay=cfg.retry_delay)]
+        projects = [_project_config(cfg)]
         if cfg.use_ray:
             import ray
             ray.get([s.restore_from.remote(

@@ -211,6 +211,12 @@ class Coordinator:
         if not tables:
             return {}
         t = pa.concat_tables(tables, promote_options="default")
+        if "not_send_status" in t.column_names:
+            # @not_send_status callbacks (cronjob/message plumbing) emit
+            # no status pack (processor.py:174-176)
+            t = t.filter(pc.invert(t["not_send_status"].combine_chunks()))
+            if not len(t):
+                return {}
         n = len(t)
         cols = {
             "taskid": t["taskid"], "urlhash": t["urlhash"],
@@ -264,6 +270,12 @@ class Coordinator:
         hashes = pc.list_flatten(t["follows_urlhash"]).to_numpy()
         urls = pc.list_flatten(t["follows"])
         hosts = pc.list_flatten(t["follows_host"])
+        # handler-driven crawls attach per-follow callback/save/priority
+        has_cb = "follows_callback" in t.column_names
+        cbs = pc.list_flatten(t["follows_callback"]) if has_cb else None
+        svs = pc.list_flatten(t["follows_save"]) if has_cb else None
+        prios = pc.list_flatten(t["follows_priority"]).to_numpy() \
+            if has_cb else None
         _, first_idx = np.unique(hashes, return_index=True)
         first_idx.sort()
         seqs = np.arange(1, len(first_idx) + 1, dtype=np.int64) + self._seq
@@ -274,6 +286,9 @@ class Coordinator:
         taskids_k = pc.take(taskids, idx_arr)
         urls_k = pc.take(urls, idx_arr)
         hosts_k = pc.take(hosts, idx_arr)
+        cbs_k = pc.take(cbs, idx_arr) if has_cb else None
+        svs_k = pc.take(svs, idx_arr) if has_cb else None
+        prios_k = prios[first_idx] if has_cb else None
         args = []
         for s in range(self.n_shards):
             mask = shard_of == s
@@ -281,12 +296,17 @@ class Coordinator:
                 args.append(None)
                 continue
             m = pa.array(mask)
-            args.append((pc.filter(taskids_k, m).to_pylist(),
-                         kept_hashes[mask].tolist(),
-                         pc.filter(urls_k, m).to_pylist(),
-                         pc.filter(hosts_k, m).to_pylist(),
-                         seqs[mask].tolist(),
-                         project, priority))
+            arg = [pc.filter(taskids_k, m).to_pylist(),
+                   kept_hashes[mask].tolist(),
+                   pc.filter(urls_k, m).to_pylist(),
+                   pc.filter(hosts_k, m).to_pylist(),
+                   seqs[mask].tolist(),
+                   project, priority]
+            if has_cb:
+                arg += [pc.filter(cbs_k, m).to_pylist(),
+                        pc.filter(svs_k, m).to_pylist(),
+                        prios_k[mask].tolist()]
+            args.append(tuple(arg))
         totals: dict[str, int] = {}
         for stats in self._submit("on_follow_batch", args):
             for k, v in (stats or {}).items():
@@ -306,7 +326,10 @@ class Coordinator:
                 out.append({
                     "taskid": "_on_cronjob", "project": name,
                     "url": "data:,_on_cronjob",
-                    "fetch": {"save": str(self._last_tick)},
+                    # the save dict format is load-bearing: the handler's
+                    # _on_cronjob fires NOTHING without {'tick': N}
+                    # (scheduler.py:437-444)
+                    "fetch": {"save": {"tick": self._last_tick}},
                     "process": {"callback": "_on_cronjob"},
                     "type": TASK_PACK,
                 })

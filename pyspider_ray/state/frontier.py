@@ -190,14 +190,19 @@ class FrontierShard:
 
     def on_follow_batch(self, taskids: list[str], urlhashes: list[int],
                         urls: list[str], hosts: list[str], seqs: list[int],
-                        project: str, priority: int) -> dict:
+                        project: str, priority: int,
+                        callbacks: list[str] | None = None,
+                        saves: list[str] | None = None,
+                        priorities: list[int] | None = None) -> dict:
         """Columnar fast path for plain follow links (no force_update /
         itag / cancel / age): a link whose taskid is already queued or
         stored is ignored (D3/D4 with age=-1 semantics), so task dicts
         are only built for genuinely new URLs.  Behaviorally identical
         to routing each link through on_request_batch; vectorized so the
         80k-links-per-round control stream doesn't serialize on the
-        driver."""
+        driver.  Handler-driven crawls ride per-follow ``callbacks`` /
+        ``saves`` (JSON strings) / ``priorities`` columns; richer
+        schedules take the dict path (on_request_batch)."""
         stats = {"new": 0, "ignored": 0, "overflow": 0}
         tq = self._queue(project)
         store = self.store
@@ -211,15 +216,19 @@ class FrontierShard:
             if limit and len(tq) >= limit:
                 stats["overflow"] += 1
                 continue
+            prio = priorities[i] if priorities is not None else priority
             task = {"taskid": taskid, "urlhash": urlhashes[i],
                     "project": project, "url": urls[i], "host": hosts[i],
-                    "schedule": {"priority": priority},
-                    "process": {"callback": "on_page"},
+                    "schedule": {"priority": prio},
+                    "process": {"callback": (callbacks[i] if callbacks
+                                             else "on_page") or "on_page"},
                     "seq": seqs[i], "status": ACTIVE,
                     "updatetime": now}
+            if saves is not None and saves[i]:
+                task["fetch"] = {"save": saves[i]}
             store[(project, taskid)] = task
             new_hashes.append(urlhashes[i])
-            tq.put(taskid, priority, 0, sequence=seqs[i])
+            tq.put(taskid, prio, 0, sequence=seqs[i])
             self._count(project, "pending")
             stats["new"] += 1
         if new_hashes:
@@ -490,6 +499,11 @@ class FrontierShard:
 
     def seen_taskids(self, project: str) -> list[str]:
         return sorted(tid for (proj, tid) in self.store if proj == project)
+
+    def dump_tasks(self, project: str) -> list[dict]:
+        """Stored task rows for a project (taskdb.load_tasks inverse)."""
+        return [task for (proj, _), task in sorted(self.store.items())
+                if proj == project]
 
     def get_task(self, project: str, taskid: str) -> Optional[dict]:
         return self.store.get((project, taskid))
