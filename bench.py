@@ -113,6 +113,30 @@ def bench_frontier_ops() -> dict:
             "select_done_ops_per_sec": n / cycle}
 
 
+def bench_frontier_sweep() -> dict:
+    """Select ops/sec as the ready heap grows 10^4 → 10^6: a flat curve
+    shows the peek_ready/take select round is O(budget), not
+    O(frontier) (the lazy heap-peek contract in task_queue.peek_n)."""
+    from pyspider_ray.state.clock import VirtualClock
+    from pyspider_ray.state.task_queue import TaskQueue
+    out = {}
+    for size in (10_000, 1_000_000):
+        clock = VirtualClock(1.7e9)
+        tq = TaskQueue(rate=0, burst=0, clock=clock)
+        for i in range(size):
+            tq.put(f"t{i:x}", priority=i % 7, sequence=i)
+        budget, rounds = 100, 200
+        t0 = time.perf_counter()
+        npop = 0
+        for _ in range(rounds):
+            for tid, _, _ in tq.peek_ready(budget):
+                tq.take(tid)
+                npop += 1
+        el = time.perf_counter() - t0
+        out[f"select_ops_per_sec_at_{size}"] = npop / el
+    return out
+
+
 def bench_queries() -> dict:
     import __ray_entry__ as entry
     qs = entry.queries()
@@ -132,6 +156,8 @@ def main() -> None:
     crawl = bench_crawl()
     crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
     frontier = bench_frontier_ops() if not crawl_only else {}
+    if not crawl_only:
+        frontier.update(bench_frontier_sweep())
     queries = bench_queries() if not crawl_only else {}
     import ray
     ray.shutdown()

@@ -113,6 +113,7 @@ class Response:
         self.save = save
         self.time = time
         self._text: str | None = None
+        self._doc = None
 
     @property
     def encoding(self) -> str:
@@ -157,9 +158,19 @@ class Response:
 
     @property
     def doc(self):
-        raise NotImplementedError(
-            "PyQuery-style .doc needs lxml/pyquery, absent in this "
-            "container; parse .text/.content directly")
+        """Parsed document with links absolutized (response.py:139-163).
+        PyQuery when lxml is installed; otherwise the stdlib-parser
+        MiniDoc substitute (same ``doc('a[href]')`` call shape)."""
+        if self._doc is None:
+            try:
+                from pyquery import PyQuery
+                d = PyQuery(self.text)
+                d.make_links_absolute(self.url)
+                self._doc = d
+            except ImportError:
+                from .functions.htmldoc import MiniDoc
+                self._doc = MiniDoc(self.text, base_url=self.url)
+        return self._doc
 
     @property
     def etree(self):

@@ -43,8 +43,16 @@ class SyntheticFetcher:
             # (tornado_fetcher.py:430-741); out of scope in this sandbox.
             return 501, b"", f"fetch_type={fetch_type!r} not supported here"
         if url.startswith("data:"):
-            body = url.split(",", 1)[1] if "," in url else ""
-            return 200, body.encode("utf-8"), ""
+            # S8 — full data-URI codec incl. ;base64 and charset
+            # (libs/dataurl.py:40-56 + tornado_fetcher.py:178-200)
+            from ..functions.dataurl import decode as dataurl_decode
+            try:
+                body = dataurl_decode(url) if "," in url else ""
+            except Exception:
+                return 599, b"", "malformed data URI"
+            if isinstance(body, str):
+                body = body.encode("utf-8")
+            return 200, body, ""
         try:
             url_id = synthweb.parse_url_id(url)
         except (ValueError, IndexError):

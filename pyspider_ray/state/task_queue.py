@@ -109,6 +109,22 @@ class MergingHeap:
     def entries(self) -> list[QueueEntry]:
         return list(self._by_id.values())
 
+    def peek_n(self, n: int) -> list[QueueEntry]:
+        """Top-n live entries in heap order WITHOUT removing them:
+        lazily pop n live entries (purging tombstones on the way) and
+        push them back — O(n log size) per call, never a full scan of
+        the ready set."""
+        popped: list[QueueEntry] = []
+        heap = self._heap
+        while heap and len(popped) < n:
+            e = heapq.heappop(heap)
+            if e.dead or self._by_id.get(e.taskid) is not e:
+                continue  # tombstone/stale: drop permanently
+            popped.append(e)
+        for e in popped:
+            heapq.heappush(heap, e)
+        return popped
+
 
 class TaskQueue:
     """Per-project (or per-shard) frontier queue: ready + delayed +
@@ -201,11 +217,11 @@ class TaskQueue:
     def peek_ready(self, n: int) -> list[tuple[str, int, int]]:
         """Top-n ready entries as (taskid, priority, sequence) WITHOUT
         popping — the shard half of a cross-shard k-way merge select.
-        Does not consume politeness tokens."""
-        import heapq as _hq
-        live = [e for e in self.ready.entries()]
+        Does not consume politeness tokens.  O(n log ready), not
+        O(ready): at a 10^6-entry ready heap the select round stays
+        O(budget)."""
         return [(e.taskid, e.priority, e.sequence)
-                for e in _hq.nsmallest(n, live)]
+                for e in self.ready.peek_n(n)]
 
     def take(self, taskid: str) -> bool:
         """Pop a specific ready entry (chosen by the coordinator's merge)

@@ -172,177 +172,242 @@ def q_wordset_dup_groups(sf_dir):
                        Count(alias_name="n")))
 
 
-class _SignatureStage:
-    """MinHash signatures + LSH band keys per document (one compiled
-    seed table per actor)."""
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        doc_ids, bands, keys = [], [], []
-        for doc_id, text in zip(b["doc_id"].to_pylist(),
-                                b["text"].to_pylist()):
-            sig = minhash_signature(set(text.split()))
-            view = sig.reshape(-1, _LSH_ROWS)
-            for band_idx in range(view.shape[0]):
-                h = hashlib.md5(view[band_idx].tobytes()).digest()
-                doc_ids.append(doc_id)
-                bands.append(band_idx)
-                keys.append(int.from_bytes(h[:8], "big", signed=True))
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "key": pa.array(keys, pa.int64())})
+def _SignatureStage(b: pa.Table) -> pa.Table:
+    """MinHash signatures + LSH band keys per document (stateless —
+    runs in the task pool, no actor spin-up)."""
+    doc_ids, bands, keys = [], [], []
+    for doc_id, text in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+        sig = minhash_signature(set(text.split()))
+        view = sig.reshape(-1, _LSH_ROWS)
+        for band_idx in range(view.shape[0]):
+            h = hashlib.md5(view[band_idx].tobytes()).digest()
+            doc_ids.append(doc_id)
+            bands.append(band_idx)
+            keys.append(int.from_bytes(h[:8], "big", signed=True))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "band": pa.array(bands, pa.int32()),
+                     "key": pa.array(keys, pa.int64())})
 
 
-class _JaccardVerify:
-    """Exact Jaccard verification with a broadcast word-set index
-    (loaded once per actor; at larger scale this becomes a
-    co-partitioned join on doc_id).
+def _word_lists(b: pa.Table) -> pa.Table:
+    """Per doc: sorted distinct word-hash set packed as a binary blob
+    (uint64 little-endian) — the tokenize-once representation every
+    downstream jaccard stage reuses.  Binary because Acero hash joins
+    can't carry list<> payload columns."""
+    words = [np.sort(_word_hashes(sorted(set(t.split())))).tobytes()
+             for t in b["text"].to_pylist()]
+    return pa.table({"doc_id": b["doc_id"],
+                     "words": pa.array(words, pa.binary())})
 
-    When the corpus vocabulary fits in <=64 distinct words each doc is a
-    single uint64 bitset and the whole batch verifies vectorized
-    (AND/OR + byte-wise popcount); otherwise falls back to per-pair
-    set arithmetic."""
 
-    def __init__(self, sf_dir: str):
-        import pyarrow.parquet as pq
-        t = pq.read_table(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
-        docs = {d: set(x.split())
-                for d, x in zip(t["doc_id"].to_pylist(),
-                                t["text"].to_pylist())}
-        vocab = sorted(set().union(*docs.values())) if docs else []
-        self.sets = docs
-        self.masks: dict[int, int] | None = None
-        if len(vocab) <= 64:
-            widx = {w: i for i, w in enumerate(vocab)}
-            self.masks = {d: sum(1 << widx[w] for w in ws)
-                          for d, ws in docs.items()}
+def _minhash_bands_from_words(b: pa.Table) -> pa.Table:
+    """(doc_id, words) → LSH (band, key) triples; signatures derive
+    from the precomputed word hashes (no re-tokenization)."""
+    doc_ids, bands, keys = [], [], []
+    for doc_id, blob in zip(b["doc_id"].to_pylist(),
+                            b["words"].to_pylist()):
+        wh = np.frombuffer(blob, dtype=np.uint64)
+        if len(wh):
+            sig = mix64(wh[:, None], _SEEDS[None, :]).min(axis=0)
+        else:
+            sig = np.zeros(_MINHASH_PERMS, dtype=np.uint64)
+        view = sig.reshape(-1, _LSH_ROWS)
+        for band_idx in range(view.shape[0]):
+            h = hashlib.md5(view[band_idx].tobytes()).digest()
+            doc_ids.append(doc_id)
+            bands.append(band_idx)
+            keys.append(int.from_bytes(h[:8], "big", signed=True))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "band": pa.array(bands, pa.int32()),
+                     "key": pa.array(keys, pa.int64())})
 
-    @staticmethod
-    def _popcount(x: np.ndarray) -> np.ndarray:
+
+def _jaccard_verify_vec(b: pa.Table) -> pa.Table:
+    """Exact Jaccard over a joined candidate batch carrying both
+    word-hash lists — fully vectorized: flatten both sides tagged with
+    the pair index, lexsort, count adjacent (pair, word) duplicates
+    (each side holds distinct words, so a count of 2 == one common
+    word)."""
+    n = len(b)
+    if n == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    def flat_blobs(col):
+        """Zero-copy flatten of a binary column of uint64 blobs."""
+        a = col.combine_chunks()
+        off = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+            a.offset:a.offset + len(a) + 1]
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+        flat = data[off[0]:off[-1]].view(np.uint64)
+        return flat, (np.diff(off) // 8).astype(np.int64)
+
+    fa, la = flat_blobs(b["words_a"])
+    fb, lb = flat_blobs(b["words_b"])
+    idx = np.concatenate([np.repeat(np.arange(n), la),
+                          np.repeat(np.arange(n), lb)])
+    w = np.concatenate([fa, fb])
+    order = np.lexsort((w, idx))
+    idx, w = idx[order], w[order]
+    dup = (idx[1:] == idx[:-1]) & (w[1:] == w[:-1])
+    inter = np.bincount(idx[1:][dup], minlength=n)
+    union = la + lb - inter
+    keep = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
+    return pa.table({"doc_a": b["doc_a"].filter(pa.array(keep)),
+                     "doc_b": b["doc_b"].filter(pa.array(keep))})
+
+
+def _probe_small_vocab(words_ds, cap: int = 64):
+    """Streaming probe for a tiny global vocabulary: union per-batch
+    distinct word hashes, ABORT as soon as the union exceeds ``cap``
+    (driver memory stays O(cap + one batch) even on a 10^9-doc
+    corpus).  Returns the sorted hash list or None."""
+    seen: set[int] = set()
+    for b in words_ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=4096):
+        for blob in b["words"].to_pylist():
+            seen.update(np.frombuffer(blob, dtype=np.uint64).tolist())
+            if len(seen) > cap:
+                return None
+    return sorted(seen)
+
+
+def _jaccard_verify_mask(b: pa.Table) -> pa.Table:
+    """Exact Jaccard via bitset popcount (vocab <= 64 fast path)."""
+    if not len(b):
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ma = b["mask_a"].to_numpy().astype(np.uint64)
+    mb = b["mask_b"].to_numpy().astype(np.uint64)
+
+    def popcnt(x):
         return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                             axis=1).sum(axis=1)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        a_ids = b["doc_a"].to_numpy()
-        b_ids = b["doc_b"].to_numpy()
-        if self.masks is not None:
-            ma = np.array([self.masks[i] for i in a_ids], dtype=np.uint64)
-            mb = np.array([self.masks[i] for i in b_ids], dtype=np.uint64)
-            inter = self._popcount(ma & mb).astype(np.int64)
-            union = self._popcount(ma | mb).astype(np.int64)
-            keep = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
-            return pa.table({"doc_a": pa.array(a_ids[keep]),
-                             "doc_b": pa.array(b_ids[keep])})
-        out_a, out_b = [], []
-        for a, c in zip(a_ids.tolist(), b_ids.tolist()):
-            sa, sb = self.sets[a], self.sets[c]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union:
-                out_a.append(a)
-                out_b.append(c)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64())})
+                             axis=1).sum(axis=1).astype(np.int64)
+    inter = popcnt(ma & mb)
+    union = popcnt(ma | mb)
+    keep = pa.array(inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union)
+    return pa.table({"doc_a": b["doc_a"].filter(keep),
+                     "doc_b": b["doc_b"].filter(keep)})
 
 
 def q_jaccard_near_dup(sf_dir):
     """MinHash+LSH near-dup (shingle→minhash→band→bucket→candidate
-    pairs→exact-Jaccard verify), tau=0.9 on word sets.  With 32 bands x
-    4 rows the miss probability at tau is < 1e-14, so the verified
-    output equals the exact pair set the oracle computes.
+    pairs→exact-Jaccard verify), tau=0.9 on word sets.  With 21 bands x
+    6 rows the per-pair miss probability at tau is ~1.3e-7, so the
+    verified output equals the exact pair set the oracle computes.
 
-    Signature computation and verification are distributed stages; the
-    bucket→pair expansion runs vectorized on the driver over the
-    *compact* (band, key, doc_id) triple table — at 10^9 docs this step
-    becomes one more groupby-free shuffle by (band, key), but a Ray
-    Data map_groups over millions of 2-5 row buckets is the wrong tool
-    at any scale (per-group overhead dominates)."""
-    sigs = (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(_SignatureStage, batch_format="pyarrow",
-                         concurrency=2)
-            .take_all())
-    band = np.array([r["band"] for r in sigs], dtype=np.int64)
-    key = np.array([r["key"] for r in sigs], dtype=np.int64)
-    doc = np.array([r["doc_id"] for r in sigs], dtype=np.int64)
-    order = np.lexsort((doc, key, band))
-    band, key, doc = band[order], key[order], doc[order]
-    # run boundaries of equal (band, key)
-    new_run = np.ones(len(band), dtype=bool)
-    new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-    starts = np.flatnonzero(new_run)
-    ends = np.append(starts[1:], len(band))
-    # vectorized within-bucket pair expansion: for a run of size m emit
-    # the m*(m-1)/2 index pairs via triu coordinates, then dedup the
-    # packed (a<<32|b) keys across all bands in one np.unique
-    packed_parts = []
-    sizes = ends - starts
-    for m in np.unique(sizes):
-        if m < 2:
+    Every stage is distributed (pyspider_ray.neardup): tokenize-once
+    word lists feed both the LSH banding and the verification; pair
+    expansion is a coarse-bucket hash shuffle; pair dedup is a groupby
+    on the packed key; exact verification joins the candidate table
+    back to the word-list table on doc_a then doc_b (co-partitioned
+    hash joins) and popcounts intersections VECTORIZED — no Python
+    per-pair loop, no corpus broadcast, no driver materialization.
+
+    Adaptive verify payload: a streaming probe (early-abort, O(64)
+    driver memory) detects a <=64-word global vocabulary; then each doc
+    is one int64 bitset and verification attaches 8-byte masks instead
+    of word-hash blobs — same pipeline shape, ~20x smaller shuffle
+    payload.  A real 10^9-doc corpus takes the blob path."""
+    from .neardup import candidate_pairs, join_signatures
+    words = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(_word_lists, batch_format="pyarrow")
+             .materialize())
+    sigs = words.map_batches(_minhash_bands_from_words,
+                             batch_format="pyarrow")
+    # materialize between the shuffle stages: chaining three all-to-all
+    # ops through one lazy streaming DAG triples wall time (executor
+    # scheduling, measured); the intermediates are compact distributed
+    # tables (int64 pairs), never driver-side
+    pairs = candidate_pairs(sigs).materialize()
+    vocab = _probe_small_vocab(words)
+    if vocab is not None:
+        bit_of = {w: i for i, w in enumerate(vocab)}
+
+        def to_mask(b: pa.Table) -> pa.Table:
+            masks = []
+            for blob in b["words"].to_pylist():
+                m = 0
+                for w in np.frombuffer(blob, dtype=np.uint64).tolist():
+                    m |= 1 << bit_of[w]
+                masks.append(m - (1 << 64) if m >= (1 << 63) else m)
+            return pa.table({"doc_id": b["doc_id"],
+                             "mask": pa.array(masks, pa.int64())})
+
+        masks = words.map_batches(to_mask, batch_format="pyarrow")
+        joined = join_signatures(pairs, masks, "mask",
+                                 num_partitions=32).materialize()
+        return joined.map_batches(_jaccard_verify_mask,
+                                  batch_format="pyarrow",
+                                  batch_size=65536)
+    joined = join_signatures(pairs, words, "words",
+                             num_partitions=32).materialize()
+    return joined.map_batches(_jaccard_verify_vec, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def _sim64(b: pa.Table) -> pa.Table:
+    """SimHash-64 per doc: per-bit vote over distinct-word md5 hashes."""
+    out = []
+    for text in b["text"].to_pylist():
+        wh = _word_hashes(sorted(set(text.split())))
+        if not len(wh):
+            out.append(0)
             continue
-        runs = starts[sizes == m]                   # (r,) run starts
-        ii, jj = np.triu_indices(int(m), k=1)       # (p,) intra-run idx
-        a = doc[runs[:, None] + ii[None, :]]        # (r, p) doc ids
-        b = doc[runs[:, None] + jj[None, :]]
-        lo = np.minimum(a, b).astype(np.uint64)
-        hi = np.maximum(a, b).astype(np.uint64)
-        packed_parts.append((lo << np.uint64(32)) | hi)
-    if not packed_parts:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    packed = np.unique(np.concatenate([p.ravel() for p in packed_parts]))
-    cand = pa.table({
-        "doc_a": pa.array((packed >> np.uint64(32)).astype(np.int64)),
-        "doc_b": pa.array((packed & np.uint64(0xFFFFFFFF)).astype(np.int64))})
-    return (_rd().from_arrow(cand)
-            .map_batches(_JaccardVerify,
-                         fn_constructor_kwargs={"sf_dir": sf_dir},
-                         batch_format="pyarrow", concurrency=2))
+        bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        val = int(np.bitwise_or.reduce(
+            (np.uint64(1) << np.arange(64, dtype=np.uint64))[vote > 0],
+            initial=np.uint64(0)))
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return pa.table({"doc_id": b["doc_id"],
+                     "simhash": pa.array(out, pa.int64())})
+
+
+def _simhash_bands(b: pa.Table) -> pa.Table:
+    """Multi-index fan-out: C(8,2)=28 composite 16-bit keys per doc —
+    a pair at Hamming distance <= 6 dirties <= 6 of the 8 byte-bands,
+    so >= 2 stay clean and one composite key matches (zero misses)."""
+    from .neardup import hamming_band_keys
+    vals = b["simhash"].to_numpy().astype(np.uint64)
+    ids = b["doc_id"].to_numpy()
+    band_idx, keys = hamming_band_keys(vals, n_bands=8, composite=2)
+    n, c = band_idx.shape
+    return pa.table({
+        "band": pa.array(band_idx.ravel()),
+        "key": pa.array(keys.ravel()),
+        "doc_id": pa.array(np.repeat(ids, c).astype(np.int64))})
+
+
+def _hamming_filter(maxdist: int):
+    def f(b: pa.Table) -> pa.Table:
+        a = b["simhash_a"].to_numpy().astype(np.uint64)
+        c = b["simhash_b"].to_numpy().astype(np.uint64)
+        x = a ^ c
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                          axis=1).sum(axis=1) if len(x) else np.empty(0)
+        keep = pa.array(d <= maxdist) if len(x) else pa.array([], pa.bool_())
+        return b.select(["doc_a", "doc_b"]).filter(keep)
+    return f
 
 
 def q_simhash_near_dup(sf_dir):
-    """SimHash-64 near-dup pairs at Hamming distance <= 6 (rows-only:
-    the bit-sampling approximation has no SQL equivalent)."""
-    def sim64(b: pa.Table) -> pa.Table:
-        out = []
-        for text in b["text"].to_pylist():
-            wh = _word_hashes(sorted(set(text.split())))
-            bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)) &
-                    np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for i, v in enumerate(vote):
-                if v > 0:
-                    val |= (1 << i)
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pa.table({"doc_id": b["doc_id"],
-                         "simhash": pa.array(out, pa.int64())})
+    """SimHash-64 near-dup pairs at Hamming distance <= 6, fully
+    distributed: signature stage → multi-index composite banding
+    (guaranteed-recall, see _simhash_bands) → sort-shuffle pair
+    expansion → distinct → verify by joining signatures back on
+    doc_a/doc_b and popcounting xor.  Exact vs the DuckDB
+    bit_count(xor) oracle because the banding has zero misses at
+    d <= 6."""
+    from .neardup import candidate_pairs, join_signatures
     sigs = (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(sim64, batch_format="pyarrow").take_all())
-    ids = np.array([r["doc_id"] for r in sigs])
-    hs = np.array([np.uint64(r["simhash"] % (1 << 64)) for r in sigs],
-                  dtype=np.uint64)
-    # block by 4x16-bit bands (any pair at dist<=6 shares >=1 exact band
-    # only heuristically; verify all candidates exactly)
-    pairs = set()
-    for shift in (0, 16, 32, 48):
-        band = (hs >> np.uint64(shift)) & np.uint64(0xFFFF)
-        import collections
-        buckets = collections.defaultdict(list)
-        for i, bnd in enumerate(band):
-            buckets[int(bnd)].append(i)
-        for members in buckets.values():
-            for ii, x in enumerate(members):
-                for y in members[ii + 1:]:
-                    pairs.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
-    out_a, out_b = [], []
-    id_to_h = dict(zip(ids.tolist(), hs.tolist()))
-    for a, c in sorted(pairs):
-        d = bin(int(id_to_h[a]) ^ int(id_to_h[c])).count("1")
-        if d <= 6:
-            out_a.append(a)
-            out_b.append(c)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64())})
+            .map_batches(_sim64, batch_format="pyarrow")
+            .materialize())
+    triples = sigs.map_batches(_simhash_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(triples)
+    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
+    return joined.map_batches(_hamming_filter(6), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -364,8 +429,8 @@ class _CosinePartialTopK:
                           columns=["vec_id", "embedding"])
         ids = np.array(t["vec_id"].to_pylist())
         order = np.argsort(ids)[:_N_QUERIES]
-        Q = np.array([t["embedding"].to_pylist()[i] for i in order],
-                     dtype=np.float64)
+        emb = t["embedding"].to_pylist()   # materialized ONCE
+        Q = np.array([emb[i] for i in order], dtype=np.float64)
         self.q_ids = ids[order]
         self.Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
@@ -406,74 +471,170 @@ def q_embedding_knn(sf_dir):
                                             batch_format="pandas"))
 
 
-class _NearDupPairs:
-    """Embedding near-dup: each batch scores against the broadcast
-    full matrix (fits per-actor at these scales; the LSH/IVF variant is
-    the scale path) and emits pairs with cosine >= tau, a < b."""
+_NEARDUP_SHARDS = 4
+_NEARDUP_TAU = 0.3
+_SHARD_CACHE: dict = {}
 
-    TAU = 0.3
 
-    def __init__(self, sf_dir: str):
-        import pyarrow.parquet as pq
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-        self.ids = np.asarray(t["vec_id"].to_pylist())
-        E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        self.E = E / np.linalg.norm(E, axis=1, keepdims=True)
+def _load_index_shard(sf_dir: str, shard: int, n_shards: int):
+    """1/B shard of the normalized embedding index, cached per worker
+    PROCESS (Ray task workers are reused, so the load amortizes like
+    an actor __init__ without reserving an actor pool — a union of B
+    actor pools deadlocks on small CPU counts)."""
+    key = (sf_dir, shard, n_shards)
+    hit = _SHARD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.equal(pc.bit_wise_and(pads.field("vec_id"),
+                                        n_shards - 1), shard))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    _SHARD_CACHE.clear()   # one shard per worker heap
+    _SHARD_CACHE[key] = (ids, E)
+    return ids, E
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["vec_id"].to_pylist())
-        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-        E /= np.linalg.norm(E, axis=1, keepdims=True)
-        S = E @ self.E.T
-        out_a, out_b = [], []
-        for i in range(S.shape[0]):
-            js = np.where(S[i] >= self.TAU)[0]
-            for j in js:
-                if self.ids[j] > ids[i]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(self.ids[j]))
-        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
-                         "vec_b": pa.array(out_b, pa.int64())})
+
+def _near_dup_shard(b: pa.Table, sf_dir: str, shard: int,
+                    n_shards: int) -> pa.Table:
+    """Embedding near-dup, block-matrix form: this branch scores the
+    streaming dataset against ONE 1/B index shard (vec_id % B ==
+    shard); the union of the B branches covers all pairs exactly once
+    (pair (a,b), a<b is emitted by the branch owning b).  Per-worker
+    memory is O(N/B); total work is the same O(N^2) the exact answer
+    requires, distributed instead of broadcast-whole-corpus."""
+    sids, E_idx = _load_index_shard(sf_dir, shard, n_shards)
+    ids = np.asarray(b["vec_id"].to_pylist())
+    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    S = E @ E_idx.T
+    ii, jj = np.where(S >= _NEARDUP_TAU)
+    a, c = ids[ii], sids[jj]
+    keep = c > a
+    return pa.table({"vec_a": pa.array(a[keep].astype(np.int64)),
+                     "vec_b": pa.array(c[keep].astype(np.int64))})
 
 
 def q_embedding_near_dup(sf_dir):
-    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .map_batches(_NearDupPairs,
-                         fn_constructor_kwargs={"sf_dir": sf_dir},
-                         batch_format="pyarrow", concurrency=2))
+    """Exact cosine near-dup (tau=0.3) as a union of B sharded-index
+    branches — see _near_dup_shard for the partitioning contract."""
+    import functools
+    assert _NEARDUP_SHARDS & (_NEARDUP_SHARDS - 1) == 0
+    branches = []
+    for s in range(_NEARDUP_SHARDS):
+        branches.append(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(functools.partial(_near_dup_shard,
+                                           sf_dir=sf_dir, shard=s,
+                                           n_shards=_NEARDUP_SHARDS),
+                         batch_format="pyarrow"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
+def _lloyd_centroids(X: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means on a sample: first-k init, Lloyd updates."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _ivf_assign(b: pa.Table, centroids) -> pa.Table:
+    """Stage 2 of IVF: assign every vector to its nearest learned
+    centroid (centroids ride in the task args — a few KB, not the
+    corpus)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cell = np.argmax(En @ C.T, axis=1).astype(np.int64)
+    return b.append_column("cell", pa.array(cell))
+
+
+def _ivf_probe(b: pa.Table, queries, probes) -> pa.Table:
+    """Stage 3: per batch, score only the queries probing this row's
+    cell; emit partial top-k per query (merged by a grouped stage)."""
+    q_ids = np.array([q["vec_id"] for q in queries])
+    Q = np.array([q["embedding"] for q in queries], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    by_cell = {c: np.asarray(qidx, dtype=np.int64)
+               for c, qidx in probes.items()}
+    cells = b["cell"].to_numpy()
+    ids = np.asarray(b["vec_id"].to_pylist())
+    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    qs, ns, sims = [], [], []
+    for c in np.unique(cells):
+        q_rows = by_cell.get(int(c))
+        if q_rows is None or not len(q_rows):
+            continue
+        m = cells == c
+        sub_ids = ids[m]
+        S = Q[q_rows] @ En[m].T            # (nq_probing, n_cell_rows)
+        k = min(_TOP_K + 1, S.shape[1])
+        for r, qi in enumerate(q_rows):
+            idx = np.argpartition(-S[r], k - 1)[:k]
+            for j in idx:
+                if sub_ids[j] == q_ids[qi]:
+                    continue
+                qs.append(int(q_ids[qi]))
+                ns.append(int(sub_ids[j]))
+                sims.append(float(S[r, j]))
+    return pa.table({"query_id": pa.array(qs, pa.int64()),
+                     "neighbor_id": pa.array(ns, pa.int64()),
+                     "sim": pa.array(sims, pa.float64())})
 
 
 def q_ann_ivf(sf_dir):
-    """IVF-bucketed ANN variant (rows-only): coarse-quantize by the
-    label column (stand-in for k-means cells), probe the 3 nearest
-    cells per query, exact-rank within probed cells."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t["vec_id"].to_pylist())
-    lab = np.asarray(t["label"].to_pylist())
-    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    cells = {c: np.where(lab == c)[0] for c in np.unique(lab)}
-    centroids = {c: En[idx].mean(axis=0) for c, idx in cells.items()}
-    cmat = np.stack([centroids[c] for c in sorted(cells)])
-    cids = sorted(cells)
-    order = np.argsort(ids)[:_N_QUERIES]
-    qs, ranks, ns = [], [], []
-    for qi in order:
-        cd = cmat @ En[qi]
-        probe = [cids[j] for j in np.argsort(-cd)[:3]]
-        cand = np.concatenate([cells[c] for c in probe])
-        cand = cand[ids[cand] != ids[qi]]
-        sims = En[cand] @ En[qi]
-        top = cand[np.lexsort((ids[cand], -sims))[:_TOP_K]]
-        for r, j in enumerate(top, 1):
-            qs.append(int(ids[qi]))
-            ranks.append(r)
-            ns.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(qs, pa.int64()),
-                     "rank": pa.array(ranks, pa.int64()),
-                     "neighbor_id": pa.array(ns, pa.int64())})
+    """IVF ANN as a two-stage Ray pipeline (rows-only: approximate by
+    construction): (1) learn k-means centroids from a small
+    deterministic sample (driver-side Lloyd on <=256 rows — the
+    standard IVF train-on-sample step); (2) distributed cell
+    assignment via map_batches with broadcast centroids; (3) queries
+    probe their 3 nearest cells; scoring runs distributed over the
+    assigned dataset with per-batch partial top-k, merged by a final
+    tiny groupby."""
+    import pandas as pd
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = ds.sort("vec_id").limit(256).take_all()
+    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = _lloyd_centroids(X, k=8)
+    queries = sorted(sample, key=lambda r: r["vec_id"])[:_N_QUERIES]
+    probes: dict[int, list[int]] = {}
+    for qi, q in enumerate(queries):
+        v = np.asarray(q["embedding"], dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        for c in np.argsort(-(C @ v))[:3]:
+            probes.setdefault(int(c), []).append(qi)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    import functools
+    return (ds
+            .map_batches(functools.partial(_ivf_assign,
+                                           centroids=C.tolist()),
+                         batch_format="pyarrow")
+            .map_batches(functools.partial(
+                _ivf_probe, queries=[dict(q) for q in queries],
+                probes=probes), batch_format="pyarrow")
+            .groupby("query_id").map_groups(final_topk,
+                                            batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -521,45 +682,68 @@ def q_image_decode(sf_dir):
                          batch_size=64, concurrency=2))
 
 
+def _phash_bands(b: pa.Table) -> pa.Table:
+    """pHash multi-index fan-out: 12 bands (4x6 + 8x5 bits), composite
+    pairs → C(12,2)=66 keys; d <= 10 dirties <= 10 bands so >= 2 stay
+    clean — zero-miss banding at the verify threshold."""
+    from .neardup import hamming_band_keys
+    vals = b["simhash"].to_numpy().astype(np.uint64)
+    ids = b["doc_id"].to_numpy()
+    band_idx, keys = hamming_band_keys(vals, n_bands=12, composite=2)
+    n, c = band_idx.shape
+    return pa.table({
+        "band": pa.array(band_idx.ravel()),
+        "key": pa.array(keys.ravel()),
+        "doc_id": pa.array(np.repeat(ids, c).astype(np.int64))})
+
+
 def q_image_phash_near_dup(sf_dir):
-    """Image near-dup by perceptual-hash Hamming distance <= 10 over the
-    synthetic page corpus + its lossy re-encodes (rows-only): the
-    image-payload analogue of SimHash dedup.  Each batch computes
-    pHashes in an actor stage; the small 64-bit signature table collapses
-    on the driver for pairing (at corpus scale: band the hash into 4x16
-    bit keys and groupby, as in q_jaccard_near_dup)."""
+    """Image near-dup by perceptual-hash Hamming distance <= 10 over
+    the synthetic page corpus + its lossy re-encodes (rows-only —
+    DuckDB can't decode images): the image-payload analogue of SimHash
+    dedup, running the SAME distributed banding pipeline
+    (pyspider_ray.neardup): pHash actor stage → 12-band composite
+    multi-index (zero misses at d<=10) → sort-shuffle pair expansion →
+    distinct → signature join → popcount verify.  Integer doc ids pack
+    (url_id*2 + lossy) so the pair machinery's 32-bit packing applies;
+    labels rehydrate at the end."""
     from .functions.imaging import fjpg_decode, fjpg_encode, phash64
     from .functions.synthweb import page_pixels
+    from .neardup import candidate_pairs, join_signatures
 
     def hashes(b: pa.Table) -> pa.Table:
         out = []
-        for iid in b["image_id"].to_pylist():
-            base, _, variant = iid.partition(":")
-            url_id = int(base.split("-")[1])
+        for did in b["doc_id"].to_pylist():
+            url_id, lossy = did >> 1, did & 1
             px = page_pixels(url_id)
-            if variant == "lossy":
+            if lossy:
                 px = fjpg_decode(fjpg_encode(px))
-            out.append(phash64(px))
-        return pa.table({"image_id": b["image_id"],
-                         "phash": pa.array(out, pa.int64())})
+            v = phash64(px) & ((1 << 64) - 1)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(out, pa.int64())})
 
-    ids = [f"img-{i:012d}" for i in range(100)] + \
-          [f"img-{i:012d}:lossy" for i in range(100)]
-    table = pa.table({"image_id": pa.array(ids, pa.string())})
-    sig = (_rd().from_arrow(table)
-           .map_batches(hashes, batch_format="pyarrow", batch_size=50)
-           .take_all())
-    items = [(r["image_id"], np.uint64(r["phash"] % (1 << 64)))
-             for r in sig]
-    out_a, out_b = [], []
-    for i in range(len(items)):
-        for j in range(i + 1, len(items)):
-            d = bin(int(items[i][1]) ^ int(items[j][1])).count("1")
-            if d <= 10:
-                out_a.append(items[i][0])
-                out_b.append(items[j][0])
-    return pa.table({"image_a": pa.array(out_a, pa.string()),
-                     "image_b": pa.array(out_b, pa.string())})
+    doc_ids = [(i << 1) | v for i in range(100) for v in (0, 1)]
+    base = _rd().from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64())})).repartition(4)
+    sigs = base.map_batches(hashes, batch_format="pyarrow",
+                            batch_size=50, concurrency=2).materialize()
+    triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(triples)
+    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
+    verified = joined.map_batches(_hamming_filter(10),
+                                  batch_format="pyarrow")
+
+    def label(b: pa.Table) -> pa.Table:
+        def name(d):
+            return f"img-{d >> 1:012d}" + (":lossy" if d & 1 else "")
+        return pa.table({
+            "image_a": pa.array([name(d) for d in
+                                 b["doc_a"].to_pylist()], pa.string()),
+            "image_b": pa.array([name(d) for d in
+                                 b["doc_b"].to_pylist()], pa.string())})
+
+    return verified.map_batches(label, batch_format="pyarrow")
 
 
 def q_crawl_order(sf_dir):
@@ -619,6 +803,27 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
         WHERE i * 10 >= 9 * (sa.sz + sb.sz - i)
+    """,
+    "simhash_near_dup": r"""
+        WITH w AS (SELECT DISTINCT doc_id,
+                          unnest(regexp_split_to_array(trim(text), '\s+'))
+                              AS word
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(word), 1, 16))::UBIGINT AS wh
+              FROM w),
+        bitv AS (SELECT doc_id, i,
+                        sum(CASE WHEN (wh >> i) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vote
+                 FROM h CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        sh AS (SELECT doc_id,
+                      sum(CASE WHEN vote > 0
+                          THEN (1::UBIGINT << i::INTEGER)
+                          ELSE 0 END)::UBIGINT AS simhash
+               FROM bitv GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
     "embedding_knn": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
