@@ -133,3 +133,11 @@ def page_payload(url_id: int, scale: int = 1) -> dict:
         "caption": page_caption(url_id),
         "phash": phash64(pixels),
     }
+
+
+def robots_body(disallow_prefixes) -> str:
+    """Deterministic robots.txt body for a synthetic host — what the
+    sandbox 'serves' to the RobotsCache fetcher (T4)."""
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: {p}" for p in disallow_prefixes]
+    return "\n".join(lines) + "\n"

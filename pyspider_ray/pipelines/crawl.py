@@ -65,6 +65,11 @@ class CrawlConfig:
     host_rate: float = 1e9             # per-host politeness budget
     host_burst: float = 1e9
     robots_disallow: dict = field(default_factory=dict)  # host -> [prefix]
+    # True = robots rules come from fetched+parsed robots.txt bodies
+    # with a TTL'd cache (stages.robots, T4); the synthetic web serves
+    # the bodies derived from robots_disallow. False = static prefixes.
+    robots_fetch: bool = False
+    robots_ttl: float = 60 * 60
     retry_delay: dict | None = None    # project retry ladder override (W4)
     fail_permille: int = 0
     loop_limit: int = 1000
@@ -80,6 +85,12 @@ class CrawlConfig:
     # plane: user callbacks drive the crawl (processor.py:102-203 role),
     # cronjobs/min_tick/crawl_config/retry_delay are read off the class
     handler_cls: type | None = None
+    # pluggable components (§2.10, run.py --fetcher-cls / ResultWorker
+    # analogues): a fetch stage class (ctor(**fetcher_kwargs), called
+    # per Arrow batch) and a result sink class (ctor(), called with
+    # (table, round_dir, part_idx) per finished chunk)
+    fetcher_cls: type | None = None
+    sink_cls: type | None = None
     # False = persist metadata/caption/phash but not image bytes: on a
     # single box the fixed-bandwidth local disk otherwise measures itself
     # rather than the engine (cluster object storage scales with nodes)
@@ -165,13 +176,18 @@ class _WorkerActor:
 
     def __init__(self, fetcher_kwargs: dict, processor_kwargs: dict,
                  persist_payload: bool = True,
-                 handler_spec: tuple | None = None):
+                 handler_spec: tuple | None = None,
+                 fetcher_cls: type | None = None,
+                 sink_cls: type | None = None):
         import gc
         import queue
         import threading
         gc.set_threshold(100_000, 50, 100)
-        from ..stages.fetcher import SyntheticFetcher
-        self.fetcher = SyntheticFetcher(**fetcher_kwargs)
+        if fetcher_cls is None:
+            from ..stages.fetcher import SyntheticFetcher
+            fetcher_cls = SyntheticFetcher
+        self.fetcher = fetcher_cls(**fetcher_kwargs)
+        self.sink = sink_cls() if sink_cls is not None else None
         if handler_spec is not None:
             from ..stages.handler_processor import HandlerProcessorStage
             handler_cls, project = handler_spec
@@ -193,12 +209,16 @@ class _WorkerActor:
         while True:
             results, round_dir, part_idx = self._write_queue.get()
             try:
-                os.makedirs(round_dir, exist_ok=True)
-                tmp = os.path.join(round_dir, f".part-{part_idx}.tmp")
-                # image bytes are already zlib-compressed; skip recompression
-                pq.write_table(results, tmp, compression="none")
-                os.rename(tmp, os.path.join(round_dir,
-                                            f"part-{part_idx}.parquet"))
+                if self.sink is not None:   # ResultWorker override hook
+                    self.sink(results, round_dir, part_idx)
+                else:
+                    os.makedirs(round_dir, exist_ok=True)
+                    tmp = os.path.join(round_dir, f".part-{part_idx}.tmp")
+                    # image bytes are already zlib-compressed; skip
+                    # recompression
+                    pq.write_table(results, tmp, compression="none")
+                    os.rename(tmp, os.path.join(round_dir,
+                                                f"part-{part_idx}.parquet"))
             finally:
                 self._write_queue.task_done()
 
@@ -280,12 +300,20 @@ class CrawlPipeline:
                                      loop_limit=cfg.loop_limit)
 
         self.coord.update_project(_project_config(cfg))
+        robots_cache = None
+        if cfg.robots_fetch:
+            from ..functions.synthweb import robots_body
+            from ..stages.robots import RobotsCache
+            disallow = dict(cfg.robots_disallow)
+            robots_cache = RobotsCache(
+                lambda host: robots_body(disallow.get(host, ())),
+                ttl=cfg.robots_ttl, clock=self.clock)
         self.gate = PolitenessGate(
             default_policy=HostPolicy(cfg.host_rate, cfg.host_burst),
             host_policies={h: HostPolicy(cfg.host_rate, cfg.host_burst,
                                          tuple(rules))
                            for h, rules in cfg.robots_disallow.items()},
-            clock=self.clock)
+            clock=self.clock, robots_cache=robots_cache)
         from ..state.metrics import MetricsHub
         self.metrics_hub = MetricsHub(self.clock)
 
@@ -396,7 +424,8 @@ class CrawlPipeline:
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
         spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
-        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload, spec)
+        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload, spec,
+                                           cfg.fetcher_cls, cfg.sink_cls)
                          for _ in range(cfg.concurrency)]
         return self._workers
 
@@ -424,7 +453,8 @@ class CrawlPipeline:
         # no-ray path: same stages, driver-side
         fetcher = getattr(self, "_local_fetcher", None)
         if fetcher is None:
-            fetcher = self._local_fetcher = SyntheticFetcher(
+            fcls = cfg.fetcher_cls or SyntheticFetcher
+            fetcher = self._local_fetcher = fcls(
                 fail_permille=cfg.fail_permille, page_scale=cfg.page_scale)
         processor = getattr(self, "_local_processor", None)
         if processor is None:
@@ -446,8 +476,15 @@ class CrawlPipeline:
             results = ResultBuilder(processed)
             ctrl = control_table(processed)
         if len(results):
-            os.makedirs(round_dir, exist_ok=True)
-            pq.write_table(results, os.path.join(round_dir, "part-0.parquet"))
+            if cfg.sink_cls is not None:
+                sink = getattr(self, "_local_sink", None)
+                if sink is None:
+                    sink = self._local_sink = cfg.sink_cls()
+                sink(results, round_dir, 0)
+            else:
+                os.makedirs(round_dir, exist_ok=True)
+                pq.write_table(results,
+                               os.path.join(round_dir, "part-0.parquet"))
         return ctrl
 
     def _ingest_handler_extras(self, ctrl_tables: list[pa.Table]) -> None:
@@ -756,17 +793,29 @@ def _main() -> None:
     ap.add_argument("--no-ray", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--script", default=None,
+                    help="handler script file: its BaseHandler subclass "
+                         "drives the crawl; # rate/# burst comments set "
+                         "the project bucket (S6)")
     args = ap.parse_args()
 
     import ray
     if not args.no_ray and not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+    extra = {}
+    if args.script:
+        from ..sources.projectdb import LocalProjectDB, build_handler
+        db = LocalProjectDB([args.script])
+        project = db.get_all()[0]
+        extra = {"handler_cls": build_handler(project),
+                 "project": project["name"],
+                 "rate": project["rate"], "burst": project["burst"]}
     cfg = CrawlConfig(total=args.total, n_seeds=args.seeds,
                       n_shards=args.shards, n_hosts=args.hosts,
                       out_dir=args.out, loop_limit=args.loop_limit,
                       concurrency=args.concurrency, skew=args.skew,
-                      use_ray=not args.no_ray)
+                      use_ray=not args.no_ray, **extra)
     if args.resume:
         pipe = CrawlPipeline.resume(cfg)
     else:
@@ -776,11 +825,12 @@ def _main() -> None:
                        checkpoint_every=args.checkpoint_every)
     pipe.checkpoint()
     table = pipe.results_table()
+    uniq_col = "image_id" if "image_id" in table.column_names else "taskid"
     print(json.dumps({
         "rounds": summary["rounds"],
         "fetched": summary["fetched"],
         "results": table.num_rows,
-        "unique_images": len(set(table["image_id"].to_pylist())),
+        "unique_images": len(set(table[uniq_col].to_pylist())),
         "out_dir": cfg.out_dir,
     }))
     if not args.no_ray:

@@ -149,14 +149,33 @@ def q_retry_ladder(sf_dir):
 
 
 def q_topn_per_group(sf_dir):
-    """O4 per-project budget shape — top-3 rows per group by priority."""
+    """O4 per-project budget shape — top-3 rows per group by priority.
+
+    Combiner-style: each batch pre-prunes to its local top-3 per key
+    (so the shuffle moves <= 3 rows per key per batch), then a COARSE
+    groupby (64 hash buckets of the key, not one group per key) takes
+    the global top-3 with one vectorized pandas groupby per bucket —
+    per-group Python overhead at millions of keys is the thing this
+    avoids."""
     import pandas as pd
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+
+    def local_top3(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        b = b.groupby("o_custkey", sort=False).head(3)
+        b["cb"] = (b["o_custkey"] % 64).astype("int64")
+        return b
+
+    def bucket_top3(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(3)
+                          ascending=[False, True])
+        g = g.groupby("o_custkey", sort=False).head(3)
         return g[["o_custkey", "o_orderkey"]]
-    return (_read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-            .groupby("o_custkey").map_groups(top3, batch_format="pandas"))
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                     "o_totalprice"])
+            .map_batches(local_top3, batch_format="pandas")
+            .groupby("cb").map_groups(bucket_top3, batch_format="pandas"))
 
 
 def q_active_tasks(sf_dir):

@@ -38,12 +38,16 @@ class PolitenessGate:
     def __init__(self, default_policy: HostPolicy | None = None,
                  host_policies: dict[str, HostPolicy] | None = None,
                  clock: Callable[[], float] = wall_clock,
-                 defer_delay: float = 1.0):
+                 defer_delay: float = 1.0,
+                 robots_cache=None):
         self.default_policy = default_policy or HostPolicy()
         self.host_policies = host_policies or {}
         self._clock = clock
         self.defer_delay = defer_delay
         self._buckets: dict[str, TokenBucket] = {}
+        # optional fetched+parsed robots.txt with TTL (stages.robots);
+        # overrides the static prefix rules when set
+        self.robots_cache = robots_cache
 
     def policy(self, host: str) -> HostPolicy:
         return self.host_policies.get(host, self.default_policy)
@@ -57,9 +61,12 @@ class PolitenessGate:
         return b
 
     def robots_allowed(self, host: str, url: str) -> bool:
-        """Prefix-rule robots check (stands in for RobotFileParser over a
-        fetched robots.txt; rules come from the politeness config table,
-        FIXTURES.md F5)."""
+        """Robots check: the fetched+parsed RobotsCache (TTL'd,
+        tornado_fetcher.py:289-324 parity) when configured, else the
+        static prefix rules from the politeness config table
+        (FIXTURES.md F5)."""
+        if self.robots_cache is not None:
+            return self.robots_cache.allowed(host, url)
         rules = self.policy(host).robots_disallow
         if not rules:
             return True

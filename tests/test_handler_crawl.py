@@ -180,3 +180,70 @@ class TestHandlerCrawlE2E:
         got = [r for r in rows if "got" in r["result"]]
         assert len(got) == 1
         assert got[0]["result"]["got"]["hello"].endswith("/page/7")
+
+
+class TestPluggableComponents:
+    def test_custom_fetcher_and_sink(self, tmp_path):
+        """§2.10 — fetcher-cls / ResultWorker-style sink overrides ride
+        the same crawl loop (run.py --fetcher-cls analogue)."""
+        import os
+        import pyarrow.parquet as pq
+        from pyspider_ray.stages.fetcher import SyntheticFetcher
+
+        class TaggingFetcher(SyntheticFetcher):
+            def _fetch_one(self, url, retried, etag="", fetch_type=""):
+                code, content, err = super()._fetch_one(
+                    url, retried, etag, fetch_type)
+                return code, content, err
+
+        class JsonlSink:
+            def __call__(self, table, round_dir, part_idx):
+                os.makedirs(round_dir, exist_ok=True)
+                path = os.path.join(round_dir, f"part-{part_idx}.jsonl")
+                with open(path, "a") as f:
+                    for row in table.select(["taskid", "url"]).to_pylist():
+                        f.write(json.dumps(row) + "\n")
+
+        cfg = CrawlConfig(total=40, n_seeds=4, n_shards=2, loop_limit=100,
+                          use_ray=False, out_dir=str(tmp_path / "plug"),
+                          fetcher_cls=TaggingFetcher, sink_cls=JsonlSink)
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=60)
+        lines = []
+        for root, _, files in os.walk(pipe.results_dir):
+            for fn in files:
+                if fn.endswith(".jsonl"):
+                    lines += open(os.path.join(root, fn)).read().splitlines()
+        assert len(lines) == 40     # every page went through the sink
+        assert all("taskid" in json.loads(l) for l in lines)
+
+
+class TestScriptCli:
+    def test_crawl_from_script_file(self, tmp_path):
+        """S6 e2e: a script file with # rate/# burst comments drives the
+        crawl loop through the projectdb loader."""
+        script = tmp_path / "myproj.py"
+        script.write_text(
+            "# rate: 100\n# burst: 100\n"
+            "from pyspider.libs.base_handler import *\n\n"
+            "class Handler(BaseHandler):\n"
+            "    def on_start(self, response):\n"
+            "        self.crawl('data:,seed', callback=self.page)\n\n"
+            "    def page(self, response):\n"
+            "        return {'seen': response.text}\n")
+        from pyspider_ray.sources.projectdb import (LocalProjectDB,
+                                                    build_handler)
+        db = LocalProjectDB([str(script)])
+        project = db.get_all()[0]
+        assert project["rate"] == 100.0
+        cfg = CrawlConfig(total=10, n_shards=2, loop_limit=50,
+                          use_ray=False, out_dir=str(tmp_path / "cli"),
+                          handler_cls=build_handler(project),
+                          project=project["name"],
+                          rate=project["rate"], burst=project["burst"])
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=20)
+        rows = results_rows(pipe)
+        assert any(r["result"].get("seen") == "seed" for r in rows)

@@ -1,0 +1,74 @@
+"""T4 — fetched+parsed robots.txt cache with TTL
+(tornado_fetcher.py:289-324 parity on a virtual clock)."""
+
+from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+from pyspider_ray.stages.robots import RobotsCache
+from pyspider_ray.state import VirtualClock
+
+
+class TestRobotsCache:
+    def test_parse_and_allow(self):
+        clock = VirtualClock(1000.0)
+        rc = RobotsCache(lambda host: "User-agent: *\nDisallow: /private\n",
+                         ttl=3600, clock=clock)
+        assert rc.allowed("h.test", "http://h.test/public/x")
+        assert not rc.allowed("h.test", "http://h.test/private/y")
+
+    def test_fetch_once_per_ttl_window(self):
+        clock = VirtualClock(1000.0)
+        rc = RobotsCache(lambda host: "User-agent: *\nDisallow:\n",
+                         ttl=100, clock=clock)
+        for _ in range(50):
+            rc.allowed("h.test", "http://h.test/a")
+        assert rc.fetch_count == 1          # cached within the TTL
+        clock.advance(101)
+        rc.allowed("h.test", "http://h.test/a")
+        assert rc.fetch_count == 2          # refetched after expiry
+
+    def test_rule_change_takes_effect_after_ttl(self):
+        clock = VirtualClock(1000.0)
+        rules = {"body": "User-agent: *\nDisallow:\n"}
+        rc = RobotsCache(lambda host: rules["body"], ttl=60, clock=clock)
+        assert rc.allowed("h.test", "http://h.test/secret/x")
+        rules["body"] = "User-agent: *\nDisallow: /secret\n"
+        # still allowed: the old parse is cached
+        assert rc.allowed("h.test", "http://h.test/secret/x")
+        clock.advance(61)
+        assert not rc.allowed("h.test", "http://h.test/secret/x")
+
+    def test_fetch_error_allows_all(self):
+        clock = VirtualClock(1000.0)
+
+        def boom(host):
+            raise OSError("unreachable")
+        rc = RobotsCache(boom, ttl=60, clock=clock)
+        assert rc.allowed("h.test", "http://h.test/anything")
+
+    def test_clear_expired(self):
+        clock = VirtualClock(1000.0)
+        rc = RobotsCache(lambda h: "", ttl=60, clock=clock)
+        rc.allowed("a.test", "http://a.test/")
+        clock.advance(61)
+        rc.allowed("b.test", "http://b.test/")
+        rc.clear_expired()
+        assert list(rc._cache) == ["b.test"]
+
+
+class TestCrawlWithFetchedRobots:
+    def test_crawl_matches_static_rules(self, tmp_path):
+        """robots_fetch=True serves synthetic robots.txt bodies through
+        the TTL cache; blocked set identical to the static config."""
+        cfg = CrawlConfig(total=100, n_seeds=10, n_shards=4,
+                          loop_limit=100, use_ray=False,
+                          retry_delay={"": 1},
+                          robots_disallow={"site0.test": ["/page/7"]},
+                          robots_fetch=True,
+                          out_dir=str(tmp_path / "robfetch"))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=200)
+        fetched = {int(i.split("-")[1])
+                   for i in pipe.results_table()["image_id"].to_pylist()}
+        assert fetched == set(range(100)) - {70, 75}
+        # each host's robots.txt fetched once per TTL window, not per URL
+        assert pipe.gate.robots_cache.fetch_count <= cfg.n_hosts
