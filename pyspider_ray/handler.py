@@ -157,6 +157,13 @@ class Response:
         return json.loads(self.text)
 
     @property
+    def cookies(self) -> dict:
+        """Session cookies from the response's Set-Cookie headers
+        (T8; libs/response.py cookies property analogue)."""
+        from .functions.cookies import extract_cookies
+        return extract_cookies(self.headers)
+
+    @property
     def doc(self):
         """Parsed document with links absolutized (response.py:139-163).
         PyQuery when lxml is installed; otherwise the stdlib-parser

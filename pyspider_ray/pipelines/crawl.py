@@ -72,6 +72,7 @@ class CrawlConfig:
     robots_ttl: float = 60 * 60
     retry_delay: dict | None = None    # project retry ladder override (W4)
     fail_permille: int = 0
+    session_cookies: bool = False      # T8: fetcher emits Set-Cookie rows
     loop_limit: int = 1000
     clock_step: float = 1.0
     out_dir: str = "/tmp/pyspider_ray_out"
@@ -420,7 +421,8 @@ class CrawlPipeline:
                             os.environ.get("PYTHONPATH", "")}}
         worker_cls = ray.remote(num_cpus=1, runtime_env=env)(_WorkerActor)
         fk = {"fail_permille": cfg.fail_permille,
-              "page_scale": cfg.page_scale}
+              "page_scale": cfg.page_scale,
+              "session_cookies": cfg.session_cookies}
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
         spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
@@ -455,7 +457,8 @@ class CrawlPipeline:
         if fetcher is None:
             fcls = cfg.fetcher_cls or SyntheticFetcher
             fetcher = self._local_fetcher = fcls(
-                fail_permille=cfg.fail_permille, page_scale=cfg.page_scale)
+                fail_permille=cfg.fail_permille, page_scale=cfg.page_scale,
+                session_cookies=cfg.session_cookies)
         processor = getattr(self, "_local_processor", None)
         if processor is None:
             if cfg.handler_cls is not None:

@@ -27,10 +27,15 @@ from ..functions import synthweb
 
 class SyntheticFetcher:
     def __init__(self, fail_permille: int = 0, fail_salt: int = 0xFA11,
-                 fail_until_retry: int = 1, page_scale: int = 1):
+                 fail_until_retry: int = 1, page_scale: int = 1,
+                 session_cookies: bool = False):
         self.fail_permille = fail_permille
         self.fail_salt = fail_salt
         self.page_scale = page_scale
+        # T8: when on, every 200 page response carries a deterministic
+        # Set-Cookie (sid bound to the url id) so cookie-session flows
+        # are exercisable in the sealed sandbox
+        self.session_cookies = session_cookies
         # a failing id returns 503 until the task's ``retried`` count
         # reaches this value — deterministic across any actor-pool layout
         # (no per-actor state), exercising the W4 retry ladder
@@ -80,6 +85,7 @@ class SyntheticFetcher:
         codes = np.empty(n, dtype=np.int32)
         contents: list[bytes] = []
         errors: list[str] = []
+        headers: list[str] = []
         times = np.empty(n, dtype=np.float64)
         for i, url in enumerate(urls):
             code, content, err = self._fetch_one(url, retried[i] or 0,
@@ -88,10 +94,22 @@ class SyntheticFetcher:
             codes[i] = code
             contents.append(content)
             errors.append(err)
+            if self.session_cookies and code == 200 \
+                    and not url.startswith("data:"):
+                import json as _json
+                uid = synthweb.parse_url_id(url)
+                sid = int(synthweb.mix64(uid, 0xC00C1E) %
+                          np.uint64(1 << 32))
+                headers.append(_json.dumps(
+                    {"Set-Cookie": f"sid={sid:08x}; Path=/"}))
+            else:
+                headers.append("")
             # deterministic pseudo fetch latency (metrics plumbing)
             times[i] = 0.01 + float(synthweb.mix64(i, 77) % np.uint64(50)) / 1000.0
         return (batch
                 .append_column("status_code", pa.array(codes, pa.int32()))
                 .append_column("content", pa.array(contents, pa.binary()))
                 .append_column("fetch_error", pa.array(errors, pa.string()))
+                .append_column("resp_headers", pa.array(headers,
+                                                        pa.string()))
                 .append_column("fetch_time", pa.array(times, pa.float64())))

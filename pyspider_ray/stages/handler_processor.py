@@ -75,8 +75,9 @@ class HandlerProcessorStage:
                 for name in ("taskid", "urlhash", "project", "url", "host",
                              "status_code", "content", "fetch_error",
                              "fetch_time", "callback", "save", "retried",
-                             "process_time_limit")
+                             "process_time_limit", "resp_headers")
                 if name in batch.column_names}
+        resp_headers = cols.get("resp_headers", [""] * n)
         callbacks = cols.get("callback", [None] * n)
         saves = cols.get("save", [None] * n)
         limits = cols.get("process_time_limit", [0.0] * n)
@@ -108,6 +109,8 @@ class HandlerProcessorStage:
                 status_code=cols.get("status_code", [200] * n)[i],
                 url=cols["url"][i],
                 content=cols.get("content", [b""] * n)[i] or b"",
+                headers=(json.loads(resp_headers[i])
+                         if resp_headers[i] else {}),
                 error=(cols.get("fetch_error", [None] * n)[i] or None),
                 save=save,
                 time=cols.get("fetch_time", [0.0] * n)[i])
@@ -155,7 +158,8 @@ class HandlerProcessorStage:
 
         out_t = batch.drop_columns(
             [c for c in ("content", "callback", "save", "retried",
-                         "process_time_limit", "fetch_error", "etag")
+                         "process_time_limit", "fetch_error", "etag",
+                         "resp_headers")
              if c in batch.column_names])
         return (out_t
                 .append_column("process_ok", pa.array(process_ok, pa.bool_()))

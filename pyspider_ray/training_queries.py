@@ -86,26 +86,29 @@ def q_stopword_count(sf_dir):
 
 
 def q_quality_score(sf_dir):
-    """Quality scoring heuristics (rows-only): length, mean word length,
-    stopword ratio, alpha ratio — the cheap filters a 100 TB text
-    pipeline runs before anything expensive."""
+    """Quality scoring heuristics — the cheap filters a 100 TB text
+    pipeline runs before anything expensive.  All outputs are INTEGER
+    counts plus an integer-arithmetic keep flag so the DuckDB oracle
+    hashes exactly (no float round-trip hazards): keep = stopwords*10 <
+    tokens*9 AND alpha_chars*2 > chars."""
     import pandas as pd
     stop = set(STOPWORDS)
     word_re = re.compile(r"\s+")
+
     def score(b: pd.DataFrame) -> pd.DataFrame:
         texts = b["text"].str.strip()
         words = texts.str.split(word_re)
-        n_tok = words.str.len().clip(lower=1)
-        stop_ratio = words.map(lambda ws: sum(w in stop for w in ws)) / n_tok
-        alpha = texts.str.count(r"[A-Za-z]") / texts.str.len().clip(lower=1)
+        n_tok = words.str.len().astype("int64")
+        n_stop = words.map(lambda ws: sum(w in stop for w in ws)) \
+            .astype("int64")
+        n_chars = texts.str.len().astype("int64")
+        n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
+        keep = ((n_stop * 10 < n_tok * 9) &
+                (n_alpha * 2 > n_chars)).astype("int64")
         return pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "n_chars_obs": texts.str.len().astype("int64"),
-            "mean_word_len": (texts.str.len() - (n_tok - 1)) / n_tok,
-            "stop_ratio": stop_ratio,
-            "alpha_ratio": alpha,
-            "keep": ((stop_ratio < 0.9) & (alpha > 0.5)).astype("int64"),
-        })
+            "doc_id": b["doc_id"], "n_chars_obs": n_chars,
+            "n_tokens": n_tok, "n_stop": n_stop, "n_alpha": n_alpha,
+            "keep": keep})
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(score, batch_format="pandas"))
 
@@ -119,8 +122,10 @@ _LANG_MARKERS = {
 
 
 def q_lang_id(sf_dir):
-    """Language-ID by stopword-marker voting (rows-only heuristic;
-    deterministic, ties broken by language name)."""
+    """Language-ID by stopword-marker voting: distinct-word hits per
+    language marker set, max vote wins, alphabetically-first language
+    wins ties, zero hits → 'unk'.  Deterministic and SQL-expressible,
+    so fully oracle-checked."""
     import pandas as pd
     def lid(b: pd.DataFrame) -> pd.DataFrame:
         preds = []
@@ -804,6 +809,26 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE i * 10 >= 9 * (sa.sz + sb.sz - i)
     """,
+    "quality_score": r"""
+        WITH s AS (
+            SELECT doc_id, trim(text) AS t,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents)
+        SELECT doc_id,
+               len(t) AS n_chars_obs,
+               len(ws) AS n_tokens,
+               len(list_filter(ws, x -> x IN
+                   ('the','a','of','to','and','in','is'))) AS n_stop,
+               len(regexp_extract_all(t, '[A-Za-z]')) AS n_alpha,
+               CAST(CASE WHEN len(list_filter(ws, x -> x IN
+                        ('the','a','of','to','and','in','is'))) * 10
+                        < len(ws) * 9
+                     AND len(regexp_extract_all(t, '[A-Za-z]')) * 2
+                        > len(t)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM s
+    """,
+    "lang_id": None,   # generated below from _LANG_MARKERS
     "simhash_near_dup": r"""
         WITH w AS (SELECT DISTINCT doc_id,
                           unnest(regexp_split_to_array(trim(text), '\s+'))
@@ -847,6 +872,32 @@ ORACLES: dict[str, str] = {
                                      b.embedding::DOUBLE[]) >= 0.3
     """,
 }
+
+def _lang_id_oracle() -> str:
+    """Generated from _LANG_MARKERS so the marker sets can never drift
+    between the Ray pipeline and the SQL oracle."""
+    values = ", ".join(f"('{lang}', '{w}')"
+                       for lang in sorted(_LANG_MARKERS)
+                       for w in sorted(_LANG_MARKERS[lang]))
+    return rf"""
+        WITH w AS (SELECT DISTINCT doc_id,
+                          unnest(regexp_split_to_array(trim(text), '\s+'))
+                              AS word
+                   FROM documents),
+        m(lang, word) AS (VALUES {values}),
+        hits AS (SELECT w.doc_id, m.lang, count(*) AS c
+                 FROM w JOIN m ON w.word = m.word GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+                 FROM hits)
+        SELECT d.doc_id, coalesce(b.lang, 'unk') AS pred_lang
+        FROM documents d
+        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """
+
+
+ORACLES["lang_id"] = _lang_id_oracle()
 
 QUERIES = {
     "token_count": q_token_count,

@@ -247,3 +247,58 @@ class TestScriptCli:
         pipe.run(max_rounds=20)
         rows = results_rows(pipe)
         assert any(r["result"].get("seen") == "seed" for r in rows)
+
+
+class TestCookieSession:
+    def test_cookie_pure_functions(self):
+        from pyspider_ray.functions.cookies import (extract_cookies,
+                                                    merge_cookies,
+                                                    parse_set_cookie)
+        assert parse_set_cookie("sid=abc123; Path=/; HttpOnly") == \
+            {"sid": "abc123"}
+        jar = extract_cookies({"Set-Cookie": "a=1; Path=/\nb=2"})
+        assert jar == {"a": "1", "b": "2"}
+        assert merge_cookies({"a": "1"}, None, {"a": "9", "c": "3"}) == \
+            {"a": "9", "c": "3"}
+
+    def test_cookie_session_through_crawl(self, tmp_path):
+        """T8 — a handler reads response.cookies and threads them onto a
+        follow; the jar lands in the stored task's fetch.cookies and
+        pack_request folds it into the Cookie header a real fetch actor
+        would send."""
+
+        class CookieHandler(BaseHandler):
+            def on_start(self, response):
+                self.crawl("http://site0.test/page/5",
+                           callback=self.login)
+
+            def login(self, response):
+                sid = response.cookies["sid"]
+                self.crawl("http://site0.test/page/6", callback=self.page,
+                           cookies={"sid": sid})
+                return {"sid": sid}
+
+            def page(self, response):
+                return {"ok": response.url}
+
+        pipe = run_pipe(CookieHandler, tmp_path, "cook", rounds=12,
+                        session_cookies=True)
+        rows = results_rows(pipe)
+        sid_rows = [r for r in rows if "sid" in r["result"]]
+        assert len(sid_rows) == 1
+        sid = sid_rows[0]["result"]["sid"]
+        assert sid and sid != ""
+        # the page/6 follow rode the dict path with its cookie jar
+        stored = []
+        for shard_rows in pipe.coord._call_all("dump_tasks", "handlerproj"):
+            stored.extend(shard_rows)
+        follow = [t for t in stored if t["url"].endswith("/page/6")]
+        assert len(follow) == 1
+        assert (follow[0].get("fetch") or {}).get("cookies") == {"sid": sid}
+        # and page/6 was fetched+processed
+        assert any(r["result"].get("ok", "").endswith("/page/6")
+                   for r in rows)
+        # request packing folds the jar into the Cookie header
+        from pyspider_ray.functions.requests_pack import pack_request
+        spec = pack_request(follow[0]["url"], follow[0])
+        assert f"sid={sid}" in spec["headers"]["Cookie"]
