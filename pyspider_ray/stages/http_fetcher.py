@@ -1,0 +1,176 @@
+"""Real HTTP fetch stage (S7) — stdlib urllib + a per-actor thread
+pool, same Arrow batch contract as ``SyntheticFetcher`` so it swaps in
+via ``CrawlConfig.fetcher_cls``.
+
+Semantics mirrored from the reference's tornado fetcher
+(fetcher/tornado_fetcher.py):
+
+- request construction is ``functions.requests_pack.pack_request``
+  (headers merge, conditional GET via etag/last-modified, cookies,
+  proxy, redirects, timeouts — :220-287);
+- ``handle_error`` parity (:202-216): the stage NEVER raises; HTTP
+  errors keep their status code and body, transport errors become
+  status 599 rows with the error text;
+- 100-way concurrency inside the fetch stage (the reference's
+  ``poolsize``, run.py:235) — here a thread pool sized by
+  ``pool_size``, amortized per actor;
+- gzip bodies are decoded when Content-Encoding says so;
+- per-response headers (incl. Set-Cookie) ride the ``resp_headers``
+  column into the handler data plane (cookie sessions, T8).
+
+Redirect policy: ``allow_redirects`` (default True) follows up to
+``max_redirects`` (default 5) by hand so every hop honors the packed
+headers; a redirect overflow yields 599 like the reference's tornado
+error path.
+
+No network exists in the build sandbox — tests drive this against a
+loopback ``http.server`` (tests/test_http_fetcher.py), which is also
+how the robots/conditional-GET behavior is verified end-to-end.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.requests_pack import pack_request
+
+
+class _NoRedirect(urllib.request.HTTPRedirectHandler):
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
+class HttpFetcher:
+    def __init__(self, user_agent: str = "pyspider-ray/1.0",
+                 pool_size: int = 16, timeout: float = 30.0,
+                 proxy: str | None = None, **_ignored):
+        self.user_agent = user_agent
+        self.timeout = timeout
+        self.proxy = proxy
+        self.pool = ThreadPoolExecutor(max_workers=pool_size)
+        # redirects are followed manually (per-hop header control)
+        self.opener = urllib.request.build_opener(_NoRedirect)
+
+    def _one_hop(self, spec: dict):
+        req = urllib.request.Request(
+            spec["url"], data=(spec.get("body") or "").encode() or None,
+            headers=spec.get("headers") or {},
+            method=spec.get("method", "GET"))
+        timeout = min(float(spec.get("request_timeout") or self.timeout),
+                      self.timeout)
+        return self.opener.open(req, timeout=timeout)
+
+    @staticmethod
+    def _body(resp) -> bytes:
+        content = resp.read()
+        if (resp.headers.get("Content-Encoding") or "").lower() == "gzip":
+            try:
+                content = gzip.decompress(content)
+            except OSError:
+                pass
+        return content
+
+    def _fetch_one(self, url: str, task: dict) -> dict:
+        t0 = time.monotonic()
+        if url.startswith("data:"):
+            # control tasks / inline payloads: the reference's
+            # data_fetch path (tornado_fetcher.py:178-200)
+            from ..functions.dataurl import decode as dataurl_decode
+            try:
+                body = dataurl_decode(url) if "," in url else ""
+            except Exception as exc:
+                return {"code": 599, "content": b"", "headers": {},
+                        "error": f"bad data URI: {exc}", "time": 0.0}
+            if isinstance(body, str):
+                body = body.encode("utf-8")
+            return {"code": 200, "content": body, "headers": {},
+                    "error": "", "time": 0.0}
+        spec = pack_request(url, task, user_agent=self.user_agent,
+                            fetcher_proxy=self.proxy)
+        hops = 0
+        max_redirects = int(spec.get("max_redirects", 5))
+        follow = bool(spec.get("follow_redirects", True))
+        try:
+            while True:
+                try:
+                    resp = self._one_hop(spec)
+                except urllib.error.HTTPError as e:
+                    if e.code in (301, 302, 303, 307, 308) and follow:
+                        loc = e.headers.get("Location")
+                        if not loc:
+                            raise
+                        hops += 1
+                        if hops > max_redirects:
+                            return {"code": 599, "content": b"",
+                                    "headers": {},
+                                    "error": "too many redirects",
+                                    "time": time.monotonic() - t0}
+                        spec["url"] = urllib.parse.urljoin(spec["url"],
+                                                           loc)
+                        if e.code == 303:
+                            spec["method"] = "GET"
+                            spec.pop("body", None)
+                        continue
+                    # non-redirect HTTP status: keep code + body
+                    return {"code": e.code, "content": e.read() or b"",
+                            "headers": dict(e.headers or {}),
+                            "error": "", "time": time.monotonic() - t0}
+                return {"code": resp.status,
+                        "content": self._body(resp),
+                        "headers": dict(resp.headers),
+                        "error": "", "time": time.monotonic() - t0}
+        except Exception as exc:   # transport error → 599 (never raise)
+            return {"code": 599, "content": b"", "headers": {},
+                    "error": str(exc), "time": time.monotonic() - t0}
+
+    def fetch_text(self, url: str) -> str:
+        """Convenience for small side-fetches (robots.txt bodies)."""
+        out = self._fetch_one(url, {})
+        return out["content"].decode("utf-8", "ignore") \
+            if out["code"] == 200 else ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        n = len(urls)
+
+        def col(name, default):
+            return batch[name].to_pylist() if name in batch.column_names \
+                else [default] * n
+        etags = col("etag", "")
+        saves = col("save", "")
+
+        tasks = []
+        for i in range(n):
+            fetch: dict = {}
+            if etags[i]:
+                fetch["etag"] = etags[i]
+            if saves[i]:
+                try:
+                    decoded = json.loads(saves[i])
+                    if isinstance(decoded, dict) and "fetch" in decoded:
+                        fetch.update(decoded["fetch"])
+                except (TypeError, ValueError):
+                    pass
+            tasks.append({"fetch": fetch})
+        results = list(self.pool.map(self._fetch_one, urls, tasks))
+        return (batch
+                .append_column("status_code", pa.array(
+                    np.array([r["code"] for r in results], np.int32)))
+                .append_column("content", pa.array(
+                    [r["content"] for r in results], pa.binary()))
+                .append_column("fetch_error", pa.array(
+                    [r["error"] for r in results], pa.string()))
+                .append_column("resp_headers", pa.array(
+                    [json.dumps(r["headers"]) if r["headers"] else ""
+                     for r in results], pa.string()))
+                .append_column("fetch_time", pa.array(
+                    np.array([r["time"] for r in results], np.float64))))

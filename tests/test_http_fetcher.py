@@ -1,0 +1,182 @@
+"""Real-HTTP fetch stage against a loopback http.server: status/body/
+headers, conditional GET, redirects (incl. overflow), gzip, cookies,
+robots.txt over HTTP, and the reference's canonical demo flow — fetch
+real HTML → ``response.doc('a[href]')`` → follow — end-to-end through
+the crawl loop (sample_handler.py:12-25 ported)."""
+
+import gzip
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from pyspider_ray.handler import BaseHandler
+from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+from pyspider_ray.stages.http_fetcher import HttpFetcher
+
+N_PAGES = 12
+
+
+def _page_html(i: int) -> str:
+    links = "".join(f'<a href="/site/p{j}.html">p{j}</a>'
+                    for j in (2 * i + 1, 2 * i + 2) if j < N_PAGES)
+    return (f"<html><head><title>page {i}</title></head>"
+            f"<body><h1>Page {i}</h1>{links}"
+            f'<a href="/private/x.html">secret</a></body></html>')
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):   # quiet
+        pass
+
+    def _send(self, code, body=b"", headers=()):
+        self.send_response(code)
+        for k, v in headers:
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        p = self.path
+        if p == "/ok":
+            self._send(200, b"hello world")
+        elif p == "/etag":
+            if self.headers.get("If-None-Match") == '"v1"':
+                self._send(304)
+            else:
+                self._send(200, b"fresh body", [("ETag", '"v1"')])
+        elif p == "/redir":
+            self._send(302, b"", [("Location", "/ok")])
+        elif p == "/loop":
+            self._send(302, b"", [("Location", "/loop")])
+        elif p == "/gzip":
+            body = gzip.compress(b"compressed payload")
+            self._send(200, body, [("Content-Encoding", "gzip")])
+        elif p == "/cookie":
+            self._send(200, b"cookie page",
+                       [("Set-Cookie", "sid=xyz42; Path=/")])
+        elif p == "/echo-ua":
+            self._send(200, (self.headers.get("User-Agent") or "")
+                       .encode())
+        elif p == "/robots.txt":
+            self._send(200, b"User-agent: *\nDisallow: /private\n")
+        elif p.startswith("/site/p") and p.endswith(".html"):
+            i = int(p[len("/site/p"):-len(".html")])
+            self._send(200, _page_html(i).encode())
+        elif p.startswith("/private/"):
+            self._send(200, b"should never be fetched")
+        else:
+            self._send(404, b"nope")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base
+    srv.shutdown()
+
+
+class TestHttpFetcher:
+    def test_batch_fetch_statuses(self, server):
+        f = HttpFetcher(pool_size=4, timeout=5)
+        batch = pa.table({"url": [f"{server}/ok", f"{server}/404",
+                                  f"{server}/redir", f"{server}/gzip",
+                                  "http://127.0.0.1:1/unreachable"]})
+        out = f(batch)
+        codes = out["status_code"].to_pylist()
+        bodies = out["content"].to_pylist()
+        errs = out["fetch_error"].to_pylist()
+        assert codes[0] == 200 and bodies[0] == b"hello world"
+        assert codes[1] == 404 and bodies[1] == b"nope"
+        assert codes[2] == 200 and bodies[2] == b"hello world"  # followed
+        assert codes[3] == 200 and bodies[3] == b"compressed payload"
+        assert codes[4] == 599 and errs[4]
+
+    def test_conditional_get_304(self, server):
+        f = HttpFetcher(timeout=5)
+        first = f(pa.table({"url": [f"{server}/etag"]}))
+        assert first["status_code"].to_pylist() == [200]
+        etag = json.loads(first["resp_headers"].to_pylist()[0])["ETag"]
+        again = f(pa.table({"url": [f"{server}/etag"], "etag": [etag]}))
+        assert again["status_code"].to_pylist() == [304]
+
+    def test_redirect_overflow_599(self, server):
+        f = HttpFetcher(timeout=5)
+        out = f(pa.table({"url": [f"{server}/loop"]}))
+        assert out["status_code"].to_pylist() == [599]
+        assert "redirect" in out["fetch_error"].to_pylist()[0]
+
+    def test_cookies_and_ua_headers(self, server):
+        f = HttpFetcher(user_agent="graft-test/9", timeout=5)
+        out = f(pa.table({"url": [f"{server}/cookie",
+                                  f"{server}/echo-ua"]}))
+        headers = json.loads(out["resp_headers"].to_pylist()[0])
+        assert "sid=xyz42" in headers["Set-Cookie"]
+        assert out["content"].to_pylist()[1] == b"graft-test/9"
+
+    def test_robots_over_http(self, server):
+        from pyspider_ray.stages.robots import RobotsCache
+        f = HttpFetcher(timeout=5)
+        host = server.split("//")[1]
+        rc = RobotsCache(lambda h: f.fetch_text(f"http://{h}/robots.txt"))
+        assert rc.allowed(host, f"{server}/site/p0.html")
+        assert not rc.allowed(host, f"{server}/private/x.html")
+
+
+class SiteHandler(BaseHandler):
+    """The reference sample handler's shape (sample_handler.py:12-25):
+    on_start seeds, index_page follows every a[href] and returns the
+    title."""
+
+    base = ""   # set per test
+
+    def on_start(self, response):
+        self.crawl(f"{self.base}/site/p0.html", callback=self.index_page)
+
+    def index_page(self, response):
+        for a in response.doc("a[href]"):
+            self.crawl(a.attr("href"), callback=self.index_page)
+        title = response.doc("title")
+        return {"url": response.url,
+                "title": title[0].text if title else ""}
+
+
+class TestRealHttpCrawl:
+    def test_crawl_real_html_site(self, server, tmp_path):
+        """HttpFetcher + MiniDoc + BaseHandler + frontier + robots over
+        HTTP: crawl the loopback site, follow extracted links, skip the
+        robots-disallowed /private page."""
+        from pyspider_ray.stages.http_fetcher import HttpFetcher
+        from pyspider_ray.stages.robots import RobotsCache
+
+        SiteHandler.base = server
+        cfg = CrawlConfig(total=N_PAGES, n_shards=2, loop_limit=100,
+                          use_ray=False, out_dir=str(tmp_path / "http"),
+                          handler_cls=SiteHandler, project="site",
+                          fetcher_cls=HttpFetcher)
+        pipe = CrawlPipeline(cfg)
+        f = HttpFetcher(timeout=5)
+        pipe.gate.robots_cache = RobotsCache(
+            lambda h: f.fetch_text(f"http://{h}/robots.txt"),
+            clock=pipe.clock)
+        pipe.seed()
+        for _ in range(40):
+            m = pipe.run_round()
+            if not m["emitted"] and not m["admitted"] \
+                    and not pipe._pending_new and not pipe._pending_status \
+                    and not pipe._pending_ctrl and pipe.coord.is_quiescent():
+                break
+        rows = [dict(r, result=json.loads(r["result"]))
+                for r in pipe.results_table().to_pylist()]
+        titles = {r["result"]["title"] for r in rows}
+        assert titles == {f"page {i}" for i in range(N_PAGES)}
+        # the robots-disallowed page was never fetched
+        assert not any("/private/" in r["url"] for r in rows)
+        blocked = sum(m["blocked"] for m in pipe.metrics)
+        assert blocked >= 1
