@@ -352,6 +352,177 @@ def q_doc_fingerprint(sf_dir):
             .map_batches(fp, batch_format="pyarrow"))
 
 
+# ---------------------------------------------------------------------------
+# custom operators Ray Data lacks natively (BASELINE brief: as-of join,
+# range join, windowed aggregates) — expressed as coarse-bucket
+# co-partition + vectorized per-group kernels (the same machinery as
+# pyspider_ray.neardup), never a per-key map_groups
+# ---------------------------------------------------------------------------
+
+_TS_SHIFT = np.int64(1) << np.int64(52)   # user_id*2^52 + epoch_us packing
+
+
+def q_asof_join(sf_dir):
+    """As-of join: for each 'click' event, the user's most recent
+    'purchase' at-or-before its timestamp.  Both sides hash-partition
+    by user into 64 coarse buckets; each group resolves the as-of
+    lookup with ONE np.searchsorted over (user, ts)-packed keys —
+    vectorized, no per-key Python."""
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        user = t["user_id"].to_numpy()
+        ts_us = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": pa.array(user),
+            "ts_us": pa.array(ts_us),
+            "is_click": pc.equal(t["event_type"], "click"),
+            "cb": pa.array((user % 64).astype(np.int64))})
+
+    def asof(g: pa.Table) -> pa.Table:
+        click = g.filter(g["is_click"].combine_chunks())
+        purch = g.filter(pc.invert(g["is_click"].combine_chunks()))
+        if not len(click) or not len(purch):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "purchase_id": pa.array([], pa.int64())})
+        pu = purch["user_id"].to_numpy().astype(np.int64)
+        pt = purch["ts_us"].to_numpy()
+        pid = purch["event_id"].to_numpy()
+        # tie-safe: one purchase per (user, ts) — keep max event_id,
+        # mirroring the oracle's QUALIFY dedup
+        tie_order = np.lexsort((pid, pt, pu))
+        pu, pt, pid = pu[tie_order], pt[tie_order], pid[tie_order]
+        last = np.ones(len(pu), dtype=bool)
+        last[:-1] = (pu[1:] != pu[:-1]) | (pt[1:] != pt[:-1])
+        pu, pt, pid = pu[last], pt[last], pid[last]
+        cu = click["user_id"].to_numpy().astype(np.int64)
+        ct = click["ts_us"].to_numpy()
+        cid = click["event_id"].to_numpy()
+        pk = pu * _TS_SHIFT + pt
+        order = np.argsort(pk)
+        pk, pid_s, pu_s = pk[order], pid[order], pu[order]
+        idx = np.searchsorted(pk, cu * _TS_SHIFT + ct, side="right") - 1
+        ok = idx >= 0
+        idx = np.maximum(idx, 0)
+        ok &= pu_s[idx] == cu          # the hit must be the same user
+        return pa.table({
+            "event_id": pa.array(cid[ok].astype(np.int64)),
+            "purchase_id": pa.array(pid_s[idx[ok]].astype(np.int64))})
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                     "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("cb").map_groups(asof, batch_format="pyarrow"))
+
+
+class _RangeJoinCount:
+    """Range join (broadcast small side): count orders whose price
+    falls in each event's [value*1000, value*1000+5000) cents band.
+    The sorted order-price array loads once per actor (1 MB at sf0.1 —
+    the canonical broadcast-small-side case); counts are two
+    searchsorted calls per batch."""
+
+    def __init__(self, sf_dir: str):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_totalprice"])
+        cents = np.round(t["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        self.prices = np.sort(cents)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        lo = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1000) \
+            .astype(np.int64) * 100
+        hi = lo + 500_000
+        n = np.searchsorted(self.prices, hi, side="left") - \
+            np.searchsorted(self.prices, lo, side="left")
+        return pa.table({"event_id": b["event_id"],
+                         "n_orders_in_band": pa.array(n.astype(np.int64))})
+
+
+def q_range_join_count(sf_dir):
+    return (_read(sf_dir, "events", ["event_id", "value"])
+            .map_batches(_RangeJoinCount,
+                         fn_constructor_kwargs={"sf_dir": sf_dir},
+                         batch_format="pyarrow", concurrency=2))
+
+
+def q_sliding_window(sf_dir):
+    """Sliding windowed aggregate: 5-minute windows advancing by 1
+    minute — each event fans out to its 5 covering windows inside
+    map_batches (combiner-style partial counts), then one small
+    groupby sums partials."""
+    from ray.data.aggregate import Sum
+
+    def fanout(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        mins = b["ts"].cast(pa.int64()).to_numpy() // 60_000_000
+        wins = (mins[:, None] - np.arange(5)[None, :]).ravel()
+        g = pd.DataFrame({"win_start_min": wins, "n": 1}) \
+            .groupby("win_start_min", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_read(sf_dir, "events", ["ts"])
+            .map_batches(fanout, batch_format="pyarrow")
+            .groupby("win_start_min")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def q_session_windows(sf_dir):
+    """Session windows: per user, a >30-minute gap starts a new
+    session (gaps-and-islands).  Coarse-bucket co-partition by user,
+    one vectorized diff/cumsum per group."""
+    def prep(b: pa.Table) -> pa.Table:
+        user = b["user_id"].to_numpy()
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "cb": pa.array((user % 64).astype(np.int64))})
+
+    def sessions(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        user = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts_us"].to_numpy()
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new = np.ones(len(user), dtype=np.int64)
+        if len(user) > 1:
+            same = user[1:] == user[:-1]
+            close = (ts[1:] - ts[:-1]) <= 1_800_000_000
+            new[1:] = ~(same & close)
+        # session index per user = cumulative breaks within the user run
+        sid = np.cumsum(new)
+        # re-base sid per user: subtract the sid at each user's first row
+        first = np.ones(len(user), dtype=bool)
+        first[1:] = user[1:] != user[:-1]
+        base = np.maximum.accumulate(np.where(first, sid, 0))
+        sid = sid - base + 1
+        df = pd.DataFrame({"user_id": user, "session_id": sid, "t": ts})
+        out = df.groupby(["user_id", "session_id"], as_index=False) \
+            .agg(n_events=("t", "size"), start_us=("t", "min"),
+                 end_us=("t", "max"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("cb").map_groups(sessions, batch_format="pyarrow"))
+
+
+def q_hash_sample(sf_dir):
+    """Deterministic hash sampling: keep rows whose md5(event_id) low
+    64 bits fall in the lowest 10% — reproducible across engines and
+    restarts (unlike random_sample)."""
+    def flt(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        keep = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                               "big") % 100 < 10 for i in ids]
+        return b.filter(pa.array(keep))
+    return (_read(sf_dir, "events", ["event_id", "user_id"])
+            .map_batches(flt, batch_format="pyarrow"))
+
+
 ORACLES: dict[str, str] = {
     "status_count": """
         SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
@@ -456,6 +627,55 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": """
         SELECT doc_id, md5(text) AS fp FROM documents
     """,
+    "asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'
+                   QUALIFY row_number() OVER (
+                       PARTITION BY user_id, ts
+                       ORDER BY event_id DESC) = 1),
+             c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT c.event_id, p.event_id AS purchase_id
+        FROM c ASOF JOIN p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "range_join_count": """
+        WITH b AS (SELECT event_id,
+                          CAST(floor(value * 1000) AS BIGINT) * 100 AS lo
+                   FROM events)
+        SELECT b.event_id,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_in_band
+        FROM b LEFT JOIN orders o
+          ON CAST(round(o.o_totalprice * 100) AS BIGINT) >= b.lo
+         AND CAST(round(o.o_totalprice * 100) AS BIGINT) < b.lo + 500000
+        GROUP BY b.event_id
+    """,
+    "sliding_window": """
+        SELECT (epoch_us(ts) // 60000000) - k.k AS win_start_min,
+               count(*) AS n
+        FROM events CROSS JOIN (SELECT unnest(range(5)) AS k) k
+        GROUP BY 1
+    """,
+    "session_windows": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        o AS (SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                          OR t - lag(t) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        s AS (SELECT user_id, t,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, min(t) AS start_us, max(t) AS end_us
+        FROM s GROUP BY 1, 2
+    """,
+    "hash_sample": """
+        SELECT event_id, user_id FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+              ::UBIGINT % 100 < 10
+    """,
 }
 
 QUERIES = {
@@ -478,4 +698,9 @@ QUERIES = {
     "common_fields": q_common_fields,
     "canonical_tasks": q_canonical_tasks,
     "doc_fingerprint": q_doc_fingerprint,
+    "asof_join": q_asof_join,
+    "range_join_count": q_range_join_count,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
+    "hash_sample": q_hash_sample,
 }
