@@ -70,6 +70,10 @@ class CrawlConfig:
     # the bodies derived from robots_disallow. False = static prefixes.
     robots_fetch: bool = False
     robots_ttl: float = 60 * 60
+    # >0 = ShardedPolitenessGate with hot-host splitting (north-rule
+    # skew path); 0 = single driver-side gate
+    gate_shards: int = 0
+    hot_host_threshold: int = 256
     retry_delay: dict | None = None    # project retry ladder override (W4)
     fail_permille: int = 0
     session_cookies: bool = False      # T8: fetcher emits Set-Cookie rows
@@ -309,12 +313,19 @@ class CrawlPipeline:
             robots_cache = RobotsCache(
                 lambda host: robots_body(disallow.get(host, ())),
                 ttl=cfg.robots_ttl, clock=self.clock)
-        self.gate = PolitenessGate(
+        gate_kwargs = dict(
             default_policy=HostPolicy(cfg.host_rate, cfg.host_burst),
             host_policies={h: HostPolicy(cfg.host_rate, cfg.host_burst,
                                          tuple(rules))
                            for h, rules in cfg.robots_disallow.items()},
             clock=self.clock, robots_cache=robots_cache)
+        if cfg.gate_shards > 0:
+            from ..stages.politeness import ShardedPolitenessGate
+            self.gate = ShardedPolitenessGate(
+                n_shards=cfg.gate_shards,
+                hot_threshold=cfg.hot_host_threshold, **gate_kwargs)
+        else:
+            self.gate = PolitenessGate(**gate_kwargs)
         from ..state.metrics import MetricsHub
         self.metrics_hub = MetricsHub(self.clock)
 

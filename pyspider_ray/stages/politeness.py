@@ -73,10 +73,19 @@ class PolitenessGate:
         path = url.split(host, 1)[-1] if host and host in url else url
         return not any(path.startswith(rule) for rule in rules)
 
+    def _bucket_for(self, task: dict) -> TokenBucket:
+        """Bucket owning this task's admission (overridden by the
+        sharded gate for hot-host splitting)."""
+        return self._bucket(task.get("host") or "")
+
+    def _observe_demand(self, tasks: list[dict]) -> None:
+        pass   # hook for the sharded gate's hot-host detector
+
     def admit(self, tasks: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
         """Split an emission-ordered fetch batch into
         (admitted, deferred, robots_blocked); consumes one token per
         admitted task from its host bucket."""
+        self._observe_demand(tasks)
         admitted: list[dict] = []
         deferred: list[dict] = []
         blocked: list[dict] = []
@@ -90,7 +99,7 @@ class PolitenessGate:
                     not self.robots_allowed(host, url):
                 blocked.append(task)
                 continue
-            bucket = self._bucket(host)
+            bucket = self._bucket_for(task)
             if bucket.get() >= 1:
                 bucket.desc()
                 admitted.append(task)
@@ -107,3 +116,79 @@ class PolitenessGate:
         for host, bsnap in snap.get("buckets", {}).items():
             self._buckets[host] = TokenBucket.restore(bsnap, self._clock)
         self.defer_delay = snap.get("defer_delay", self.defer_delay)
+
+
+class ShardedPolitenessGate(PolitenessGate):
+    """Host-partitioned politeness with HOT-HOST SPLITTING — the
+    north-rule skew path for 10^10-URL frontiers.
+
+    Layout: host buckets hash-partition across ``n_shards`` owners
+    (each shard is one politeness actor on a real cluster; here the
+    shard dicts model that ownership and record per-shard admission
+    counts so tests can assert the load spread).  A cold host's bucket
+    lives on exactly one shard — per-host rate semantics identical to
+    the plain gate.
+
+    Hot-host splitting: when one host's demand in a single admission
+    round exceeds ``hot_threshold``, its bucket splits into
+    ``split_factor`` sub-buckets keyed ``(host, urlhash % k)``, each
+    carrying ``rate/k`` / ``burst/k`` and hashed to (generally)
+    different shards — the aggregate admission rate for the host is
+    preserved (k x rate/k) while no single shard serializes the hot
+    host's admissions.  Token quantization makes sub-bucket admission
+    order differ slightly from the single-bucket order within a round;
+    the per-host aggregate rate over any window is unchanged.
+    """
+
+    def __init__(self, *args, n_shards: int = 4, hot_threshold: int = 256,
+                 split_factor: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.n_shards = n_shards
+        self.hot_threshold = hot_threshold
+        self.split_factor = split_factor
+        self.split_hosts: dict[str, int] = {}      # host -> k
+        self.shard_admits = [0] * n_shards         # accounting (tests/UI)
+
+    def _shard_of(self, key: str) -> int:
+        import hashlib
+        return int.from_bytes(hashlib.md5(key.encode()).digest()[:4],
+                              "big") % self.n_shards
+
+    def _observe_demand(self, tasks: list[dict]) -> None:
+        if not self.hot_threshold:
+            return
+        demand: dict[str, int] = {}
+        for t in tasks:
+            host = t.get("host") or ""
+            if host:
+                demand[host] = demand.get(host, 0) + 1
+        for host, n in demand.items():
+            if n > self.hot_threshold and host not in self.split_hosts:
+                self.split_hosts[host] = self.split_factor
+
+    def _bucket_for(self, task: dict) -> TokenBucket:
+        host = task.get("host") or ""
+        k = self.split_hosts.get(host, 1)
+        if k <= 1:
+            self.shard_admits[self._shard_of(host)] += 1
+            return self._bucket(host)
+        sub = int(task.get("urlhash", 0)) % k
+        key = f"{host}#{sub}"
+        self.shard_admits[self._shard_of(key)] += 1
+        b = self._buckets.get(key)
+        if b is None:
+            pol = self.policy(host)
+            b = TokenBucket(rate=pol.rate / k, burst=max(pol.burst / k, 1.0),
+                            clock=self._clock)
+            self._buckets[key] = b
+        return b
+
+    # -- checkpoint ----------------------------------------------------------
+    def snapshot(self) -> dict:
+        snap = super().snapshot()
+        snap["split_hosts"] = dict(self.split_hosts)
+        return snap
+
+    def restore_buckets(self, snap: dict) -> None:
+        super().restore_buckets(snap)
+        self.split_hosts.update(snap.get("split_hosts", {}))
