@@ -751,6 +751,136 @@ def q_image_phash_near_dup(sf_dir):
     return verified.map_batches(label, batch_format="pyarrow")
 
 
+class _AudioFeatureStage:
+    """Actor-pool audio decode + feature extraction: the codec binds
+    once per actor (__init__); each batch decodes clips and emits the
+    integer feature columns a filtering pipeline thresholds on.  The
+    codec is the sandbox FAUD stand-in (functions/media.py) — swap
+    soundfile/ffmpeg in __init__ outside the sandbox."""
+
+    def __init__(self):
+        from .functions.media import audio_decode, audio_features
+        self._decode = audio_decode
+        self._features = audio_features
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        rows = []
+        for data in b["bytes"].to_pylist():
+            sr, samples = self._decode(data)
+            rows.append(self._features(samples, sr))
+        cols = {"clip_id": b["clip_id"]}
+        for k in ("n_samples", "sr", "rms_milli", "zero_crossings",
+                  "peak_milli", "n_frames", "frame_rms_mean_milli"):
+            cols[k] = pa.array([r[k] for r in rows], pa.int64())
+        return pa.table(cols)
+
+
+def q_audio_features(sf_dir):
+    """Multimodal audio pipeline (rows-only; deterministic from seeds):
+    binary clips → actor-pool decode → integer feature columns."""
+    from .functions.media import synth_audio
+    clips = pa.table({
+        "clip_id": pa.array([f"aud-{i:06d}" for i in range(100)],
+                            pa.string()),
+        "bytes": pa.array([synth_audio(i) for i in range(100)],
+                          pa.binary())})
+    return (_rd().from_arrow(clips)
+            .map_batches(_AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=2))
+
+
+class _FrameSampleStage:
+    """Actor-pool video decode + frame sampling (every 4th frame) +
+    per-sampled-frame mean/phash-style stats — the standard pre-filter
+    before per-frame model inference.  Small batches: raw frames are
+    the wide payload (batch_size sized so batch x concurrency fits the
+    worker heap, per the brief's memory-awareness rule)."""
+
+    def __init__(self, every: int = 4):
+        from .functions.media import sample_frames, video_decode
+        self._decode = video_decode
+        self._sample = sample_frames
+        self.every = every
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        clip_ids, frame_idx, means = [], [], []
+        for cid, data in zip(b["clip_id"].to_pylist(),
+                             b["bytes"].to_pylist()):
+            frames = self._decode(data)
+            sampled = self._sample(frames, self.every)
+            for j, fr in zip(range(0, len(frames), self.every), sampled):
+                clip_ids.append(cid)
+                frame_idx.append(j)
+                means.append(int(round(float(fr.mean()))))
+        return pa.table({"clip_id": pa.array(clip_ids, pa.string()),
+                         "frame_idx": pa.array(frame_idx, pa.int64()),
+                         "mean_px": pa.array(means, pa.int64())})
+
+
+def q_video_frame_sample(sf_dir):
+    """Multimodal video pipeline (rows-only): binary clips →
+    actor-pool decode → every-4th-frame sample → per-frame stats."""
+    from .functions.media import synth_video
+    clips = pa.table({
+        "clip_id": pa.array([f"vid-{i:06d}" for i in range(50)],
+                            pa.string()),
+        "bytes": pa.array([synth_video(i) for i in range(50)],
+                          pa.binary())})
+    return (_rd().from_arrow(clips)
+            .map_batches(_FrameSampleStage, batch_format="pyarrow",
+                         batch_size=8, concurrency=2))
+
+
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+
+
+def q_token_count_bpe(sf_dir):
+    """BPE-ish tokenizer count (GPT-2-style coarse split: letter runs,
+    digit runs, punctuation runs, each with optional leading space) —
+    compiled once, vectorized per batch; oracle uses the same RE2/
+    Python-compatible pattern."""
+    def counts(b: pa.Table) -> pa.Table:
+        n = [len(_BPE_RE.findall(t)) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(counts, batch_format="pyarrow"))
+
+
+def q_winnow_fingerprint(sf_dir):
+    """Winnowing document fingerprint (rows-only): Rabin-style rolling
+    hash over word 4-grams, then the minimum hash per sliding window of
+    5 — the classic local-fingerprint scheme for plagiarism/near-dup
+    detection (Schleimer et al., SIGMOD'03).  Emits per-doc fingerprint
+    count + xor-fold digest (order-independent)."""
+    B = np.uint64(1_000_003)
+
+    def fp(b: pa.Table) -> pa.Table:
+        n_fp, digest = [], []
+        for text in b["text"].to_pylist():
+            wh = _word_hashes(text.split())   # positional, not set
+            if len(wh) < 4:
+                n_fp.append(0)
+                digest.append(0)
+                continue
+            # rolling 4-gram hash, vectorized over positions
+            g = (wh[:-3] * B**np.uint64(3) + wh[1:-2] * B**np.uint64(2)
+                 + wh[2:-1] * B + wh[3:])
+            if len(g) >= 5:
+                w = np.lib.stride_tricks.sliding_window_view(g, 5)
+                sel = np.unique(w.min(axis=1))
+            else:
+                sel = np.asarray([g.min()], dtype=np.uint64)
+            n_fp.append(int(len(sel)))
+            d = int(np.bitwise_xor.reduce(sel))
+            digest.append(d - (1 << 64) if d >= (1 << 63) else d)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_fingerprints": pa.array(n_fp, pa.int64()),
+                         "digest": pa.array(digest, pa.int64())})
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fp, batch_format="pyarrow"))
+
+
 def q_crawl_order(sf_dir):
     """Frontier emission order on a 200-id synthetic web (rows-only;
     the ordering contract itself is pinned by the pytest suite)."""
@@ -829,6 +959,13 @@ ORACLES: dict[str, str] = {
         FROM s
     """,
     "lang_id": None,   # generated below from _LANG_MARKERS
+    "token_count_bpe": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
     "simhash_near_dup": r"""
         WITH w AS (SELECT DISTINCT doc_id,
                           unnest(regexp_split_to_array(trim(text), '\s+'))
@@ -914,5 +1051,9 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "image_decode": q_image_decode,
     "image_phash_near_dup": q_image_phash_near_dup,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
+    "token_count_bpe": q_token_count_bpe,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "crawl_order": q_crawl_order,
 }

@@ -1,0 +1,69 @@
+"""Multimodal codec + feature kernels (functions/media.py) and the
+winnowing fingerprint kernel — deterministic round-trips and the
+properties the pipeline stages rely on."""
+
+import numpy as np
+import pytest
+
+from pyspider_ray.functions.media import (audio_decode, audio_features,
+                                          sample_frames, synth_audio,
+                                          synth_video, video_decode)
+
+
+class TestAudio:
+    def test_roundtrip_deterministic(self):
+        a1 = synth_audio(7)
+        a2 = synth_audio(7)
+        assert a1 == a2
+        sr, samples = audio_decode(a1)
+        assert sr == 8000 and len(samples) == 8000
+        assert np.abs(samples).max() <= 1.0
+
+    def test_features_sane(self):
+        sr, samples = audio_decode(synth_audio(3))
+        f = audio_features(samples, sr)
+        assert f["n_samples"] == 8000
+        assert 0 < f["rms_milli"] < 1000
+        assert f["zero_crossings"] > 100       # two sine components
+        assert f["n_frames"] == 8000 // 200    # 25 ms @ 8 kHz
+
+    def test_bad_payload_raises(self):
+        with pytest.raises(ValueError):
+            audio_decode(b"not audio")
+
+
+class TestVideo:
+    def test_roundtrip_and_sampling(self):
+        clip = synth_video(5, w=32, h=24, n_frames=16)
+        frames = video_decode(clip)
+        assert frames.shape == (16, 24, 32)
+        sampled = sample_frames(frames, every=4)
+        assert sampled.shape == (4, 24, 32)
+        assert np.array_equal(sampled[0], frames[0])
+        assert np.array_equal(sampled[1], frames[4])
+
+    def test_frames_differ(self):
+        frames = video_decode(synth_video(5))
+        assert not np.array_equal(frames[0], frames[1])
+
+
+class TestWinnowing:
+    def test_shared_fingerprints_for_overlapping_docs(self):
+        """Docs sharing a long substring share winnowing fingerprints;
+        disjoint docs don't (the property near-dup detection uses)."""
+        from pyspider_ray.training_queries import _word_hashes
+        B = np.uint64(1_000_003)
+
+        def fps(text):
+            wh = _word_hashes(text.split())
+            g = (wh[:-3] * B**np.uint64(3) + wh[1:-2] * B**np.uint64(2)
+                 + wh[2:-1] * B + wh[3:])
+            w = np.lib.stride_tricks.sliding_window_view(g, 5)
+            return set(np.unique(w.min(axis=1)).tolist())
+
+        core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        a = fps("start one two " + core + " tail x y")
+        b = fps("completely different prefix words " + core)
+        c = fps("unrelated content with nothing in common at all here ok")
+        assert a & b                      # shared region → shared prints
+        assert not (a & c)
