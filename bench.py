@@ -34,7 +34,10 @@ CRAWL_SEEDS = 64
 
 QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "priority_topk", "dedup_exact", "token_count",
-               "jaccard_near_dup", "embedding_knn"]
+               "jaccard_near_dup", "embedding_knn",
+               # round-2 additions (keep the r1 list above unchanged
+               # for cross-round comparability)
+               "simhash_near_dup", "asof_join", "session_windows"]
 
 
 def init_ray():

@@ -152,9 +152,36 @@ def q_dedup_exact(sf_dir):
 
 
 def q_dedup_counts(sf_dir):
+    """Corpus dedup accounting: total rows + exact distinct-content
+    count.  Distinct runs distributed — 128-bit content digests,
+    coarse-bucket shuffle, one np.unique per group, 64 partial counts
+    summed on the driver (never `ds.unique()`, which materializes the
+    distinct VALUES driver-side)."""
     ds = _read(sf_dir, "documents", ["text"])
     total = ds.count()
-    distinct = len(ds.unique("text"))
+
+    def digest(b: pa.Table) -> pa.Table:
+        h1, h2, cb = [], [], []
+        for t in b["text"].to_pylist():
+            d = hashlib.md5(t.encode()).digest()
+            a = int.from_bytes(d[:8], "big", signed=True)
+            h1.append(a)
+            h2.append(int.from_bytes(d[8:], "big", signed=True))
+            cb.append(a % 64)
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
+                         "cb": pa.array(cb, pa.int64())})
+
+    def count_unique(g: pa.Table) -> pa.Table:
+        arr = np.stack([g["h1"].to_numpy(), g["h2"].to_numpy()], axis=1)
+        return pa.table({"n": pa.array(
+            [len(np.unique(arr, axis=0))], pa.int64())})
+
+    parts = (ds.map_batches(digest, batch_format="pyarrow")
+             .groupby("cb").map_groups(count_unique,
+                                       batch_format="pyarrow")
+             .take_all())
+    distinct = sum(p["n"] for p in parts)
     return pa.table({"total": pa.array([total], pa.int64()),
                      "distinct_texts": pa.array([distinct], pa.int64())})
 
