@@ -302,3 +302,34 @@ class TestCookieSession:
         from pyspider_ray.functions.requests_pack import pack_request
         spec = pack_request(follow[0]["url"], follow[0])
         assert f"sid={sid}" in spec["headers"]["Cookie"]
+
+
+class TestHandlerCheckpointResume:
+    def test_resume_handler_crawl(self, tmp_path):
+        """M4 in handler mode: checkpoint mid-crawl, rebuild from disk,
+        finish; no page fetched twice, results complete."""
+        out = str(tmp_path / "hresume")
+        cfg = CrawlConfig(total=TOTAL, n_hosts=N_HOSTS, n_shards=4,
+                          loop_limit=100, out_dir=out, use_ray=False,
+                          handler_cls=LinkHandler, project="handlerproj",
+                          concurrency=2)
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(3):
+            pipe.run_round()
+        pipe.checkpoint()
+        fetched_mid = sum(m["fetched"] for m in pipe.metrics)
+        resumed = CrawlPipeline.resume(cfg)
+        assert resumed.round_idx == pipe.round_idx
+        assert sum(m["fetched"] for m in resumed.metrics) == fetched_mid
+        for _ in range(60):
+            m = resumed.run_round()
+            if not m["emitted"] and not m["admitted"] \
+                    and not resumed._pending_new \
+                    and not resumed._pending_status \
+                    and not resumed._pending_ctrl \
+                    and resumed.coord.is_quiescent():
+                break
+        rows = results_rows(resumed)
+        ids = [r["result"]["image_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == TOTAL
