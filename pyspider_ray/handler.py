@@ -170,11 +170,13 @@ class Response:
         MiniDoc substitute (same ``doc('a[href]')`` call shape)."""
         if self._doc is None:
             try:
+                # any pyquery failure (absent, stubbed, lxml parse
+                # error) falls back to the stdlib parser
                 from pyquery import PyQuery
                 d = PyQuery(self.text)
                 d.make_links_absolute(self.url)
                 self._doc = d
-            except ImportError:
+            except Exception:
                 from .functions.htmldoc import MiniDoc
                 self._doc = MiniDoc(self.text, base_url=self.url)
         return self._doc
@@ -312,8 +314,10 @@ class BaseHandler(metaclass=HandlerMeta):
         if kwargs.get("data"):
             kwargs.setdefault("method", "POST")
         if kwargs.get("user_agent"):
+            # the reference KEEPS user_agent as a fetch field besides
+            # injecting the header (base_handler.py:298-300)
             kwargs.setdefault("headers", {})
-            kwargs["headers"]["User-Agent"] = kwargs.pop("user_agent")
+            kwargs["headers"]["User-Agent"] = kwargs["user_agent"]
 
         task: dict = {"project": self.project_name, "url": url}
         schedule = {}

@@ -107,15 +107,13 @@ class LocalProjectDB:
                 if p["updatetime"] > timestamp]
 
 
-def _register_compat_alias() -> None:
-    """Let unmodified reference scripts import their handler base."""
-    if "pyspider.libs.base_handler" in sys.modules:
-        return
-    try:
-        import pyspider.libs.base_handler  # noqa: F401 — real one exists
-        return
-    except ImportError:
-        pass
+_ALIAS_KEYS = ("pyspider", "pyspider.libs", "pyspider.libs.base_handler")
+
+
+def _make_compat_modules() -> dict:
+    """Module triple mapping the reference's import path onto OUR
+    handler API, so unmodified reference scripts exec against this
+    engine's BaseHandler."""
     from .. import handler as _h
     pkg = types.ModuleType("pyspider")
     libs = types.ModuleType("pyspider.libs")
@@ -125,21 +123,34 @@ def _register_compat_alias() -> None:
             setattr(bh, name, getattr(_h, name))
     pkg.libs = libs
     libs.base_handler = bh
-    sys.modules.setdefault("pyspider", pkg)
-    sys.modules.setdefault("pyspider.libs", libs)
-    sys.modules["pyspider.libs.base_handler"] = bh
+    return {"pyspider": pkg, "pyspider.libs": libs,
+            "pyspider.libs.base_handler": bh}
 
 
 def build_handler(project: dict):
     """Exec the project script, return its BaseHandler subclass
-    (project_module.py:30-87; ``__handler_cls__`` override wins)."""
+    (project_module.py:30-87; ``__handler_cls__`` override wins).
+
+    The compat alias is FORCED for the duration of the exec (and the
+    previous sys.modules entries restored after): a script must always
+    subclass THIS engine's BaseHandler, even if something else — e.g.
+    the differential tests importing the real reference module — has
+    already claimed the ``pyspider.libs.base_handler`` name."""
     from ..handler import BaseHandler
-    _register_compat_alias()
-    module = types.ModuleType(project["name"])
-    module.__dict__["__name__"] = project["name"]
-    code = compile(project["script"], project.get("path", project["name"]),
-                   "exec")
-    exec(code, module.__dict__)
+    saved = {k: sys.modules.get(k) for k in _ALIAS_KEYS}
+    sys.modules.update(_make_compat_modules())
+    try:
+        module = types.ModuleType(project["name"])
+        module.__dict__["__name__"] = project["name"]
+        code = compile(project["script"],
+                       project.get("path", project["name"]), "exec")
+        exec(code, module.__dict__)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
     cls = module.__dict__.get("__handler_cls__")
     if cls is None:
         for value in module.__dict__.values():
