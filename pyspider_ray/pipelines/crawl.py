@@ -453,13 +453,18 @@ class CrawlPipeline:
             per = max(16, math.ceil(len(table) / (len(workers) * 2)))
             queue = list(enumerate(table.slice(i, per)
                                    for i in range(0, len(table), per)))
-            state = {"round_dir": round_dir, "queue": queue, "refs": {}}
+            # inflight keeps each dispatched chunk so a dead worker's
+            # chunk can be re-dispatched (idempotent: payload parts
+            # write via atomic rename, control rows are regenerated)
+            state = {"round_dir": round_dir, "queue": queue, "refs": {},
+                     "inflight": {}}
             for w in workers:
                 if not state["queue"]:
                     break
                 idx, chunk = state["queue"].pop(0)
                 ref = w.process_chunk.remote(chunk, round_dir, idx)
                 state["refs"][ref] = (idx, w)
+                state["inflight"][idx] = chunk
             # the caller resolves next round, overlapping worker compute
             # with the driver's control-plane work
             return state
@@ -530,23 +535,58 @@ class CrawlPipeline:
         }
 
     # -- rounds --------------------------------------------------------------
+    def _replace_worker(self, dead) -> object:
+        """Spawn a fresh data-plane worker in a dead one's slot (W:
+        worker fault tolerance — frontier state lives in the shard
+        actors, so data-plane workers are freely replaceable)."""
+        import ray
+        cfg = self.cfg
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
+                            os.environ.get("PYTHONPATH", "")}}
+        worker_cls = ray.remote(num_cpus=1, runtime_env=env)(_WorkerActor)
+        fk = {"fail_permille": cfg.fail_permille,
+              "page_scale": cfg.page_scale,
+              "session_cookies": cfg.session_cookies}
+        pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
+              "skew": cfg.skew, "follow_priority": cfg.follow_priority}
+        spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
+        fresh = worker_cls.remote(fk, pk, cfg.persist_payload, spec,
+                                  cfg.fetcher_cls, cfg.sink_cls)
+        self._workers = [fresh if w is dead else w for w in self._workers]
+        return fresh
+
     def _drain_plane(self, state: dict, on_chunk=None) -> list[pa.Table]:
         """Run a data-plane state to completion: completion-driven
         re-dispatch of queued chunks; ``on_chunk`` fires for each control
-        table in deterministic submission order."""
+        table in deterministic submission order.  A worker that dies
+        mid-chunk is replaced and its chunk re-dispatched (idempotent —
+        payload parts publish via atomic rename)."""
         import ray
         results: dict[int, pa.Table] = {}
         ordered: list[pa.Table] = []
         pending = dict(state["refs"])
+        inflight = state.get("inflight", {})
         next_idx = 0
         while pending:
             done, _ = ray.wait(list(pending), num_returns=1)
             idx, worker = pending.pop(done[0])
-            results[idx] = ray.get(done[0])
+            try:
+                results[idx] = ray.get(done[0])
+            except ray.exceptions.RayActorError:
+                fresh = self._replace_worker(worker)
+                chunk = inflight[idx]
+                ref = fresh.process_chunk.remote(chunk, state["round_dir"],
+                                                 idx)
+                pending[ref] = (idx, fresh)
+                continue
+            inflight.pop(idx, None)
             if state["queue"]:
                 j, chunk = state["queue"].pop(0)
                 ref = worker.process_chunk.remote(chunk, state["round_dir"], j)
                 pending[ref] = (j, worker)
+                inflight[j] = chunk
             while next_idx in results:
                 t = results.pop(next_idx)
                 if on_chunk is not None:
@@ -674,7 +714,11 @@ class CrawlPipeline:
     def _flush_writes(self) -> None:
         if self.cfg.use_ray and getattr(self, "_workers", None):
             import ray
-            ray.get([w.flush.remote() for w in self._workers])
+            for w in list(self._workers):
+                try:
+                    ray.get(w.flush.remote())
+                except ray.exceptions.RayActorError:
+                    self._replace_worker(w)
 
     # -- inspection ----------------------------------------------------------
     def seen_taskids(self) -> list[str]:

@@ -298,3 +298,26 @@ class TestCrawlRayMode:
         a = sorted(pipe.results_table()["image_id"].to_pylist())
         b = sorted(local.results_table()["image_id"].to_pylist())
         assert a == b == [f"img-{i:012d}" for i in range(200)]
+
+
+class TestWorkerFaultTolerance:
+    def test_worker_death_mid_crawl(self, tmp_path, ray_session):
+        """A data-plane worker killed mid-crawl is replaced and its
+        chunk re-dispatched; the crawl still reaches full coverage with
+        exact dedup (payload part files publish via atomic rename, so
+        the retry is idempotent)."""
+        import ray
+        out = str(tmp_path / "fault")
+        cfg = CrawlConfig(out_dir=out, use_ray=True, batch_size=64,
+                          concurrency=3, **dict(BASE, total=200))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run_round()
+        pipe.run_round()
+        # murder one worker while its next chunks are pending
+        victim = pipe._worker_pool()[0]
+        ray.kill(victim, no_restart=True)
+        pipe.run(max_rounds=100)
+        ids = pipe.results_table()["image_id"].to_pylist()
+        assert len(ids) == len(set(ids)) == 200
+        assert victim not in pipe._workers   # replaced, not reused
