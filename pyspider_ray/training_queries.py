@@ -908,6 +908,64 @@ def q_winnow_fingerprint(sf_dir):
             .map_batches(fp, batch_format="pyarrow"))
 
 
+def q_kmeans_embeddings(sf_dir):
+    """Distributed k-means over the embedding column (rows-only: an
+    iterative algorithm with no SQL equivalent) — the canonical
+    map-reduce Lloyd iteration: each batch computes PARTIAL per-cluster
+    (sum, count) against broadcast centroids; the driver combines the
+    tiny partials and updates centroids; repeat.  Per iteration the
+    corpus streams once; nothing but (k x dim) centroid matrices ever
+    sits on the driver.  Deterministic init: first k vectors by
+    vec_id."""
+    import functools
+    K, ITERS = 8, 5
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init = ds.sort("vec_id").limit(K).take_all()
+    C = np.array([r["embedding"] for r in init], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    def partials(b: pa.Table, centroids) -> pa.Table:
+        Cm = np.asarray(centroids, dtype=np.float64)
+        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        assign = np.argmax(En @ Cm.T, axis=1)
+        sums = np.zeros_like(Cm)
+        np.add.at(sums, assign, En)
+        counts = np.bincount(assign, minlength=len(Cm))
+        return pa.table({
+            "cluster": pa.array(np.arange(len(Cm), dtype=np.int64)),
+            "vec_sum": pa.array(sums.tolist(),
+                                pa.list_(pa.float64())),
+            "n": pa.array(counts.astype(np.int64))})
+
+    for _ in range(ITERS):
+        parts = ds.map_batches(
+            functools.partial(partials, centroids=C.tolist()),
+            batch_format="pyarrow").take_all()
+        sums = np.zeros_like(C)
+        counts = np.zeros(K, dtype=np.int64)
+        for p in parts:
+            sums[p["cluster"]] += np.asarray(p["vec_sum"])
+            counts[p["cluster"]] += p["n"]
+        for c in range(K):
+            if counts[c]:
+                v = sums[c] / counts[c]
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    def assign_final(b: pa.Table, centroids) -> pa.Table:
+        Cm = np.asarray(centroids, dtype=np.float64)
+        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(np.argmax(En @ Cm.T, axis=1)
+                                .astype(np.int64))})
+
+    return ds.map_batches(functools.partial(assign_final,
+                                            centroids=C.tolist()),
+                          batch_format="pyarrow")
+
+
 def q_crawl_order(sf_dir):
     """Frontier emission order on a 200-id synthetic web (rows-only;
     the ordering contract itself is pinned by the pytest suite)."""
@@ -1082,5 +1140,6 @@ QUERIES = {
     "video_frame_sample": q_video_frame_sample,
     "token_count_bpe": q_token_count_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "crawl_order": q_crawl_order,
 }
