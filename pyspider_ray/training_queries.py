@@ -1,15 +1,19 @@
 """Large-scale training-data operators over the documents/embeddings
 tables: dedup (exact, set-fingerprint, MinHash+LSH Jaccard, SimHash),
-similarity search (brute-force cosine top-k, IVF-bucketed variant),
-text analysis (token counts, stopwords, language-ID, quality), and the
-multimodal decode plumbing over synthetic image pages.
+similarity search (brute-force cosine top-k, IVF, k-means), text
+analysis (token counts incl. BPE-ish, stopwords, language-ID, quality,
+winnowing fingerprints), and multimodal stages (image decode/pHash,
+audio features, video frame-sampling) over synthetic payloads.
 
 SQL-expressible ops carry DuckDB oracles (integer outputs only — no
-float hash hazards); approximate ops (SimHash, IVF, language-ID) are
-rows-only checks.  Each stage follows the scale pattern: signatures are
-computed per batch, candidate generation is a groupby over band
-buckets, verification joins against a broadcast word-set index loaded
-once per actor.
+float hash hazards); approximate/iterative ops (IVF, k-means,
+multimodal) are rows-only checks.  The near-dup family runs on the
+distributed machinery in ``pyspider_ray.neardup``: per-batch
+signatures → coarse-bucket hash-shuffle pair expansion → bucketed
+distinct → co-partitioned signature attach → vectorized verification.
+No stage materializes the corpus on the driver or broadcasts it into
+an actor; small sides (centroids, query matrices, sorted price arrays)
+ride actor constructors / task args by design.
 """
 
 from __future__ import annotations
