@@ -212,3 +212,26 @@ class TestDifferentialCrawl:
         rt = r.crawl("http://example.com/z", callback="page")
         ot = o.crawl("http://example.com/z", callback="page")
         assert ot["taskid"] == rt["taskid"] == "fixed:http://example.com/z"
+
+
+class TestDifferentialCrawlConfigJoin:
+    def test_task_join_crawl_config_parity(self):
+        """M7/J6 — nested-dict merge with per-task precedence
+        (base_handler.py:227-253) against the reference function."""
+        cases = [
+            ({}, {"headers": {"A": "1"}, "timeout": 30,
+                  "process_time_limit": 9}),
+            ({"fetch": {"headers": {"A": "task"}, "data": "x"}},
+             {"headers": {"A": "proj", "B": "2"}, "timeout": 30}),
+            ({"process": {"callback": "page"}},
+             {"process_time_limit": 5}),
+            ({"fetch": {"timeout": 1}}, {"timeout": 99,
+                                         "validate_cert": False}),
+        ]
+        for task_partial, crawl_config in cases:
+            import copy
+            rt = ref_bh.BaseHandler.task_join_crawl_config(
+                copy.deepcopy(task_partial), copy.deepcopy(crawl_config))
+            ot = BaseHandler.task_join_crawl_config(
+                copy.deepcopy(task_partial), copy.deepcopy(crawl_config))
+            assert ot == rt, (task_partial, crawl_config)
