@@ -213,6 +213,7 @@ class ProcessorResult:
     result: Any = None
     follows: list = field(default_factory=list)
     messages: list = field(default_factory=list)
+    logs: str = ""                      # captured callback stdout (M14)
     exception: str | None = None
     not_send_status: bool = False
 
@@ -388,15 +389,21 @@ class BaseHandler(metaclass=HandlerMeta):
         if limit:
             self._budget_deadline = t0 + float(limit)
         out = ProcessorResult()
+        # M14 — stdout capture: callback prints land in result.logs
+        # (the reference's SaveLogHandler/ListO buffer role)
+        import contextlib
+        import io
+        buf = io.StringIO()
         try:
-            result = self._dispatch(task, response)
-            if inspect.isgenerator(result):
-                for r in result:
-                    self.check_time_budget()
-                    self.on_result(r)
-            else:
-                self.on_result(result)
-                out.result = result
+            with contextlib.redirect_stdout(buf):
+                result = self._dispatch(task, response)
+                if inspect.isgenerator(result):
+                    for r in result:
+                        self.check_time_budget()
+                        self.on_result(r)
+                else:
+                    self.on_result(result)
+                    out.result = result
             # M14 — cooperative budget: a callback that ran past its
             # limit fails even though it returned (the SIGALRM analogue)
             if limit and time.monotonic() - t0 > float(limit):
@@ -406,6 +413,7 @@ class BaseHandler(metaclass=HandlerMeta):
         except Exception as exc:  # never raise out of the harness (M13)
             out.exception = repr(exc)
             out.result = None  # a failed task ships no result row
+        out.logs = buf.getvalue()
         callback = (task.get("process") or {}).get("callback", "__call__")
         func = getattr(self, callback, None)
         out.not_send_status = bool(getattr(func, "_not_send_status", False))

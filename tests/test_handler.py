@@ -207,3 +207,34 @@ class TestHandlerStage:
         assert ok == [True, False]
         res = json.loads(out["result"].to_pylist()[0])
         assert res["len"] == 5
+
+
+class TestStdoutCapture:
+    def test_callback_prints_land_in_logs(self):
+        class H(BaseHandler):
+            def page(self, response):
+                print("debug line one")
+                print("debug line two")
+                return {"ok": 1}
+
+        h = H(project_name="p")
+        out = h.run_task(
+            {"taskid": "t", "project": "p", "url": "http://x.test/",
+             "process": {"callback": "page"}},
+            Response(status_code=200, url="http://x.test/", content=b"x"))
+        assert out.ok and out.result == {"ok": 1}
+        assert out.logs == "debug line one\ndebug line two\n"
+
+    def test_exception_still_captures_logs(self):
+        class H(BaseHandler):
+            def page(self, response):
+                print("before boom")
+                raise RuntimeError("boom")
+
+        h = H(project_name="p")
+        out = h.run_task(
+            {"taskid": "t", "project": "p", "url": "http://x.test/",
+             "process": {"callback": "page"}},
+            Response(status_code=200, url="http://x.test/", content=b"x"))
+        assert not out.ok and "boom" in out.exception
+        assert "before boom" in out.logs
