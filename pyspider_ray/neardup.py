@@ -36,6 +36,10 @@ def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
     returns packed uint64 (lo<<32 | hi) pairs."""
     if len(band) == 0:
         return np.empty(0, dtype=np.uint64)
+    # pair packing is (lo<<32 | hi): doc ids must fit 32 bits — fail
+    # loud rather than silently corrupt pairs (at >2^32 docs switch the
+    # packed column to a (doc_a, doc_b) struct key)
+    assert doc.max(initial=0) < (1 << 32), "doc_id exceeds 32-bit packing"
     order = np.lexsort((doc, key, band))
     band, key, doc = band[order], key[order], doc[order]
     new_run = np.ones(len(band), dtype=bool)

@@ -399,6 +399,11 @@ def q_asof_join(sf_dir):
         cu = click["user_id"].to_numpy().astype(np.int64)
         ct = click["ts_us"].to_numpy()
         cid = click["event_id"].to_numpy()
+        # packed key = user*2^52 + ts_us: valid while user < 2^11 and
+        # ts_us < 2^52 (year ~2112); fail loud outside that envelope
+        # (larger key spaces: searchsorted per user-run after lexsort)
+        assert pu.max(initial=0) < (1 << 11) and cu.max(initial=0) < (1 << 11)
+        assert pt.max(initial=0) < (1 << 52) and ct.max(initial=0) < (1 << 52)
         pk = pu * _TS_SHIFT + pt
         order = np.argsort(pk)
         pk, pid_s, pu_s = pk[order], pid[order], pu[order]
