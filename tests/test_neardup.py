@@ -1,0 +1,89 @@
+"""Unit contracts of the distributed pair machinery
+(pyspider_ray/neardup.py): candidate generation matches brute force,
+co-partitioned attach equals a hash join, multi-index Hamming banding
+has zero misses inside its pigeonhole envelope, hot buckets cap."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyspider_ray.neardup import (attach_column, candidate_pairs,
+                                  hamming_band_keys, join_signatures)
+
+
+def _triples_table(rows):
+    return pa.table({"band": pa.array([r[0] for r in rows], pa.int64()),
+                     "key": pa.array([r[1] for r in rows], pa.int64()),
+                     "doc_id": pa.array([r[2] for r in rows], pa.int64())})
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+    return rd
+
+
+class TestCandidatePairs:
+    def test_matches_bruteforce(self, rd):
+        rng = np.random.RandomState(7)
+        rows = []
+        for d in range(100):
+            for band in range(4):
+                key = (d // 3) * 10 + band if d % 2 == 0 \
+                    else int(rng.randint(0, 1000))
+                rows.append((band, key, d))
+        pairs = candidate_pairs(rd.from_arrow(_triples_table(rows))
+                                .repartition(5))
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
+        buckets = collections.defaultdict(list)
+        for band, key, d in rows:
+            buckets[(band, key)].append(d)
+        exp = set()
+        for mem in buckets.values():
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    exp.add((min(mem[i], mem[j]), max(mem[i], mem[j])))
+        assert got == exp
+
+    def test_max_bucket_caps_hot_buckets(self, rd):
+        rows = [(0, 1, d) for d in range(50)]          # one hot bucket
+        rows += [(1, 2, 0), (1, 2, 1)]                 # one small bucket
+        pairs = candidate_pairs(rd.from_arrow(_triples_table(rows)),
+                                max_bucket=10)
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
+        assert got == {(0, 1)}          # hot bucket dropped, small kept
+
+
+class TestAttach:
+    def test_attach_equals_hash_join(self, rd):
+        pairs_t = pa.table({
+            "doc_a": pa.array([1, 2, 3, 99], pa.int64()),   # 99 absent
+            "doc_b": pa.array([4, 5, 6, 7], pa.int64())})
+        sig_t = pa.table({
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "sig": pa.array([d * 7 for d in range(10)], pa.int64())})
+        out = join_signatures(rd.from_arrow(pairs_t),
+                              rd.from_arrow(sig_t), "sig",
+                              num_partitions=4).take_all()
+        # inner-join semantics: the row with the absent doc_a dropped
+        assert len(out) == 3
+        for r in out:
+            assert r["sig_a"] == r["doc_a"] * 7
+            assert r["sig_b"] == r["doc_b"] * 7
+
+
+class TestHammingBanding:
+    @pytest.mark.parametrize("n_bands,dist", [(8, 6), (12, 10)])
+    def test_zero_misses_within_envelope(self, n_bands, dist):
+        """d <= n_bands - composite guarantees a shared composite key."""
+        rng = np.random.RandomState(11)
+        vals = rng.randint(0, 2**63, 200).astype(np.uint64)
+        flipped = vals.copy()
+        for i in range(len(vals)):
+            for b in rng.choice(64, dist, replace=False):
+                flipped[i] ^= np.uint64(1) << np.uint64(b)
+        _, k1 = hamming_band_keys(vals, n_bands, 2)
+        _, k2 = hamming_band_keys(flipped, n_bands, 2)
+        assert all((k1[i] == k2[i]).any() for i in range(len(vals)))
