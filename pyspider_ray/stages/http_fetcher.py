@@ -50,15 +50,60 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
 
 
 class HttpFetcher:
+    JS_FIELDS = ("js_script", "js_run_at", "js_viewport_width",
+                 "js_viewport_height", "load_images", "fetch_type")
+
     def __init__(self, user_agent: str = "pyspider-ray/1.0",
                  pool_size: int = 16, timeout: float = 30.0,
-                 proxy: str | None = None, **_ignored):
+                 proxy: str | None = None, js_proxy: str | None = None,
+                 **_ignored):
         self.user_agent = user_agent
         self.timeout = timeout
         self.proxy = proxy
+        # S9 — JS-rendering sidecar (the reference's phantomjs_proxy,
+        # tornado_fetcher.py:430-529): the full request spec POSTs as
+        # JSON to this URL and the response body IS the result dict.
+        # The rendering engine is external by design; the protocol
+        # plumbing here is complete and tested against a fake sidecar.
+        self.js_proxy = js_proxy
         self.pool = ThreadPoolExecutor(max_workers=pool_size)
         # redirects are followed manually (per-hop header control)
         self.opener = urllib.request.build_opener(_NoRedirect)
+
+    def _js_fetch(self, url: str, task: dict) -> dict:
+        """Sidecar-rendered fetch: POST the packed spec, parse the
+        result JSON (status_code/content/headers/time contract)."""
+        t0 = time.monotonic()
+        if not self.js_proxy:
+            return {"code": 501, "content": b"phantomjs is not enabled.",
+                    "headers": {}, "error": "", "time": 0.0}
+        spec = pack_request(url, task, user_agent=self.user_agent,
+                            fetcher_proxy=self.proxy)
+        task_fetch = task.get("fetch", {}) or {}
+        for k in self.JS_FIELDS:
+            if k in task_fetch and k not in spec:
+                spec[k] = task_fetch[k]
+        try:
+            req = urllib.request.Request(
+                self.js_proxy, data=json.dumps(spec).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            resp = self.opener.open(req, timeout=self.timeout + 1)
+            result = json.loads(resp.read().decode("utf-8", "replace"))
+            assert "status_code" in result, result
+            content = result.get("content", "")
+            if isinstance(content, str):
+                content = content.encode("utf-8")
+            return {"code": int(result["status_code"]),
+                    "content": content,
+                    "headers": result.get("headers") or {},
+                    "error": result.get("error") or "",
+                    "time": float(result.get("time",
+                                             time.monotonic() - t0))}
+        except Exception as exc:
+            return {"code": 599, "content": b"", "headers": {},
+                    "error": f"js sidecar: {exc}",
+                    "time": time.monotonic() - t0}
 
     def _one_hop(self, spec: dict):
         req = urllib.request.Request(
@@ -81,6 +126,9 @@ class HttpFetcher:
 
     def _fetch_one(self, url: str, task: dict) -> dict:
         t0 = time.monotonic()
+        ftype = (task.get("fetch") or {}).get("fetch_type") or ""
+        if ftype in ("js", "phantomjs", "splash", "puppeteer", "chrome"):
+            return self._js_fetch(url, task)
         if url.startswith("data:"):
             # control tasks / inline payloads: the reference's
             # data_fetch path (tornado_fetcher.py:178-200)
@@ -147,10 +195,13 @@ class HttpFetcher:
                 else [default] * n
         etags = col("etag", "")
         saves = col("save", "")
+        ftypes = col("fetch_type", "")
 
         tasks = []
         for i in range(n):
             fetch: dict = {}
+            if ftypes[i]:
+                fetch["fetch_type"] = ftypes[i]
             if etags[i]:
                 fetch["etag"] = etags[i]
             if saves[i]:
