@@ -58,6 +58,16 @@ class _Handler(BaseHTTPRequestHandler):
         elif p == "/cookie":
             self._send(200, b"cookie page",
                        [("Set-Cookie", "sid=xyz42; Path=/")])
+        elif p == "/lastmod":
+            if self.headers.get("If-Modified-Since") == "LMDATE":
+                self._send(304)
+            else:
+                self._send(200, b"dated body",
+                           [("Last-Modified", "LMDATE")])
+        elif p == "/hop1":
+            self._send(302, b"", [("Location", "/hop2")])
+        elif p == "/hop2":
+            self._send(302, b"", [("Location", "/ok")])
         elif p == "/echo-ua":
             self._send(200, (self.headers.get("User-Agent") or "")
                        .encode())
@@ -70,6 +80,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, b"should never be fetched")
         else:
             self._send(404, b"nope")
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n)
+        self._send(200, b"POST:" + body)
 
 
 @pytest.fixture(scope="module")
@@ -242,3 +257,40 @@ class TestJsSidecarProtocol:
                            {"fetch": {"fetch_type": "js"}})
         assert out["code"] == 501
         assert b"not enabled" in out["content"]
+
+
+class TestFetcherParityCases:
+    """More scenarios ported from the reference's tests/test_fetcher.py
+    (POST body, If-Modified-Since conditional, redirect options)."""
+
+    def test_post_data_echo(self, server):
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/ok", {
+            "fetch": {"method": "POST", "data": "a=1&b=2"}})
+        assert out["code"] == 200
+        assert out["content"] == b"POST:a=1&b=2"
+
+    def test_if_modified_since_304(self, server):
+        f = HttpFetcher(timeout=5)
+        first = f._fetch_one(f"{server}/lastmod", {})
+        assert first["code"] == 200
+        lm = first["headers"]["Last-Modified"]
+        again = f._fetch_one(f"{server}/lastmod", {
+            "fetch": {"last_modified": lm}})
+        assert again["code"] == 304
+
+    def test_allow_redirects_false(self, server):
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/redir", {
+            "fetch": {"allow_redirects": False}})
+        assert out["code"] == 302
+        assert out["headers"].get("Location") == "/ok"
+
+    def test_max_redirects_exact_bound(self, server):
+        f = HttpFetcher(timeout=5)
+        ok = f._fetch_one(f"{server}/hop1", {
+            "fetch": {"max_redirects": 2}})
+        assert ok["code"] == 200            # 2 hops fit the budget
+        over = f._fetch_one(f"{server}/hop1", {
+            "fetch": {"max_redirects": 1}})
+        assert over["code"] == 599          # 2 hops exceed budget of 1
