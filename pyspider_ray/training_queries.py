@@ -454,26 +454,62 @@ _N_QUERIES = 20
 _TOP_K = 5
 
 
-class _CosinePartialTopK:
-    """Brute-force cosine: the query matrix loads once per actor; each
-    DB batch emits its local top-k per query (partial), merged by a tiny
-    grouped stage after — the scale pattern for 10^9-row ANN baselines."""
+def _embedding_matrix(b: pa.Table) -> np.ndarray:
+    """Zero-copy-ish list<float> -> (n, dim) float64 via Arrow flatten
+    (no per-row to_pylist)."""
+    col = b["embedding"]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(b), -1)
 
-    def __init__(self, sf_dir: str):
-        import pyarrow.parquet as pq
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-        ids = np.array(t["vec_id"].to_pylist())
-        order = np.argsort(ids)[:_N_QUERIES]
-        emb = t["embedding"].to_pylist()   # materialized ONCE
-        Q = np.array([emb[i] for i in order], dtype=np.float64)
-        self.q_ids = ids[order]
-        self.Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+def _smallest_vec_rows(sf_dir: str, n: int):
+    """First-n-by-vec_id sample WITHOUT a global sort (the old
+    ``ds.sort("vec_id").limit(n)`` was an all-to-all shuffle to pick a
+    sample): a streaming scan of ONLY the id column finds the n
+    smallest ids, then a pushdown-filtered read (row-group stats
+    pruning) fetches just those rows.  Returns (ids ascending,
+    (n, dim) unnormalized embedding matrix)."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    smallest = np.empty(0, dtype=np.int64)
+    for batch in dset.to_batches(columns=["vec_id"]):
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cand = np.concatenate([smallest, ids])
+        k = min(n, len(cand))
+        smallest = np.partition(cand, k - 1)[:k]
+    q_ids = np.sort(smallest)[: min(n, len(smallest))]
+    t = dset.to_table(columns=["vec_id", "embedding"],
+                      filter=pads.field("vec_id") <= int(q_ids[-1]))
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    order = order[: len(q_ids)]
+    return q_ids, _embedding_matrix(t)[order]
+
+
+def _load_query_matrix(sf_dir: str, n_queries: int):
+    """Tiny query matrix built ONCE on the driver from a pruned read —
+    never materializes the embedding column of the corpus (at
+    10^9x64-d the old whole-table-per-actor read was ~500 GB each)."""
+    q_ids, Q = _smallest_vec_rows(sf_dir, n_queries)
+    Q = Q.copy()
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    return q_ids, Q
+
+
+class _CosinePartialTopK:
+    """Brute-force cosine: the (tiny, driver-built) query matrix rides
+    fn_constructor_kwargs into each actor; each DB batch emits its
+    local top-k per query (partial), merged by a tiny grouped stage
+    after — the scale pattern for 10^9-row ANN baselines."""
+
+    def __init__(self, q_ids: np.ndarray, Q: np.ndarray):
+        self.q_ids = np.asarray(q_ids)
+        self.Q = np.asarray(Q, dtype=np.float64)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        E = _embedding_matrix(b)
         E /= np.linalg.norm(E, axis=1, keepdims=True)
-        vec_ids = np.asarray(b["vec_id"].to_pylist())
+        vec_ids = b["vec_id"].to_numpy(zero_copy_only=False)
         S = self.Q @ E.T                      # (n_q, batch)
         qs, ns, sims = [], [], []
         k = min(_TOP_K + 1, S.shape[1])
@@ -499,9 +535,10 @@ def q_embedding_knn(sf_dir):
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "neighbor_id"]]
+    q_ids, Q = _load_query_matrix(sf_dir, _N_QUERIES)
     return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
             .map_batches(_CosinePartialTopK,
-                         fn_constructor_kwargs={"sf_dir": sf_dir},
+                         fn_constructor_kwargs={"q_ids": q_ids, "Q": Q},
                          batch_format="pyarrow", concurrency=2)
             .groupby("query_id").map_groups(final_topk,
                                             batch_format="pandas"))
@@ -526,8 +563,8 @@ def _load_index_shard(sf_dir: str, shard: int, n_shards: int):
         columns=["vec_id", "embedding"],
         filter=pc.equal(pc.bit_wise_and(pads.field("vec_id"),
                                         n_shards - 1), shard))
-    ids = np.asarray(t["vec_id"].to_pylist())
-    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    E = _embedding_matrix(t)
     E /= np.linalg.norm(E, axis=1, keepdims=True)
     _SHARD_CACHE.clear()   # one shard per worker heap
     _SHARD_CACHE[key] = (ids, E)
@@ -543,8 +580,8 @@ def _near_dup_shard(b: pa.Table, sf_dir: str, shard: int,
     memory is O(N/B); total work is the same O(N^2) the exact answer
     requires, distributed instead of broadcast-whole-corpus."""
     sids, E_idx = _load_index_shard(sf_dir, shard, n_shards)
-    ids = np.asarray(b["vec_id"].to_pylist())
-    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    ids = b["vec_id"].to_numpy(zero_copy_only=False)
+    E = _embedding_matrix(b)
     E /= np.linalg.norm(E, axis=1, keepdims=True)
     S = E @ E_idx.T
     ii, jj = np.where(S >= _NEARDUP_TAU)
@@ -591,7 +628,7 @@ def _ivf_assign(b: pa.Table, centroids) -> pa.Table:
     centroid (centroids ride in the task args — a few KB, not the
     corpus)."""
     C = np.asarray(centroids, dtype=np.float64)
-    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    E = _embedding_matrix(b)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     cell = np.argmax(En @ C.T, axis=1).astype(np.int64)
     return b.append_column("cell", pa.array(cell))
@@ -606,8 +643,8 @@ def _ivf_probe(b: pa.Table, queries, probes) -> pa.Table:
     by_cell = {c: np.asarray(qidx, dtype=np.int64)
                for c, qidx in probes.items()}
     cells = b["cell"].to_numpy()
-    ids = np.asarray(b["vec_id"].to_pylist())
-    E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+    ids = b["vec_id"].to_numpy(zero_copy_only=False)
+    E = _embedding_matrix(b)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     qs, ns, sims = [], [], []
     for c in np.unique(cells):
@@ -642,11 +679,12 @@ def q_ann_ivf(sf_dir):
     tiny groupby."""
     import pandas as pd
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = ds.sort("vec_id").limit(256).take_all()
-    X = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    s_ids, X = _smallest_vec_rows(sf_dir, 256)   # no global sort
+    X = X.copy()
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     C = _lloyd_centroids(X, k=8)
-    queries = sorted(sample, key=lambda r: r["vec_id"])[:_N_QUERIES]
+    queries = [{"vec_id": int(s_ids[i]), "embedding": X[i].tolist()}
+               for i in range(min(_N_QUERIES, len(s_ids)))]
     probes: dict[int, list[int]] = {}
     for qi, q in enumerate(queries):
         v = np.asarray(q["embedding"], dtype=np.float64)
@@ -667,7 +705,7 @@ def q_ann_ivf(sf_dir):
                                            centroids=C.tolist()),
                          batch_format="pyarrow")
             .map_batches(functools.partial(
-                _ivf_probe, queries=[dict(q) for q in queries],
+                _ivf_probe, queries=queries,
                 probes=probes), batch_format="pyarrow")
             .groupby("query_id").map_groups(final_topk,
                                             batch_format="pandas"))
@@ -924,13 +962,13 @@ def q_kmeans_embeddings(sf_dir):
     import functools
     K, ITERS = 8, 5
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    init = ds.sort("vec_id").limit(K).take_all()
-    C = np.array([r["embedding"] for r in init], dtype=np.float64)
+    _, C = _smallest_vec_rows(sf_dir, K)   # deterministic, no shuffle
+    C = C.copy()
     C /= np.linalg.norm(C, axis=1, keepdims=True)
 
     def partials(b: pa.Table, centroids) -> pa.Table:
         Cm = np.asarray(centroids, dtype=np.float64)
-        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        E = _embedding_matrix(b)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         assign = np.argmax(En @ Cm.T, axis=1)
         sums = np.zeros_like(Cm)
@@ -958,7 +996,7 @@ def q_kmeans_embeddings(sf_dir):
 
     def assign_final(b: pa.Table, centroids) -> pa.Table:
         Cm = np.asarray(centroids, dtype=np.float64)
-        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        E = _embedding_matrix(b)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         return pa.table({
             "vec_id": b["vec_id"],
