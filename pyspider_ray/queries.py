@@ -240,40 +240,60 @@ def q_hash_join_revenue(sf_dir):
                        Sum("price_cents", alias_name="revenue_cents")))
 
 
-class _KeySetFilter:
-    """Broadcast semi/anti-join: the key set is built once per actor."""
+def _membership_filter(probe_ds, probe_col: str, keys_ds, key_col: str,
+                       negate: bool, n_buckets: int = 64):
+    """Partitioned semi/anti join: both sides co-partition by a coarse
+    deterministic hash bucket of the key, and membership is decided
+    per group with one vectorized ``np.isin`` — per-actor state is
+    O(partition), never the whole key set (the earlier broadcast
+    key-set filter dies at 100 TB where the fact side's distinct keys
+    outgrow one heap).  The key side is pre-distincted per batch (a
+    combiner) before the shuffle, so duplicate fact rows never travel."""
+    from .neardup import _key_bucket
 
-    def __init__(self, sf_dir: str, negate: bool):
-        import pyarrow.parquet as pq
-        keys = pq.read_table(f"{sf_dir}/lineitem.parquet",
-                             columns=["l_orderkey"])["l_orderkey"]
-        self.keys = pa.array(pc.unique(keys))
-        self.negate = negate
+    def tag_probe(b: pa.Table) -> pa.Table:
+        k = b[probe_col].to_numpy()
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "kind": pa.array(np.ones(len(b), np.int8)),
+            "cb": pa.array(_key_bucket(k, n_buckets))})
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        m = pc.is_in(b["o_orderkey"], value_set=self.keys)
-        if self.negate:
-            m = pc.invert(m)
-        return b.filter(m)
+    def tag_keys(b: pa.Table) -> pa.Table:
+        k = np.unique(b[key_col].to_numpy())
+        return pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "kind": pa.array(np.zeros(len(k), np.int8)),
+            "cb": pa.array(_key_bucket(k, n_buckets))})
+
+    def member(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        keys = g["k"].to_numpy()
+        kset = np.unique(keys[kind == 0])
+        probe = keys[kind == 1]
+        hit = np.isin(probe, kset)
+        keep = probe[~hit] if negate else probe[hit]
+        return pa.table({probe_col: pa.array(keep.astype(np.int64))})
+
+    tagged = probe_ds.map_batches(tag_probe, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+    return tagged.groupby("cb").map_groups(member, batch_format="pyarrow")
 
 
 def q_anti_join(sf_dir):
     """J1 left-anti — 'new request' detection: orders with no lineitem,
-    via a broadcast key set (a Bloom filter at larger key cardinality)."""
-    return (_read(sf_dir, "orders", ["o_orderkey"])
-            .map_batches(_KeySetFilter,
-                         fn_constructor_kwargs={"sf_dir": sf_dir,
-                                                "negate": True},
-                         batch_format="pyarrow", concurrency=2))
+    via the coarse-bucket co-partitioned membership filter."""
+    return _membership_filter(
+        _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey",
+        _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+        negate=True)
 
 
 def q_semi_join(sf_dir):
     """J3 semi — status packs must match the processing set."""
-    return (_read(sf_dir, "orders", ["o_orderkey"])
-            .map_batches(_KeySetFilter,
-                         fn_constructor_kwargs={"sf_dir": sf_dir,
-                                                "negate": False},
-                         batch_format="pyarrow", concurrency=2))
+    return _membership_filter(
+        _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey",
+        _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+        negate=False)
 
 
 # ---------------------------------------------------------------------------
