@@ -385,6 +385,18 @@ class CrawlPipeline:
             return s
         return json.dumps(s, default=str)
 
+    @staticmethod
+    def _fetch_json(t: dict) -> str:
+        """Everything in the stored task's fetch dict except the fields
+        with dedicated columns — method, data, headers, cookies, proxy,
+        allow_redirects, js_* etc. ride to the fetch stage intact, so
+        rich ``crawl()`` kwargs (POST bodies, cookie sessions, js
+        fetch_type options) survive the control plane instead of
+        degrading to header-less GETs."""
+        rest = {k: v for k, v in (t.get("fetch") or {}).items()
+                if k not in ("save", "fetch_type")}
+        return json.dumps(rest, default=str) if rest else ""
+
     def _tasks_to_table(self, tasks: list[dict]) -> pa.Table:
         return pa.table({
             "taskid": pa.array([t["taskid"] for t in tasks], pa.string()),
@@ -396,6 +408,13 @@ class CrawlPipeline:
                                  for t in tasks], pa.int32()),
             "etag": pa.array([t.get("etag") or "" for t in tasks],
                              pa.string()),
+            "last_modified": pa.array([t.get("last_modified") or ""
+                                       for t in tasks], pa.string()),
+            "fetch_type": pa.array([(t.get("fetch") or {})
+                                    .get("fetch_type") or ""
+                                    for t in tasks], pa.string()),
+            "fetch_json": pa.array([self._fetch_json(t) for t in tasks],
+                                   pa.string()),
             # handler protocol columns: callback dispatch + the fetch.save
             # round-trip (base_handler run_task contract)
             "callback": pa.array([(t.get("process") or {}).get("callback")
@@ -408,10 +427,10 @@ class CrawlPipeline:
                        or 0.0) for t in tasks], pa.float64()),
         })
 
-    def _worker_pool(self) -> list:
-        """Lazily create the persistent data-plane actor pool."""
-        if getattr(self, "_workers", None):
-            return self._workers
+    def _spawn_worker(self):
+        """One worker spawn recipe shared by the pool and fault-time
+        replacement, so a replacement for a script-loaded handler gets
+        the same PYTHONPATH (handler dir included) as the original."""
         import ray
         cfg = self.cfg
         repo_root = os.path.dirname(os.path.dirname(
@@ -437,9 +456,15 @@ class CrawlPipeline:
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
         spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
-        self._workers = [worker_cls.remote(fk, pk, cfg.persist_payload, spec,
-                                           cfg.fetcher_cls, cfg.sink_cls)
-                         for _ in range(cfg.concurrency)]
+        return worker_cls.remote(fk, pk, cfg.persist_payload, spec,
+                                 cfg.fetcher_cls, cfg.sink_cls)
+
+    def _worker_pool(self) -> list:
+        """Lazily create the persistent data-plane actor pool."""
+        if getattr(self, "_workers", None):
+            return self._workers
+        self._workers = [self._spawn_worker()
+                         for _ in range(self.cfg.concurrency)]
         return self._workers
 
     def _run_data_plane(self, table: pa.Table, round_dir: str) -> pa.Table:
@@ -535,25 +560,13 @@ class CrawlPipeline:
         }
 
     # -- rounds --------------------------------------------------------------
+    MAX_CHUNK_REDISPATCH = 3
+
     def _replace_worker(self, dead) -> object:
         """Spawn a fresh data-plane worker in a dead one's slot (W:
         worker fault tolerance — frontier state lives in the shard
         actors, so data-plane workers are freely replaceable)."""
-        import ray
-        cfg = self.cfg
-        repo_root = os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))))
-        env = {"env_vars": {"PYTHONPATH": repo_root + ":" +
-                            os.environ.get("PYTHONPATH", "")}}
-        worker_cls = ray.remote(num_cpus=1, runtime_env=env)(_WorkerActor)
-        fk = {"fail_permille": cfg.fail_permille,
-              "page_scale": cfg.page_scale,
-              "session_cookies": cfg.session_cookies}
-        pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
-              "skew": cfg.skew, "follow_priority": cfg.follow_priority}
-        spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
-        fresh = worker_cls.remote(fk, pk, cfg.persist_payload, spec,
-                                  cfg.fetcher_cls, cfg.sink_cls)
+        fresh = self._spawn_worker()
         self._workers = [fresh if w is dead else w for w in self._workers]
         return fresh
 
@@ -568,6 +581,7 @@ class CrawlPipeline:
         ordered: list[pa.Table] = []
         pending = dict(state["refs"])
         inflight = state.get("inflight", {})
+        attempts: dict[int, int] = {}
         next_idx = 0
         while pending:
             done, _ = ray.wait(list(pending), num_returns=1)
@@ -575,7 +589,14 @@ class CrawlPipeline:
             try:
                 results[idx] = ray.get(done[0])
             except ray.exceptions.RayActorError:
+                # bounded re-dispatch: a chunk that deterministically
+                # kills its worker must surface, not loop forever
+                attempts[idx] = attempts.get(idx, 0) + 1
                 fresh = self._replace_worker(worker)
+                if attempts[idx] >= self.MAX_CHUNK_REDISPATCH:
+                    raise RuntimeError(
+                        f"data-plane chunk {idx} killed its worker "
+                        f"{attempts[idx]} times; giving up")
                 chunk = inflight[idx]
                 ref = fresh.process_chunk.remote(chunk, state["round_dir"],
                                                  idx)

@@ -45,6 +45,7 @@ SIMPLE_PROCESS = {"callback"}
 HANDLER_CONTROL_COLUMNS = [
     "taskid", "urlhash", "project", "url", "host", "status_code",
     "fetch_time", "process_ok", "process_time", "not_send_status", "etag",
+    "last_modified",
     "follows", "follows_taskid", "follows_urlhash", "follows_host",
     "follows_callback", "follows_save", "follows_priority",
     "follows_extra_json", "messages_json", "result", "has_result",
@@ -55,6 +56,20 @@ def _is_simple(task: dict) -> bool:
     return (set(task.get("schedule") or ()) <= SIMPLE_SCHEDULE
             and set(task.get("fetch") or ()) <= SIMPLE_FETCH
             and set(task.get("process") or ()) <= SIMPLE_PROCESS)
+
+
+def _resp_header(headers_json: str, name: str) -> str:
+    """Case-insensitive header lookup in a resp_headers JSON blob."""
+    if not headers_json:
+        return ""
+    try:
+        h = json.loads(headers_json)
+    except (TypeError, ValueError):
+        return ""
+    for k, v in h.items():
+        if k.lower() == name:
+            return v or ""
+    return ""
 
 
 def _save_str(save) -> str:
@@ -156,9 +171,18 @@ class HandlerProcessorStage:
                 for p, m, u in out.messages], default=str)
                 if out.messages else "")
 
+        # J5 — the response's validators flow back to the stored task so
+        # auto_recrawl/age re-crawls send If-None-Match/If-Modified-Since
+        # (the reference reuses track.fetch.headers the same way)
+        etag_out, lm_out = [], []
+        for i in range(n):
+            etag_out.append(_resp_header(resp_headers[i], "etag"))
+            lm_out.append(_resp_header(resp_headers[i], "last-modified"))
+
         out_t = batch.drop_columns(
             [c for c in ("content", "callback", "save", "retried",
                          "process_time_limit", "fetch_error", "etag",
+                         "last_modified", "fetch_type", "fetch_json",
                          "resp_headers")
              if c in batch.column_names])
         return (out_t
@@ -167,7 +191,9 @@ class HandlerProcessorStage:
                                                         pa.float64()))
                 .append_column("not_send_status", pa.array(not_send,
                                                            pa.bool_()))
-                .append_column("etag", pa.array([""] * n, pa.string()))
+                .append_column("etag", pa.array(etag_out, pa.string()))
+                .append_column("last_modified", pa.array(lm_out,
+                                                         pa.string()))
                 .append_column("follows", pa.array(f_url,
                                                    pa.list_(pa.string())))
                 .append_column("follows_taskid",

@@ -49,6 +49,37 @@ class _NoRedirect(urllib.request.HTTPRedirectHandler):
         return None
 
 
+def _parse_set_cookies(headers) -> dict:
+    """name→value pairs from every Set-Cookie header of a response."""
+    if hasattr(headers, "get_all"):
+        raw = headers.get_all("Set-Cookie") or []
+    else:
+        sc = headers.get("Set-Cookie")
+        raw = [sc] if sc else []
+    jar = {}
+    for line in raw:
+        first = line.split(";", 1)[0]
+        if "=" in first:
+            k, v = first.split("=", 1)
+            jar[k.strip()] = v.strip()
+    return jar
+
+
+def _merge_cookie_header(headers: dict, jar: dict) -> None:
+    """Fold jar cookies into the request's Cookie header (jar wins on
+    name collisions — the latest Set-Cookie is authoritative)."""
+    existing: dict = {}
+    for h in [h for h in headers if h.lower() == "cookie"]:
+        for part in headers.pop(h).split(";"):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                existing[k.strip()] = v.strip()
+    merged = {**existing, **jar}
+    if merged:
+        headers["Cookie"] = "; ".join(f"{k}={v}"
+                                      for k, v in merged.items())
+
+
 class HttpFetcher:
     JS_FIELDS = ("js_script", "js_run_at", "js_viewport_width",
                  "js_viewport_height", "load_images", "fetch_type")
@@ -147,6 +178,7 @@ class HttpFetcher:
         hops = 0
         max_redirects = int(spec.get("max_redirects", 5))
         follow = bool(spec.get("follow_redirects", True))
+        jar: dict = {}   # cookie jar threaded across redirect hops
         try:
             while True:
                 try:
@@ -162,11 +194,34 @@ class HttpFetcher:
                                     "headers": {},
                                     "error": "too many redirects",
                                     "time": time.monotonic() - t0}
-                        spec["url"] = urllib.parse.urljoin(spec["url"],
-                                                           loc)
-                        if e.code == 303:
+                        # cookie-jar carry across hops (the reference
+                        # threads a RequestsCookieJar through every
+                        # redirect, tornado_fetcher.py:337-351, 388):
+                        # fold this hop's Set-Cookie into the next hop
+                        jar.update(_parse_set_cookies(e.headers))
+                        old_host = urllib.parse.urlsplit(
+                            spec["url"]).netloc
+                        new_url = urllib.parse.urljoin(spec["url"], loc)
+                        spec["url"] = new_url
+                        if e.code == 303 or (
+                                e.code in (301, 302) and
+                                (spec.get("method") or "GET").upper()
+                                == "POST"):
+                            # 303 always; 301/302 POST→GET to match
+                            # common client behavior
                             spec["method"] = "GET"
                             spec.pop("body", None)
+                        headers = spec.setdefault("headers", {})
+                        if urllib.parse.urlsplit(new_url).netloc \
+                                != old_host:
+                            # never leak credentials cross-host
+                            for h in list(headers):
+                                if h.lower() in ("cookie",
+                                                 "authorization"):
+                                    headers.pop(h)
+                            jar = {}
+                        if jar:
+                            _merge_cookie_header(headers, jar)
                         continue
                     # non-redirect HTTP status: keep code + body
                     return {"code": e.code, "content": e.read() or b"",
@@ -194,16 +249,31 @@ class HttpFetcher:
             return batch[name].to_pylist() if name in batch.column_names \
                 else [default] * n
         etags = col("etag", "")
+        lms = col("last_modified", "")
         saves = col("save", "")
         ftypes = col("fetch_type", "")
+        fjs = col("fetch_json", "")
 
         tasks = []
         for i in range(n):
             fetch: dict = {}
+            if fjs[i]:
+                # full stored fetch dict (method/data/headers/cookies/
+                # proxy/...) from the control plane — rich crawl() kwargs
+                try:
+                    decoded = json.loads(fjs[i])
+                    if isinstance(decoded, dict):
+                        fetch.update(decoded)
+                except (TypeError, ValueError):
+                    pass
             if ftypes[i]:
                 fetch["fetch_type"] = ftypes[i]
-            if etags[i]:
+            # track-accumulated conditional-fetch values never override
+            # an explicit user fetch option (requests_pack precedence)
+            if etags[i] and "etag" not in fetch:
                 fetch["etag"] = etags[i]
+            if lms[i] and "last_modified" not in fetch:
+                fetch["last_modified"] = lms[i]
             if saves[i]:
                 try:
                     decoded = json.loads(saves[i])

@@ -29,6 +29,7 @@ class RobotsCache:
         self._clock = clock
         self.user_agent = user_agent
         self._cache: dict[str, tuple[float, RobotFileParser]] = {}
+        self._bodies: dict[str, str] = {}
         self.fetch_count = 0
 
     def _get_parser(self, host: str) -> RobotFileParser:
@@ -44,6 +45,7 @@ class RobotsCache:
         parser = RobotFileParser()
         parser.parse(content.splitlines())
         self._cache[host] = (now, parser)
+        self._bodies[host] = content
         return parser
 
     def allowed(self, host: str, url: str,
@@ -57,14 +59,26 @@ class RobotsCache:
         for host in [h for h, (t, _) in self._cache.items()
                      if now - t > self.ttl]:
             del self._cache[host]
+            self._bodies.pop(host, None)
 
     # -- checkpoint ----------------------------------------------------------
     def snapshot(self) -> dict:
-        """Persist raw fetch times only; parsers rebuild on demand."""
-        return {"hosts": {h: t for h, (t, _) in self._cache.items()},
+        """Persist per-host (fetch_time, raw robots body); restore
+        rebuilds parsers from the bodies, so a resumed crawl honors the
+        original TTL schedule instead of refetching every host."""
+        return {"hosts": {h: [t, self._bodies.get(h, "")]
+                          for h, (t, _) in self._cache.items()},
                 "ttl": self.ttl}
 
     @classmethod
     def restore(cls, snap: dict, fetch_fn, clock=wall_clock) -> "RobotsCache":
         rc = cls(fetch_fn, ttl=snap.get("ttl", 3600), clock=clock)
+        for host, entry in (snap.get("hosts") or {}).items():
+            # tolerate the legacy time-only snapshot shape
+            t, body = entry if isinstance(entry, (list, tuple)) \
+                else (entry, "")
+            parser = RobotFileParser()
+            parser.parse((body or "").splitlines())
+            rc._cache[host] = (float(t), parser)
+            rc._bodies[host] = body or ""
         return rc

@@ -165,6 +165,7 @@ class FrontierShard:
                  "bad_pack": 0, "accepted": []}
         outcomes: list[tuple[str, bool]] = []
         etags = cols.get("etag")
+        lms = cols.get("last_modified")
         for i in range(len(cols["taskid"])):
             pack = {
                 "taskid": cols["taskid"][i],
@@ -173,6 +174,7 @@ class FrontierShard:
                 "url": cols["url"][i],
                 "seq": cols["seq"][i],
                 "etag": (etags[i] if etags else None),
+                "last_modified": (lms[i] if lms else None),
                 "track": {
                     "fetch_ok": cols["status_code"][i] < 400,
                     "fetch_time": cols["fetch_time"][i],
@@ -361,6 +363,8 @@ class FrontierShard:
         task["lastcrawltime"] = now
         if pack.get("etag"):     # carried for conditional re-crawl (J5)
             task["etag"] = pack["etag"]
+        if pack.get("last_modified"):
+            task["last_modified"] = pack["last_modified"]
         sched = _sched(task)
         # parity with scheduler.py:919-924: the gate is auto_recrawl plus
         # presence of an ``age`` value, not its sign

@@ -28,6 +28,8 @@ def _page_html(i: int) -> str:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    etag_full = 0   # class-level: counts full (200) /etag responses
+
     def log_message(self, *a):   # quiet
         pass
 
@@ -47,7 +49,30 @@ class _Handler(BaseHTTPRequestHandler):
             if self.headers.get("If-None-Match") == '"v1"':
                 self._send(304)
             else:
+                _Handler.etag_full += 1
                 self._send(200, b"fresh body", [("ETag", '"v1"')])
+        elif p == "/login":
+            self._send(302, b"", [("Location", "/gated"),
+                                  ("Set-Cookie", "session=tok99; Path=/")])
+        elif p == "/login2":
+            self._send(302, b"", [("Location", "/login"),
+                                  ("Set-Cookie", "step=one; Path=/")])
+        elif p == "/gated":
+            cookie = self.headers.get("Cookie") or ""
+            if "session=tok99" in cookie:
+                self._send(200, b"gated ok")
+            else:
+                self._send(403, b"no session")
+        elif p.startswith("/xhost"):
+            port = self.path.split("port=")[1]
+            self._send(302, b"", [("Location",
+                                   f"http://localhost:{port}/reflect")])
+        elif p == "/reflect":
+            body = (f"cookie={self.headers.get('Cookie') or ''};"
+                    f"auth={self.headers.get('Authorization') or ''}")
+            self._send(200, body.encode())
+        elif p == "/echo-method":
+            self._send(200, b"method=GET")
         elif p == "/redir":
             self._send(302, b"", [("Location", "/ok")])
         elif p == "/loop":
@@ -84,7 +109,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n)
-        self._send(200, b"POST:" + body)
+        if self.path == "/post-redir":
+            self._send(301, b"", [("Location", "/echo-method")])
+        elif self.path == "/echo-method":
+            self._send(200, b"method=POST")
+        elif self.path == "/postrich":
+            out = (b"POST:" + body +
+                   b"|X:" + (self.headers.get("X-Custom") or "").encode() +
+                   b"|C:" + (self.headers.get("Cookie") or "").encode())
+            self._send(200, out)
+        else:
+            self._send(200, b"POST:" + body)
 
 
 @pytest.fixture(scope="module")
@@ -294,3 +329,124 @@ class TestFetcherParityCases:
         over = f._fetch_one(f"{server}/hop1", {
             "fetch": {"max_redirects": 1}})
         assert over["code"] == 599          # 2 hops exceed budget of 1
+
+
+class TestRedirectCookieJar:
+    """Cookie-jar carry across redirect hops within one fetch (the
+    reference threads a RequestsCookieJar through every hop,
+    tornado_fetcher.py:337-351, 388) + credential hygiene on cross-host
+    redirects."""
+
+    def test_cookie_jar_across_redirect_hops(self, server):
+        # /login 302→/gated with Set-Cookie; the hop must present it
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/login", {})
+        assert out["code"] == 200
+        assert out["content"] == b"gated ok"
+
+    def test_cookie_jar_accumulates_over_two_hops(self, server):
+        # /login2 sets step=one, then /login sets session — both ride
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/login2", {})
+        assert out["code"] == 200
+        assert out["content"] == b"gated ok"
+
+    def test_cookie_jar_respects_max_redirects(self, server):
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/login2",
+                           {"fetch": {"max_redirects": 1}})
+        assert out["code"] == 599   # needs 2 hops; budget is 1
+
+    def test_cross_host_redirect_strips_credentials(self, server):
+        # 127.0.0.1:p → localhost:p is a netloc change: Cookie and
+        # Authorization must not follow
+        port = server.rsplit(":", 1)[1]
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/xhost?port={port}", {
+            "fetch": {"cookies": {"secret": "1"},
+                      "headers": {"Authorization": "Bearer zz"}}})
+        assert out["code"] == 200
+        assert out["content"] == b"cookie=;auth="
+
+    def test_301_post_converts_to_get(self, server):
+        f = HttpFetcher(timeout=5)
+        out = f._fetch_one(f"{server}/post-redir", {
+            "fetch": {"method": "POST", "data": "x=1"}})
+        assert out["code"] == 200
+        assert out["content"] == b"method=GET"
+
+
+class RichFetchHandler(BaseHandler):
+    """A follow with method/data/headers/cookies — the rich-fetch path
+    through the stored frontier task and the control plane."""
+    base = ""
+
+    def on_start(self, response):
+        self.crawl(f"{self.base}/postrich", callback=self.page,
+                   method="POST", data="payload=1",
+                   headers={"X-Custom": "abc"}, cookies={"sid": "xyz"})
+
+    def page(self, response):
+        return {"body": response.text}
+
+
+class EtagRecrawlHandler(BaseHandler):
+    base = ""
+
+    def on_start(self, response):
+        self.crawl(f"{self.base}/etag", callback=self.page)
+
+    def page(self, response):
+        if not (response.save or {}).get("again"):
+            self.crawl(f"{self.base}/etag", callback=self.page,
+                       force_update=True, save={"again": 1})
+        return {"code": response.status_code}
+
+
+class TestRichFetchThroughCrawlLoop:
+    def _run(self, handler_cls, server, tmp_path, rounds=25):
+        handler_cls.base = server
+        cfg = CrawlConfig(total=4, n_shards=2, loop_limit=50,
+                          use_ray=False, out_dir=str(tmp_path / "rich"),
+                          handler_cls=handler_cls, project="richproj",
+                          fetcher_cls=HttpFetcher)
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(rounds):
+            m = pipe.run_round()
+            if not m["emitted"] and not m["admitted"] \
+                    and not pipe._pending_new and not pipe._pending_status \
+                    and not pipe._pending_ctrl and pipe.coord.is_quiescent():
+                break
+        return pipe
+
+    def test_post_headers_cookies_reach_the_wire(self, server, tmp_path):
+        """The ACTUAL crawl loop (frontier → _tasks_to_table →
+        HttpFetcher) sends the stored fetch dict: POST body, custom
+        header and cookie all observed by the server."""
+        pipe = self._run(RichFetchHandler, server, tmp_path)
+        rows = [json.loads(r["result"])
+                for r in pipe.results_table().to_pylist()]
+        bodies = [r["body"] for r in rows if "body" in r]
+        assert any(b == "POST:payload=1|X:abc|C:sid=xyz" for b in bodies), \
+            bodies
+
+    def test_etag_roundtrip_enables_conditional_recrawl(self, server,
+                                                        tmp_path):
+        """J5 in handler mode: the first fetch's ETag lands on the
+        stored task via the control plane; the forced re-crawl sends
+        If-None-Match and the server answers 304 (exactly one full
+        response served)."""
+        _Handler.etag_full = 0
+        pipe = self._run(EtagRecrawlHandler, server, tmp_path)
+        assert _Handler.etag_full == 1
+        stored = []
+        for shard_rows in pipe.coord._call_all("dump_tasks", "richproj"):
+            stored.extend(shard_rows)
+        etag_tasks = [t for t in stored if t["url"].endswith("/etag")]
+        assert len(etag_tasks) == 1
+        assert etag_tasks[0].get("etag") == '"v1"'
+        codes = sorted(json.loads(r["result"])["code"]
+                       for r in pipe.results_table().to_pylist()
+                       if "code" in (r.get("result") or ""))
+        assert 200 in codes

@@ -54,6 +54,31 @@ class TestRobotsCache:
         assert list(rc._cache) == ["b.test"]
 
 
+class TestSnapshotRestore:
+    def test_restore_rebuilds_rules_without_refetch(self):
+        """Checkpoint symmetry: restore seeds parsers from persisted
+        bodies at their original fetch times — a resumed crawl enforces
+        the same rules with ZERO refetches until the TTL expires."""
+        clock = VirtualClock(1000.0)
+        rc = RobotsCache(lambda h: "User-agent: *\nDisallow: /private\n",
+                         ttl=3600, clock=clock)
+        assert not rc.allowed("h.test", "http://h.test/private/x")
+        snap = rc.snapshot()
+
+        def boom(host):
+            raise AssertionError("refetched after restore")
+        rc2 = RobotsCache.restore(snap, boom, clock=clock)
+        clock.advance(100)   # inside the TTL window
+        assert not rc2.allowed("h.test", "http://h.test/private/x")
+        assert rc2.allowed("h.test", "http://h.test/public/y")
+        assert rc2.fetch_count == 0
+        # after expiry the refetch schedule resumes normally
+        clock.advance(3600)
+        rc3 = RobotsCache.restore(snap, lambda h: "", clock=clock)
+        assert rc3.allowed("h.test", "http://h.test/private/x")
+        assert rc3.fetch_count == 1
+
+
 class TestCrawlWithFetchedRobots:
     def test_crawl_matches_static_rules(self, tmp_path):
         """robots_fetch=True serves synthetic robots.txt bodies through
