@@ -27,6 +27,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Worker processes inherit the raylet's env (set BEFORE ray.init), so
+# glibc reads these at worker startup: keep large numpy/Arrow blocks on
+# the free list instead of munmap-ing them — on this virtualized host
+# first-touch page faults on fresh pages dominate cold batch kernels
+# (measured 59.7 s fresh vs 0.9 s reused for the same expand kernel).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 CRAWL_ID_SPACE = 10 ** 10          # url id space (north rule scale)
 CRAWL_ROUNDS = 5
 CRAWL_LOOP_LIMIT = 12_000          # single project caps at limit/3 = 4k/round

@@ -18,4 +18,11 @@ Nothing here calls ``ray.init``; the embedding driver owns the session.
 
 __version__ = "0.1.0"
 
+# Allocator tuning fires in every process that imports the package —
+# including each Ray worker as it unpickles a stage function (see
+# _malloc.py for the why and the measured 10x on cold batch kernels).
+from ._malloc import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 VIRTUAL_EPOCH = 1_700_000_000.0  # t0 of the deterministic virtual clock (FIXTURES.md)

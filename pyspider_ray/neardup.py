@@ -5,18 +5,35 @@ The scale shape (SURVEY.md §2.7 + the 100 TB brief):
 
 1. signatures are computed per batch in an actor/task stage;
 2. each doc emits (band, key) rows — ``flat_map``-style fan-out;
-3. candidate generation is a **hash shuffle on a coarse deterministic
-   bucket of (band, key)** (``groupby(bucket).map_groups``): every
-   (band, key) lands wholly in one of ~64 groups, so each group
-   expands its complete buckets vectorized (``np.triu_indices`` over
-   lexsorted runs) — a handful of large vectorized groups, never
-   millions of per-bucket ``map_groups`` calls and never a driver
-   materialization;
-4. pair dedup across bands is a distributed groupby on the packed
+3. candidate generation co-locates complete (band, key) buckets by a
+   coarse deterministic hash, then expands runs vectorized
+   (``np.triu_indices`` over lexsorted runs);
+4. pair dedup across bands is a second hash exchange on the packed
    (lo<<32|hi) key;
 5. exact verification re-joins the pair table against the signature /
-   document table on doc_a then doc_b (``Dataset.join`` hash join) —
-   the co-partitioned form; no stage broadcasts the corpus.
+   document table on doc_a then doc_b — a partitioned hash join; no
+   stage broadcasts the corpus.
+
+The exchanges run as a MANUAL two-stage hash shuffle on raw Ray tasks
+(the SURVEY's case-(c) escape hatch) rather than
+``groupby().map_groups``: the map side splits every block into P
+partition sub-tables (``num_returns=P``); the reduce side concats one
+partition and processes it.  Two reasons, both measured at sf0.1:
+
+- Ray Data's sort-based groupby spent ~70 s sorting the 37 M-row pair
+  table that hash partitioning moves without any sort;
+- these tasks unpickle ``pyspider_ray`` and therefore run with the
+  package's allocator tuning (``_malloc.py``) — on virtualized hosts
+  the first-touch page faults of fresh numpy/Arrow pages are the
+  dominant cold-run cost, and Ray Data's internal shuffle tasks can't
+  be tuned from library code.
+
+Partitioning contract: every (band, key) bucket lands WHOLLY in one
+reduce partition (the hash is over the bucket key, never the doc), so
+pair expansion sees complete buckets; P bounds per-reduce-task memory
+at O(rows/P + hottest bucket).  At cluster scale P should be ~total
+cores; object transfer is the plasma store exactly as a Dataset
+shuffle would use it.
 
 Skew note: a degenerate band key (e.g. the empty-document signature)
 produces a quadratic bucket; callers cap buckets with ``max_bucket``
@@ -29,6 +46,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_GOLD2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
 
 def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
                  max_bucket: int = 0) -> np.ndarray:
@@ -41,182 +63,227 @@ def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
     # packed column to a (doc_a, doc_b) struct key)
     assert doc.max(initial=0) < (1 << 32), "doc_id exceeds 32-bit packing"
     order = np.lexsort((doc, key, band))
-    band, key, doc = band[order], key[order], doc[order]
+    band, key = band[order], key[order]
+    doc_u = doc[order].astype(np.uint64)
     new_run = np.ones(len(band), dtype=bool)
     new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
     starts = np.flatnonzero(new_run)
     ends = np.append(starts[1:], len(band))
     sizes = ends - starts
-    parts = []
+    if max_bucket:
+        keepable = sizes <= max_bucket
+        starts, sizes = starts[keepable], sizes[keepable]
+    total = int((sizes.astype(np.int64) * (sizes - 1) // 2).sum())
+    out = np.empty(total, dtype=np.uint64)
+    pos = 0
     for m in np.unique(sizes):
-        if m < 2 or (max_bucket and m > max_bucket):
+        if m < 2:
             continue
         runs = starts[sizes == m]
         ii, jj = np.triu_indices(int(m), k=1)
-        a = doc[runs[:, None] + ii[None, :]]
-        b = doc[runs[:, None] + jj[None, :]]
-        lo = np.minimum(a, b).astype(np.uint64)
-        hi = np.maximum(a, b).astype(np.uint64)
-        parts.append(((lo << np.uint64(32)) | hi).ravel())
-    if not parts:
-        return np.empty(0, dtype=np.uint64)
-    return np.concatenate(parts)
+        a = doc_u[(runs[:, None] + ii[None, :]).ravel()]
+        b = doc_u[(runs[:, None] + jj[None, :]).ravel()]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        n = lo.size
+        out[pos:pos + n] = (lo << np.uint64(32)) | hi
+        pos += n
+    return out
 
 
-def _bucketize(n_buckets: int):
-    """Deterministic coarse partition key over (band, key): every
-    (band, key) bucket lands WHOLLY in one of ``n_buckets`` groups, so
-    pair expansion inside a group sees complete buckets — a handful of
-    big vectorized groups instead of millions of tiny ones."""
-    def f(b: pa.Table) -> pa.Table:
-        band = b["band"].to_numpy().astype(np.uint64)
-        key = b["key"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (band * np.uint64(0x9E3779B97F4A7C15)) ^ \
-                (key * np.uint64(0xC2B2AE3D27D4EB4F))
-            h ^= h >> np.uint64(29)
-        return b.append_column(
-            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
-    return f
+def _key_bucket(k: np.ndarray, n_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = (k.astype(np.uint64) * _GOLD) >> np.uint64(31)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _group_expand(g: pa.Table, max_bucket: int = 0) -> pa.Table:
+def _split_table(t: pa.Table, ids: np.ndarray, P: int) -> tuple:
+    """Partition an Arrow table into P sub-tables by int partition id
+    (one stable argsort + P zero-copy slices of the gathered table)."""
+    order = np.argsort(ids, kind="stable")
+    bounds = np.searchsorted(ids[order], np.arange(P + 1))
+    taken = t.take(pa.array(order)).combine_chunks()
+    return tuple(taken.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+                 for p in range(P))
+
+
+def _block_refs(ds) -> list:
+    """ObjectRefs of a Dataset's Arrow blocks (materializes the input —
+    the exchange needs the complete block list; blocks stay in the
+    object store, nothing lands on the driver)."""
+    refs = []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    return refs
+
+
+def _grouped_block_refs(ds, target_bytes: int = 64 << 20,
+                        min_tasks: int = 8) -> list[list]:
+    """Group a Dataset's block refs into map-task work lists of
+    ~``target_bytes`` each (small blocks coalesce — a split task per
+    tiny block drowns the exchange in per-object overhead, measured 2x
+    at sf0.1), keeping at least ``min_tasks`` groups for parallelism."""
+    refs, sizes = [], []
+    for bundle in ds.materialize().iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(ref)
+            sizes.append(meta.size_bytes or 0)
+    if not refs:
+        return []
+    total = sum(sizes)
+    n_tasks = max(1, min(len(refs),
+                         max(min_tasks, int(total // target_bytes))))
+    groups: list[list] = [[] for _ in range(n_tasks)]
+    order = np.argsort(sizes)[::-1]          # greedy largest-first
+    load = np.zeros(n_tasks)
+    for i in order:
+        g = int(np.argmin(load))
+        groups[g].append(refs[i])
+        load[g] += sizes[i]
+    return [g for g in groups if g]
+
+
+# -- exchange tasks (module-level: registered once, unpickled with the
+#    package so _malloc tuning is active inside them) -----------------------
+
+@ray.remote
+def _nd_split_bands(P: int, *blocks) -> tuple:
+    t = pa.concat_tables(blocks)
+    band = t["band"].to_numpy().astype(np.uint64)
+    key = t["key"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (band * _GOLD) ^ (key * _GOLD2)
+        h ^= h >> np.uint64(29)
+    return _split_table(t, (h % np.uint64(P)).astype(np.int64), P)
+
+
+@ray.remote
+def _nd_expand(P: int, max_bucket: int, *parts) -> tuple:
+    """Reduce side of exchange 1 fused with the map side of exchange 2:
+    expand this partition's complete buckets, locally dedup, and
+    pre-partition the packed pairs by pair hash."""
+    g = pa.concat_tables(parts)
     packed = _expand_runs(g["band"].to_numpy().astype(np.int64),
                           g["key"].to_numpy(), g["doc_id"].to_numpy(),
                           max_bucket=max_bucket)
-    # within-group dedup (same pair from two buckets of this group)
-    return pa.table({"packed": pa.array(np.unique(packed)
-                                        .astype(np.int64))})
+    packed = np.unique(packed)
+    with np.errstate(over="ignore"):
+        h = (packed * _GOLD) >> np.uint64(33)
+    ids = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    sp = packed[order]
+    bounds = np.searchsorted(ids[order], np.arange(P + 1))
+    return tuple(sp[bounds[p]:bounds[p + 1]] for p in range(P))
 
+
+@ray.remote
+def _nd_pair_unique(*parts) -> pa.Table:
+    """Reduce side of exchange 2: global pair dedup within a partition
+    (a pair's hash pins it to exactly one partition)."""
+    arrs = [a for a in parts if len(a)]
+    if not arrs:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    p = np.unique(np.concatenate(arrs))
+    return pa.table({
+        "doc_a": pa.array((p >> np.uint64(32)).astype(np.int64)),
+        "doc_b": pa.array((p & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+
+
+@ray.remote
+def _nd_split_by_key(col: str, P: int, *blocks) -> tuple:
+    t = pa.concat_tables(blocks)
+    return _split_table(t, _key_bucket(t[col].to_numpy(), P), P)
+
+
+@ray.remote
+def _nd_attach(side: str, sig_col: str, out_col: str, n_pair_parts: int,
+               *parts) -> pa.Table:
+    """Reduce side of the partitioned hash join: attach ``sig_col`` of
+    the ``side`` doc onto each pair row (inner-join semantics: pairs
+    whose key is absent from the signature side are dropped)."""
+    pairs = pa.concat_tables(parts[:n_pair_parts])
+    sigs = pa.concat_tables(parts[n_pair_parts:])
+    if not len(pairs):
+        return pairs.append_column(
+            out_col, pa.nulls(0, sigs.schema.field(sig_col).type))
+    keys = sigs["doc_id"].to_numpy()
+    order = np.argsort(keys)
+    ks = keys[order]
+    vals = sigs[sig_col].combine_chunks().take(pa.array(order))
+    pk = pairs[side].to_numpy()
+    idx = np.searchsorted(ks, pk)
+    ok = idx < len(ks)
+    idx = np.minimum(idx, max(len(ks) - 1, 0))
+    ok &= (ks[idx] == pk) if len(ks) else False
+    out = pairs.filter(pa.array(ok))
+    return out.append_column(out_col, vals.take(pa.array(idx[ok])))
+
+
+# -- public API -------------------------------------------------------------
 
 def candidate_pairs(sig_ds, n_buckets: int = 64, max_bucket: int = 0):
     """(band, key, doc_id) Dataset → distinct candidate-pair Dataset
     with columns (doc_a, doc_b).
 
-    One hash shuffle: rows group by a coarse deterministic hash of
-    (band, key) (complete buckets per group), each group expands its
-    runs vectorized (np.triu over lexsorted triples); a second coarse
-    shuffle on ``packed % n_buckets`` dedups pairs that surfaced in
-    several bands with one np.unique per group — NEVER a groupby with
-    millions of per-pair groups (Ray's per-group aggregation overhead
-    at 10^6+ groups is ~100x a coarse-group vectorized unique).
-    Nothing touches the driver and no stage holds more than one
-    group/partition.  ``max_bucket`` drops degenerate hot buckets
-    (stop-bucket capping under skew)."""
-
-    def pair_bucket(b: pa.Table) -> pa.Table:
-        p = b["packed"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (p * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return b.append_column(
-            "pbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
-
-    def group_unique(g: pa.Table) -> pa.Table:
-        p = np.unique(g["packed"].to_numpy().astype(np.uint64))
-        return pa.table({
-            "doc_a": pa.array((p >> np.uint64(32)).astype(np.int64)),
-            "doc_b": pa.array((p & np.uint64(0xFFFFFFFF)).astype(np.int64))})
-
-    import functools
-    return (sig_ds
-            .map_batches(_bucketize(n_buckets), batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(functools.partial(_group_expand,
-                                          max_bucket=max_bucket),
-                        batch_format="pyarrow")
-            .map_batches(pair_bucket, batch_format="pyarrow")
-            .groupby("pbucket")
-            .map_groups(group_unique, batch_format="pyarrow"))
-
-
-def _key_bucket(k: np.ndarray, n_buckets: int) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
-            >> np.uint64(31)
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    Manual two-stage hash exchange (module docstring): exchange 1
+    co-locates complete (band, key) buckets and expands them
+    vectorized; exchange 2 dedups pairs that surfaced in several bands
+    with one np.unique per pair partition.  Nothing touches the driver
+    and no task holds more than one partition.  ``max_bucket`` drops
+    degenerate hot buckets (stop-bucket capping under skew)."""
+    import ray.data as rd
+    groups = _grouped_block_refs(sig_ds)
+    P = max(2, n_buckets)
+    if not groups:
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())}))
+    splits = [_nd_split_bands.options(num_returns=P).remote(P, *g)
+              for g in groups]
+    expanded = [_nd_expand.options(num_returns=P)
+                .remote(P, max_bucket, *(s[p] for s in splits))
+                for p in range(P)]
+    finals = [_nd_pair_unique.remote(*(e[p] for e in expanded))
+              for p in range(P)]
+    return rd.from_arrow_refs(finals)
 
 
 def attach_column(pair_ds, sig_ds, sig_col: str, side: str, out_col: str,
-                  n_buckets: int = 32, pair_fields=None, sig_type=None):
-    """Co-partitioned attach: bring ``sig_col`` of the ``side`` doc onto
-    each pair row — a manual hash-join through the coarse-bucket
-    ``groupby().map_groups`` path (a handful of large vectorized
-    groups; avoids per-partition join-aggregator actors).  Inner-join
-    semantics: pairs whose key is absent from sig_ds are dropped."""
-    if pair_fields is None:   # schema() is fine on a materialized input
-        pair_fields = list(zip(pair_ds.schema().names,
-                               pair_ds.schema().types))
-    if sig_type is None:
-        sig_type = dict(zip(sig_ds.schema().names,
-                            sig_ds.schema().types))[sig_col]
-
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        k = b[side].to_numpy()
-        out = b.append_column("k", pa.array(k.astype(np.int64)))
-        out = out.append_column("kind", pa.array(
-            np.ones(len(b), dtype=np.int8)))
-        out = out.append_column(out_col, pa.nulls(len(b), sig_type))
-        return out.append_column("cb", pa.array(_key_bucket(k, n_buckets)))
-
-    def tag_sigs(b: pa.Table) -> pa.Table:
-        k = b["doc_id"].to_numpy()
-        cols = {}
-        for name, typ in pair_fields:
-            cols[name] = pa.nulls(len(b), typ)
-        cols["k"] = pa.array(k.astype(np.int64))
-        cols["kind"] = pa.array(np.zeros(len(b), dtype=np.int8))
-        cols[out_col] = b[sig_col]
-        cols["cb"] = pa.array(_key_bucket(k, n_buckets))
-        return pa.table(cols)
-
-    def attach(g: pa.Table) -> pa.Table:
-        kind = g["kind"].to_numpy()
-        bl = np.flatnonzero(kind == 0)
-        pr = np.flatnonzero(kind == 1)
-        if not len(pr):
-            empty = g.slice(0, 0).drop_columns(["k", "kind", "cb",
-                                                out_col])
-            return empty.append_column(
-                out_col, pa.nulls(0, g.schema.field(out_col).type))
-        keys = g["k"].to_numpy()
-        kb = keys[bl]
-        order = np.argsort(kb)
-        kb_sorted = kb[order]
-        blob_sorted = pc.take(g[out_col].combine_chunks(),
-                              pa.array(bl[order]))
-        pk = keys[pr]
-        idx = np.searchsorted(kb_sorted, pk)
-        ok = (idx < len(kb_sorted))
-        idx = np.minimum(idx, max(len(kb_sorted) - 1, 0))
-        ok &= (kb_sorted[idx] == pk) if len(kb_sorted) else False
-        pr_keep = pr[ok]
-        out = g.take(pa.array(pr_keep)) \
-            .drop_columns(["k", "kind", "cb", out_col])
-        attached = pc.take(blob_sorted, pa.array(idx[ok]))
-        return out.append_column(out_col, attached)
-
-    tagged = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
-        sig_ds.map_batches(tag_sigs, batch_format="pyarrow"))
-    return tagged.groupby("cb").map_groups(attach, batch_format="pyarrow")
+                  n_buckets: int = 32):
+    """Partitioned hash join: bring ``sig_col`` of the ``side`` doc onto
+    each pair row.  Both sides split by the same coarse key hash; each
+    join task sees one co-partition (state O(rows/P), never a broadcast
+    key set).  Inner-join semantics: pairs whose key is absent from
+    sig_ds are dropped."""
+    import ray.data as rd
+    P = max(2, n_buckets)
+    pair_groups = _grouped_block_refs(pair_ds)
+    sig_groups = _grouped_block_refs(sig_ds)
+    if not pair_groups or not sig_groups:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+    psplits = [_nd_split_by_key.options(num_returns=P).remote(side, P, *g)
+               for g in pair_groups]
+    ssplits = [_nd_split_by_key.options(num_returns=P)
+               .remote("doc_id", P, *g) for g in sig_groups]
+    outs = [_nd_attach.remote(side, sig_col, out_col, len(psplits),
+                              *(s[p] for s in psplits),
+                              *(s[p] for s in ssplits))
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
 
 
 def join_signatures(pair_ds, sig_ds, sig_col: str,
                     num_partitions: int = 32):
     """Attach a per-doc signature column to both sides of a pair table
-    via two co-partitioned attaches (the no-broadcast verify path).
-    ``num_partitions`` is the coarse-bucket count per attach.  Field
-    lists are passed explicitly so no lazy schema() call forces an
-    early execution of the upstream shuffles."""
-    sig_type = dict(zip(sig_ds.schema().names,
-                        sig_ds.schema().types))[sig_col]
-    base = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    via two partitioned hash joins (the no-broadcast verify path).
+    ``num_partitions`` is the partition count per join."""
+    sig_ds = sig_ds.materialize()   # read once, feed both attaches
     a = attach_column(pair_ds, sig_ds, sig_col, "doc_a", f"{sig_col}_a",
-                      n_buckets=num_partitions, pair_fields=base,
-                      sig_type=sig_type)
+                      n_buckets=num_partitions)
     return attach_column(a, sig_ds, sig_col, "doc_b", f"{sig_col}_b",
-                         n_buckets=num_partitions,
-                         pair_fields=base + [(f"{sig_col}_a", sig_type)],
-                         sig_type=sig_type)
+                         n_buckets=num_partitions)
 
 
 def hamming_band_keys(values: np.ndarray, n_bands: int,
