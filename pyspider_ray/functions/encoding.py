@@ -1,0 +1,103 @@
+"""Statistical charset detection — the chardet-fallback slot of the
+reference's encoding chain (pyspider/libs/response.py:61-95: header
+charset → meta charset → chardet guess) without the chardet
+dependency.
+
+The detector covers what that chain is used for in practice:
+
+- UTF-8 validity is decisive: a body whose non-ASCII bytes form valid
+  UTF-8 multibyte sequences IS UTF-8 (false positives are
+  astronomically unlikely), even when a stale header says otherwise —
+  the mislabeled-legacy-page case.
+- Otherwise legacy CJK candidates (gb18030, big5, shift_jis) and
+  latin-1 are scored: each decode is graded by plausible-character
+  mass (CJK ideographs, kana, CJK punctuation, fullwidth forms,
+  printable latin) minus penalties for replacement characters and C1
+  control codes (the tell-tale of wrongly-applied single-byte
+  decodings).
+"""
+
+from __future__ import annotations
+
+_CANDIDATES = ("gb18030", "big5", "shift_jis", "latin-1")
+
+
+def _score(text: str) -> float:
+    good = 0.0
+    bad = 0.0
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0xFFFD:                      # replacement char
+            bad += 2.0
+        elif 0x80 <= cp <= 0x9F:              # C1 controls: mojibake tell
+            bad += 2.0
+        elif 0xFF61 <= cp <= 0xFF9F:          # halfwidth katakana: the
+            bad += 1.0                        # classic shift_jis mojibake
+        elif 0x3040 <= cp <= 0x30FF:          # kana: strong Japanese
+            good += 1.5                       # signal (GBK mojibake of
+                                              # shift_jis yields hanzi,
+                                              # almost never kana)
+        elif (0x4E00 <= cp <= 0x9FFF          # CJK unified ideographs
+              or 0x3400 <= cp <= 0x4DBF       # CJK ext A
+              or 0x3000 <= cp <= 0x303F       # CJK punctuation
+              or 0xFF00 <= cp <= 0xFF60):     # fullwidth punct/letters
+            good += 1.0
+        elif cp < 0x80 or ch.isalpha():
+            good += 0.1                       # ASCII / accented latin
+    return good - bad
+
+
+def detect_encoding(content: bytes) -> str:
+    """Best-effort charset guess for an unlabeled (or mislabeled) body."""
+    if not content:
+        return "utf-8"
+    if content.startswith((b"\xef\xbb\xbf",)):
+        return "utf-8"
+    if content.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return "utf-16"
+    try:
+        content.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    sample = content[:65536]
+    best, best_score = "latin-1", float("-inf")
+    for enc in _CANDIDATES:
+        try:
+            text = sample.decode(enc, "replace")
+        except LookupError:       # pragma: no cover
+            continue
+        s = _score(text)
+        if s > best_score:
+            best, best_score = enc, s
+    return best
+
+
+def sniff_encoding(content: bytes, declared: str | None) -> str:
+    """Full policy: trust a declared charset only when it survives the
+    evidence; fall back to statistical detection.
+
+    - valid multibyte UTF-8 wins over any legacy label;
+    - a declared charset that strict-decodes the body is kept;
+    - anything else goes to :func:`detect_encoding`.
+    """
+    if not isinstance(content, bytes) or not content:
+        return declared or "utf-8"
+    has_high = any(b >= 0x80 for b in content[:65536])
+    if has_high:
+        try:
+            content.decode("utf-8", "strict")
+            return "utf-8"
+        except UnicodeDecodeError:
+            pass
+    if declared:
+        if not has_high:
+            return declared
+        try:
+            content.decode(declared, "strict")
+            return declared
+        except (UnicodeDecodeError, LookupError):
+            pass
+    if not has_high:
+        return "utf-8"
+    return detect_encoding(content)

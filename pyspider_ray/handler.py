@@ -117,9 +117,13 @@ class Response:
 
     @property
     def encoding(self) -> str:
-        """M11 — charset sniffing (response.py:61-95/:211-234) without
-        chardet: Content-Type header param, then <meta charset>, then
-        utf-8; gb2312 widens to gb18030 as in the reference."""
+        """M11 — charset sniffing (response.py:61-95/:211-234): Content-
+        Type header param, then <meta charset>, then the statistical
+        detector (functions/encoding.py — the reference's chardet slot);
+        declared charsets are dropped when the bytes contradict them
+        (valid multibyte UTF-8 beats a stale gb2312 label, and a label
+        that can't strict-decode the body falls through to detection).
+        gb2312 widens to gb18030 as in the reference."""
         enc = None
         ctype = ""
         for k, v in self.headers.items():
@@ -135,10 +139,11 @@ class Response:
                     enc = tail.split('"')[0].split("'")[0] \
                         .split(">")[0].split(";")[0].strip()
                     break
-        enc = (enc or "utf-8").lower()
+        enc = (enc or "").lower() or None
         if enc == "gb2312":
             enc = "gb18030"
-        return enc
+        from .functions.encoding import sniff_encoding
+        return sniff_encoding(self.content, enc)
 
     @property
     def text(self) -> str:

@@ -238,3 +238,71 @@ class TestStdoutCapture:
             Response(status_code=200, url="http://x.test/", content=b"x"))
         assert not out.ok and "boom" in out.exception
         assert "before boom" in out.logs
+
+
+class TestEncodingDetection:
+    """M11 statistical fallback (functions/encoding.py) — the
+    reference's chardet slot (response.py:61-95): mislabeled and
+    unlabeled legacy pages must decode correctly."""
+
+    CN = "今天天气很好，我们去公园散步。中文编码检测测试。"
+
+    def _resp(self, content, ctype=None):
+        from pyspider_ray.handler import Response
+        headers = {"Content-Type": ctype} if ctype else {}
+        return Response(status_code=200, url="http://x.test/",
+                        content=content, headers=headers)
+
+    def test_unlabeled_gb18030_detected(self):
+        r = self._resp(self.CN.encode("gb18030"))
+        assert r.encoding == "gb18030"
+        assert r.text == self.CN
+
+    def test_unlabeled_big5_detected(self):
+        tw = "今天天氣很好我們去公園散步繁體中文編碼檢測"
+        r = self._resp(tw.encode("big5"))
+        assert r.text == tw
+
+    def test_utf8_with_false_gb2312_label(self):
+        """Valid multibyte UTF-8 beats a stale legacy label."""
+        r = self._resp(self.CN.encode("utf-8"),
+                       ctype="text/html; charset=gb2312")
+        assert r.encoding == "utf-8"
+        assert r.text == self.CN
+
+    def test_gb18030_with_false_utf8_label(self):
+        """A label that can't strict-decode the body falls through to
+        detection."""
+        r = self._resp(self.CN.encode("gb18030"),
+                       ctype="text/html; charset=utf-8")
+        assert r.encoding == "gb18030"
+        assert r.text == self.CN
+
+    def test_correct_label_kept(self):
+        r = self._resp(self.CN.encode("gb18030"),
+                       ctype="text/html; charset=gb2312")
+        assert r.encoding == "gb18030"   # gb2312 widened, kept
+        assert r.text == self.CN
+
+    def test_meta_charset_still_wins_for_ascii(self):
+        html = b'<html><head><meta charset="iso-8859-1"></head>plain</html>'
+        r = self._resp(html)
+        assert r.encoding == "iso-8859-1"
+
+    def test_pure_ascii_utf8(self):
+        r = self._resp(b"hello world")
+        assert r.encoding == "utf-8"
+
+    def test_latin1_accented_text(self):
+        body = "café résumé naïve déjà vu à côté".encode("latin-1")
+        r = self._resp(body)
+        assert r.text == "café résumé naïve déjà vu à côté"
+
+    def test_utf16_bom(self):
+        from pyspider_ray.functions.encoding import detect_encoding
+        assert detect_encoding("hi".encode("utf-16")) == "utf-16"
+
+    def test_shift_jis_detected(self):
+        jp = "今日は天気がいいので公園へ散歩に行きます。日本語のテキスト。"
+        r = self._resp(jp.encode("shift_jis"))
+        assert r.text == jp
