@@ -876,6 +876,13 @@ def _main() -> None:
                     help="handler script file: its BaseHandler subclass "
                          "drives the crawl; # rate/# burst comments set "
                          "the project bucket (S6)")
+    ap.add_argument("--serve-api", type=int, default=None, metavar="PORT",
+                    help="serve the read-only results/metrics HTTP API "
+                         "on this port during and after the crawl "
+                         "(0 = ephemeral; see pyspider_ray.webapi)")
+    ap.add_argument("--serve-forever", action="store_true",
+                    help="with --serve-api: keep serving after the "
+                         "crawl finishes until interrupted")
     args = ap.parse_args()
 
     import ray
@@ -900,6 +907,13 @@ def _main() -> None:
     else:
         pipe = CrawlPipeline(cfg)
         pipe.seed()
+    api = None
+    if args.serve_api is not None:
+        from ..webapi import serve
+        api = serve(pipe, port=args.serve_api)
+        print(json.dumps({"api": f"http://127.0.0.1:"
+                                 f"{api.server_address[1]}"}),
+              flush=True)
     summary = pipe.run(max_rounds=args.rounds,
                        checkpoint_every=args.checkpoint_every)
     pipe.checkpoint()
@@ -911,7 +925,16 @@ def _main() -> None:
         "results": table.num_rows,
         "unique_images": len(set(table[uniq_col].to_pylist())),
         "out_dir": cfg.out_dir,
-    }))
+    }), flush=True)
+    if api is not None and args.serve_forever:
+        try:
+            import time as _time
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+    if api is not None:
+        api.shutdown()
     if not args.no_ray:
         ray.shutdown()
 

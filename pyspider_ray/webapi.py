@@ -1,0 +1,193 @@
+"""Read-only results/metrics HTTP API — the data surface of the
+reference's webui (result browser ``webui/result.py:20-54``, the
+dashboard's counter/active-task feeds ``webui/index.py``) on stdlib
+``http.server``; no templates, JSON in/out.
+
+Endpoints
+---------
+- ``GET /results?project=&offset=&limit=``   paged result rows + count
+  (resultdb.select semantics: offset/limit paging over saved results)
+- ``GET /results/dump/<project>.json|.txt|.csv?offset=&limit=``
+  streamed export through functions/export.py (S10 result_dump parity;
+  csv infers common columns the same way)
+- ``GET /counters?window=5m|1h|1d|all``      MetricsHub counter tree
+- ``GET /active_tasks?project=``             the T9 ring, newest first
+- ``GET /metrics``                           per-round pipeline metrics
+
+The server reads parquet result partitions fragment-by-fragment for
+paging, so a page request never loads the whole result set; at
+cluster scale this endpoint fronts the same partitioned store every
+worker writes to.  Serving runs on a daemon thread; handlers only
+READ pipeline state (the pause FSM, counters and the results dir are
+safe to observe concurrently)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from .functions.export import dump_as_csv, dump_as_json, dump_as_txt
+
+
+class PipelineProvider:
+    """Read adapter over a CrawlPipeline (or anything shaped like one)."""
+
+    def __init__(self, pipe):
+        self.pipe = pipe
+
+    # -- results ------------------------------------------------------------
+    def _fragments(self):
+        import os
+        import pyarrow.dataset as pads
+        d = self.pipe.results_dir
+        if not os.path.isdir(d) or not any(
+                f for f in os.listdir(d) if not f.endswith(".tmp")):
+            return None
+        return pads.dataset(d)
+
+    def results_count(self, project: str | None) -> int:
+        ds = self._fragments()
+        if ds is None:
+            return 0
+        if not project:
+            return ds.count_rows()
+        import pyarrow.dataset as pads
+        return ds.count_rows(filter=pads.field("project") == project)
+
+    def results_page(self, project: str | None, offset: int,
+                     limit: int) -> list[dict]:
+        """Fragment-wise paging: stream record batches, skip ``offset``
+        rows, stop after ``limit`` — never materializes the store."""
+        ds = self._fragments()
+        if ds is None:
+            return []
+        import pyarrow.dataset as pads
+        flt = (pads.field("project") == project) if project else None
+        out: list[dict] = []
+        to_skip = max(0, offset)
+        for batch in ds.to_batches(filter=flt):
+            if not batch.num_rows:
+                continue
+            if to_skip >= batch.num_rows:
+                to_skip -= batch.num_rows
+                continue
+            take = batch.slice(to_skip, limit - len(out))
+            to_skip = 0
+            out.extend(take.to_pylist())
+            if len(out) >= limit:
+                break
+        for row in out:
+            if isinstance(row.get("result"), str):
+                try:
+                    row["result"] = json.loads(row["result"])
+                except (TypeError, ValueError):
+                    pass
+            if isinstance(row.get("bytes"), bytes):
+                row["bytes"] = f"<{len(row['bytes'])} bytes>"
+        return out
+
+    # -- metrics ------------------------------------------------------------
+    def counters(self, window: str) -> dict:
+        hub = self.pipe.metrics_hub
+        if window not in hub.WINDOWS:
+            raise KeyError(window)
+        return hub.to_dict(window)
+
+    def active_tasks(self, project: str | None) -> list:
+        out = []
+        for name, rt in self.pipe.coord.projects.items():
+            if project and name != project:
+                continue
+            for ts, task in rt.active_tasks:
+                out.append([ts, task])
+        out.sort(key=lambda e: -e[0])
+        return out
+
+    def round_metrics(self) -> list[dict]:
+        return list(self.pipe.metrics)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    provider: PipelineProvider = None   # set by serve()
+
+    def log_message(self, *a):   # quiet
+        pass
+
+    def _json(self, obj, code: int = 200) -> None:
+        body = json.dumps(obj, ensure_ascii=False, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _stream(self, chunks, mime: str) -> None:
+        body = "".join(chunks).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", f"{mime}; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):   # noqa: C901 — a dispatch table in if-form
+        p = self.provider
+        u = urlsplit(self.path)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        try:
+            if u.path == "/results":
+                project = q.get("project")
+                offset = int(q.get("offset", 0))
+                limit = min(int(q.get("limit", 20)), 1000)
+                self._json({
+                    "count": p.results_count(project),
+                    "offset": offset, "limit": limit,
+                    "results": p.results_page(project, offset, limit)})
+            elif u.path.startswith("/results/dump/"):
+                name = u.path[len("/results/dump/"):]
+                if "." not in name:
+                    self._json({"error": "use <project>.<json|txt|csv>"},
+                               400)
+                    return
+                project, fmt = name.rsplit(".", 1)
+                offset = int(q.get("offset", 0))
+                limit = int(q.get("limit", 0)) or 10**9
+                rows = p.results_page(project or None, offset, limit)
+                if fmt == "json":
+                    self._stream(dump_as_json(rows), "application/json")
+                elif fmt == "txt":
+                    self._stream(dump_as_txt(rows), "text/plain")
+                elif fmt == "csv":
+                    self._stream(dump_as_csv(rows), "text/csv")
+                else:
+                    self._json({"error": f"unknown format {fmt!r}"}, 400)
+            elif u.path == "/counters":
+                try:
+                    self._json(p.counters(q.get("window", "5m")))
+                except KeyError:
+                    self._json({"error": "window must be one of "
+                                         "5m/1h/1d/all"}, 400)
+            elif u.path == "/active_tasks":
+                self._json(p.active_tasks(q.get("project")))
+            elif u.path == "/metrics":
+                self._json(p.round_metrics())
+            else:
+                self._json({"error": "not found", "endpoints": [
+                    "/results", "/results/dump/<project>.<fmt>",
+                    "/counters", "/active_tasks", "/metrics"]}, 404)
+        except BrokenPipeError:
+            pass
+        except Exception as exc:   # read-only surface: surface, don't die
+            self._json({"error": str(exc)}, 500)
+
+
+def serve(pipe, host: str = "127.0.0.1", port: int = 0):
+    """Start the API on a daemon thread; returns the HTTPServer (its
+    ``server_address`` carries the bound port; ``shutdown()`` stops it)."""
+    handler = type("_BoundHandler", (_Handler,),
+                   {"provider": PipelineProvider(pipe)})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
