@@ -646,6 +646,10 @@ class CrawlPipeline:
     def run_round(self) -> dict:
         cfg = self.cfg
         self._sync_clocks()
+        # operator inbox (send_message CLI, reference run.py:808-835):
+        # spooled task files enter this round's request phase
+        from ..send_message import drain_inbox
+        self._pending_new.extend(drain_inbox(cfg.out_dir))
         status, self._pending_status = self._pending_status, []
         new, self._pending_new = self._pending_new, []
         # run_once phase order (scheduler.py:661-671): status → requests

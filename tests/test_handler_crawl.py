@@ -333,3 +333,54 @@ class TestHandlerCheckpointResume:
         rows = results_rows(resumed)
         ids = [r["result"]["image_id"] for r in rows]
         assert len(ids) == len(set(ids)) == TOTAL
+
+
+class TestSendMessageCli:
+    def test_spooled_message_reaches_on_message(self, tmp_path):
+        """The send_message CLI path (reference run.py:808-835): a
+        message spooled into <out_dir>/inbox fires the project's
+        on_message through the normal crawl loop, and the inbox file is
+        consumed."""
+        import os
+        import subprocess
+        import sys
+        from pyspider_ray.send_message import send_message
+
+        class InboxHandler(BaseHandler):
+            def on_start(self, response):
+                self.crawl("http://site0.test/page/2",
+                           callback=self.page)
+
+            def page(self, response):
+                return {"ok": 1}
+
+            def on_message(self, project, msg):
+                return {"injected": msg, "from": project}
+
+        out = str(tmp_path / "inboxed")
+        cfg = CrawlConfig(total=TOTAL, n_hosts=N_HOSTS, n_shards=2,
+                          loop_limit=100, out_dir=out, use_ray=False,
+                          handler_cls=InboxHandler, project="handlerproj",
+                          concurrency=2)
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run_round()
+        # one message via the library call, one via the actual CLI
+        send_message(out, "handlerproj", {"cmd": "reload"})
+        subprocess.run(
+            [sys.executable, "-m", "pyspider_ray.send_message",
+             "--out", out, "handlerproj", '{"cmd": "rotate"}'],
+            check=True, cwd="/root/repo", capture_output=True)
+        for _ in range(12):
+            m = pipe.run_round()
+            if not m["emitted"] and not m["admitted"] \
+                    and not pipe._pending_new and not pipe._pending_status \
+                    and not pipe._pending_ctrl and pipe.coord.is_quiescent():
+                break
+        rows = results_rows(pipe)
+        injected = sorted(r["result"]["injected"]["cmd"] for r in rows
+                          if "injected" in r["result"])
+        assert injected == ["reload", "rotate"]
+        assert all(r["result"]["from"] == "__command__" for r in rows
+                   if "injected" in r["result"])
+        assert os.listdir(os.path.join(out, "inbox")) == []   # consumed
