@@ -212,8 +212,75 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
     }))
 
 
+def frontier_drill() -> None:
+    """Resident-frontier scale drill (BASELINE.md evidence): run the
+    real Ray crawl until the frontier holds 10^5 then 10^6 queued
+    tasks; at each mark record steady-state round latency (select +
+    fetch + status for a full loop_limit budget) and checkpoint
+    wall/size.  Flat latency proves the select round is O(budget·log n)
+    not O(frontier); checkpoint cost should scale ~linearly with
+    resident size."""
+    init_ray()
+    from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+    out = "/tmp/pyspider_ray_drill"
+    shutil.rmtree(out, ignore_errors=True)
+    conc = max(2, NUM_CPUS - 2)
+    cfg = CrawlConfig(total=CRAWL_ID_SPACE, n_seeds=2000, n_shards=8,
+                      n_hosts=64, use_ray=True, out_dir=out,
+                      loop_limit=2000, batch_size=256, concurrency=conc,
+                      page_scale=1, persist_payload=False)
+    pipe = CrawlPipeline(cfg)
+    pipe.seed()
+
+    def dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    marks = [100_000, 1_000_000]
+    results: dict[str, dict] = {}
+    mi = 0
+    for _ in range(600):
+        pipe.run_round()
+        size = pipe.coord.total_size()
+        if mi < len(marks) and size >= marks[mi]:
+            lat, admitted = [], 0
+            for _ in range(5):
+                t0 = time.perf_counter()
+                m = pipe.run_round()
+                lat.append(time.perf_counter() - t0)
+                admitted += m["admitted"]
+            t0 = time.perf_counter()
+            ckpt_dir = pipe.checkpoint()
+            ck_sec = time.perf_counter() - t0
+            results[f"{marks[mi]:d}"] = {
+                "resident_frontier": pipe.coord.total_size(),
+                "round_latency_sec": round(sum(lat) / len(lat), 3),
+                "admitted_per_sec": round(admitted / sum(lat), 1),
+                "checkpoint_sec": round(ck_sec, 2),
+                "checkpoint_mb": round(dir_bytes(ckpt_dir) / 1e6, 1),
+            }
+            mi += 1
+            if mi == len(marks):
+                break
+    r5, r6 = results.get("100000"), results.get("1000000")
+    print(json.dumps({
+        "frontier_drill": results,
+        "latency_ratio_1e6_vs_1e5": round(
+            r6["round_latency_sec"] / r5["round_latency_sec"], 2)
+        if r5 and r6 else None,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--frontier-drill" in sys.argv:
+        frontier_drill()
     else:
         main()
