@@ -152,6 +152,9 @@ def bench_queries() -> dict:
     import __ray_entry__ as entry
     qs = entry.queries()
     out = {}
+    # one untimed pass first so the suite measures compute + shuffle,
+    # not Ray Data session warmup / parquet-reader startup
+    qs["status_count"](SF_DIR).to_pandas()
     for name in QUERY_NAMES:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)

@@ -46,10 +46,26 @@ def _read(sf_dir, table, columns=None):
     return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+
 def _word_hashes(words: list[str]) -> np.ndarray:
-    """Stable 64-bit word hashes (md5-low64, process-independent)."""
-    return np.array([int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
-                                    "big") for w in words], dtype=np.uint64)
+    """Stable 64-bit word hashes (md5-low64, process-independent).
+    Per-worker memoization: natural-language vocabulary is tiny next to
+    token count (Zipf), so the md5 runs once per distinct word per
+    worker, not once per occurrence.  Bounded flush keeps a pathological
+    vocabulary from growing the heap."""
+    cache = _WORD_HASH_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            cache[w] = h
+        out[i] = h
+    return out
 
 
 _SEEDS = mix64(np.arange(_MINHASH_PERMS, dtype=np.uint64), 0xBEEF)
@@ -237,23 +253,38 @@ def _word_lists(b: pa.Table) -> pa.Table:
                      "words": pa.array(words, pa.binary())})
 
 
+_BAND_KEY_CACHE: dict[bytes, list[int]] = {}
+
+
 def _minhash_bands_from_words(b: pa.Table) -> pa.Table:
     """(doc_id, words) → LSH (band, key) triples; signatures derive
-    from the precomputed word hashes (no re-tokenization)."""
+    from the precomputed word hashes (no re-tokenization).  Band keys
+    memoize per distinct word-SET blob — on similarity-dense corpora
+    (the whole point of dedup) identical sets recur constantly and the
+    signature is a pure function of the set."""
+    n_bands = _MINHASH_PERMS // _LSH_ROWS
+    cache = _BAND_KEY_CACHE
+    if len(cache) > 500_000:
+        cache.clear()
     doc_ids, bands, keys = [], [], []
+    band_range = list(range(n_bands))
     for doc_id, blob in zip(b["doc_id"].to_pylist(),
                             b["words"].to_pylist()):
-        wh = np.frombuffer(blob, dtype=np.uint64)
-        if len(wh):
-            sig = mix64(wh[:, None], _SEEDS[None, :]).min(axis=0)
-        else:
-            sig = np.zeros(_MINHASH_PERMS, dtype=np.uint64)
-        view = sig.reshape(-1, _LSH_ROWS)
-        for band_idx in range(view.shape[0]):
-            h = hashlib.md5(view[band_idx].tobytes()).digest()
-            doc_ids.append(doc_id)
-            bands.append(band_idx)
-            keys.append(int.from_bytes(h[:8], "big", signed=True))
+        ks = cache.get(blob)
+        if ks is None:
+            wh = np.frombuffer(blob, dtype=np.uint64)
+            if len(wh):
+                sig = mix64(wh[:, None], _SEEDS[None, :]).min(axis=0)
+            else:
+                sig = np.zeros(_MINHASH_PERMS, dtype=np.uint64)
+            view = sig.reshape(-1, _LSH_ROWS)
+            ks = [int.from_bytes(
+                hashlib.md5(view[i].tobytes()).digest()[:8],
+                "big", signed=True) for i in band_range]
+            cache[blob] = ks
+        doc_ids.extend([doc_id] * n_bands)
+        bands.extend(band_range)
+        keys.extend(ks)
     return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                      "band": pa.array(bands, pa.int32()),
                      "key": pa.array(keys, pa.int64())})
