@@ -74,15 +74,16 @@ def bench_crawl() -> dict:
                       persist_payload=False)
     pipe = CrawlPipeline(cfg)
     pipe.seed()
-    for _ in range(4):             # warmup rounds (actor start, ramp-up)
-        pipe.run_round()
+    warmup = int(os.environ.get("GRAFT_BENCH_WARMUP", "4"))
+    for _ in range(warmup):        # warmup rounds (actor start, arena
+        pipe.run_round()           # first-touch, ramp-up)
     os.sync()                      # flush prior dirty pages out of the timing
     time.sleep(1.0)
     t0 = time.perf_counter()
     for _ in range(CRAWL_ROUNDS):
         pipe.run_round()
     elapsed = time.perf_counter() - t0
-    fetched = sum(m["fetched"] for m in pipe.metrics[4:])
+    fetched = sum(m["fetched"] for m in pipe.metrics[warmup:])
     links = fetched * cfg.show
     return {"sec": elapsed, "fetched": fetched,
             "urls_per_sec": fetched / elapsed,
@@ -189,18 +190,33 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def fault_probe_mb_per_s() -> float:
+    """Host memory-phase probe: bandwidth of first-touch page faults on
+    512 MB of fresh pages.  This box alternates between ~multi-GB/s and
+    ~50 MB/s phases (BASELINE.md); reporting the phase with every
+    scaling number makes runs comparable."""
+    import numpy as np
+    t0 = time.perf_counter()
+    x = np.ones(64_000_000)        # 512 MB, faulted by the fill
+    dt = time.perf_counter() - t0
+    del x
+    return round(512 / dt, 1)
+
+
 def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
     """Same job, two parallelism levels, fresh processes; the faster of
     ``reps`` runs per level damps single-box noise (disk writeback,
     stray background work)."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_CRAWL_ONLY="1")
+                   GRAFT_BENCH_CRAWL_ONLY="1",
+                   GRAFT_BENCH_WARMUP="8")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
+    probe_before = fault_probe_mb_per_s()
     best = {}
     for ncpu in (lo, hi):
         runs = [run(ncpu) for _ in range(reps)]
@@ -212,6 +228,7 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
         f"urls_per_sec_{lo}": best[lo]["crawl"]["urls_per_sec"],
         f"urls_per_sec_{hi}": best[hi]["crawl"]["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "fault_probe_mb_per_s": [probe_before, fault_probe_mb_per_s()],
     }))
 
 

@@ -78,6 +78,13 @@ class CrawlConfig:
     fail_permille: int = 0
     session_cookies: bool = False      # T8: fetcher emits Set-Cookie rows
     loop_limit: int = 1000
+    # W8 — out-queue backpressure (scheduler.py:334-346, 465-475): cap
+    # on tasks handed to the data plane per round; overflow holds in a
+    # driver-side send buffer and SELECT HALTS until it drains (the
+    # reference stops selecting while out_queue is full).  0 = off
+    # (the completion-driven chunk dispatch already bounds in-flight
+    # work; this models the reference's explicit queue limit).
+    out_queue_limit: int = 0
     clock_step: float = 1.0
     out_dir: str = "/tmp/pyspider_ray_out"
     use_ray: bool = True
@@ -279,6 +286,7 @@ class CrawlPipeline:
         self._pending_status: list[dict] = []   # dict packs (403s, tests)
         self._pending_new: list[dict] = []      # seed/control task dicts
         self._pending_ctrl: list[pa.Table] = []  # fetched-round control tables
+        self._send_buffer: list[dict] = []      # W8 out-queue overflow
         os.makedirs(self.results_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -661,11 +669,20 @@ class CrawlPipeline:
                                           cfg.follow_priority)
         if cfg.handler_cls is not None:
             self._ingest_handler_extras(ctrl_tables)
-        control = [self.coord._on_select_task(t, self.coord.projects[t["project"]])
-                   for t in self.coord.tick_cronjobs()]
-        batch = control + self.coord.select()
+        if self._send_buffer:
+            # W8: out queue was full last round — selection halts until
+            # the buffer drains (scheduler.send_task force path)
+            batch, self._send_buffer = self._send_buffer, []
+        else:
+            control = [self.coord._on_select_task(
+                t, self.coord.projects[t["project"]])
+                for t in self.coord.tick_cronjobs()]
+            batch = control + self.coord.select()
 
         admitted, deferred, blocked = self.gate.admit(batch)
+        if cfg.out_queue_limit and len(admitted) > cfg.out_queue_limit:
+            self._send_buffer = admitted[cfg.out_queue_limit:]
+            admitted = admitted[:cfg.out_queue_limit]
         if deferred:
             per_shard: dict[int, dict[str, list]] = {}
             for t in deferred:
@@ -692,6 +709,7 @@ class CrawlPipeline:
                   "admitted": len(admitted), "deferred": len(deferred),
                   "blocked": len(blocked), "fetched": n_results,
                   "pending_new": len(self._pending_new),
+                  "send_buffered": len(self._send_buffer),
                   "vtime": self.clock.now()}
         self.metrics.append(metric)
         self.round_idx += 1
@@ -707,7 +725,7 @@ class CrawlPipeline:
                 self.checkpoint()
             if stop_on_quiescent and not m["emitted"] and not m["admitted"] \
                     and not self._pending_new and not self._pending_status \
-                    and not self._pending_ctrl \
+                    and not self._pending_ctrl and not self._send_buffer \
                     and self.coord.is_quiescent():
                 break
         return {"rounds": self.round_idx,
@@ -791,6 +809,7 @@ class CrawlPipeline:
             "pending_status": self._pending_status,
             "pending_new": self._pending_new,
             "pending_ctrl": resolved_ctrl,
+            "send_buffer": self._send_buffer,
             "metrics": self.metrics,
         }
         with open(os.path.join(cdir, "driver.pkl"), "wb") as f:
@@ -854,6 +873,7 @@ class CrawlPipeline:
         pipe._pending_status = state["pending_status"]
         pipe._pending_new = state["pending_new"]
         pipe._pending_ctrl = state.get("pending_ctrl", [])
+        pipe._send_buffer = state.get("send_buffer", [])
         mpath = os.path.join(cdir, "metrics.json")
         if os.path.exists(mpath):
             pipe.metrics_hub.load(mpath)

@@ -321,3 +321,31 @@ class TestWorkerFaultTolerance:
         ids = pipe.results_table()["image_id"].to_pylist()
         assert len(ids) == len(set(ids)) == 200
         assert victim not in pipe._workers   # replaced, not reused
+
+
+class TestOutQueueBackpressure:
+    def test_send_buffer_halts_select_until_drained(self, tmp_path):
+        """W8 (scheduler.py:334-346, 465-475): admitted tasks beyond
+        out_queue_limit hold in a driver-side send buffer; the next
+        round dispatches FROM THE BUFFER with select halted; the crawl
+        still completes exactly."""
+        from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+        cfg = CrawlConfig(total=120, n_seeds=12, n_shards=2,
+                          loop_limit=100, out_queue_limit=7,
+                          use_ray=False,
+                          out_dir=str(tmp_path / "backpressure"))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        pipe.run(max_rounds=300)
+        t = pipe.results_table()
+        assert len(set(t["image_id"].to_pylist())) == 120
+        buffered = [m["send_buffered"] for m in pipe.metrics]
+        assert max(buffered) > 0                  # backpressure engaged
+        # no round ever handed more than the limit to the data plane
+        assert all(m["fetched"] <= 7 for m in pipe.metrics)
+        # a buffered round is followed by a drain round whose emitted
+        # count equals the buffer (select halted, no fresh selection)
+        for i, m in enumerate(pipe.metrics[:-1]):
+            if m["send_buffered"]:
+                assert pipe.metrics[i + 1]["emitted"] == m["send_buffered"]
+        assert not pipe._send_buffer              # fully drained at end
