@@ -239,7 +239,12 @@ class _WorkerActor:
         return True
 
     def process_chunk(self, table: pa.Table, round_dir: str,
-                      part_idx: int) -> pa.Table:
+                      part_idx: int, span: tuple | None = None) -> pa.Table:
+        # span-slicing here lets the driver ray.put the round table ONCE
+        # and hand (ref, offset, len) to every chunk — one driver-side
+        # serialization per round instead of one per chunk
+        if span is not None:
+            table = table.slice(span[0], span[1])
         processed = self.processor(self.fetcher(table))
         if self.handler_mode:
             from ..stages.handler_processor import (handler_control_table,
@@ -480,24 +485,28 @@ class CrawlPipeline:
         cfg = self.cfg
         if cfg.use_ray:
             import math
+            import ray
             workers = self._worker_pool()
             # ~2 chunks per worker + completion-driven re-dispatch: the
             # slowest chunk, not the slowest worker, bounds the round
             per = max(16, math.ceil(len(table) / (len(workers) * 2)))
-            queue = list(enumerate(table.slice(i, per)
-                                   for i in range(0, len(table), per)))
-            # inflight keeps each dispatched chunk so a dead worker's
+            # one ray.put of the whole round table; chunks are (start,
+            # len) spans the worker slices zero-copy from plasma
+            table_ref = ray.put(table)
+            queue = [(i // per, (i, min(per, len(table) - i)))
+                     for i in range(0, len(table), per)]
+            # inflight keeps each dispatched span so a dead worker's
             # chunk can be re-dispatched (idempotent: payload parts
             # write via atomic rename, control rows are regenerated)
             state = {"round_dir": round_dir, "queue": queue, "refs": {},
-                     "inflight": {}}
+                     "inflight": {}, "table_ref": table_ref}
             for w in workers:
                 if not state["queue"]:
                     break
-                idx, chunk = state["queue"].pop(0)
-                ref = w.process_chunk.remote(chunk, round_dir, idx)
+                idx, span = state["queue"].pop(0)
+                ref = w.process_chunk.remote(table_ref, round_dir, idx, span)
                 state["refs"][ref] = (idx, w)
-                state["inflight"][idx] = chunk
+                state["inflight"][idx] = span
             # the caller resolves next round, overlapping worker compute
             # with the driver's control-plane work
             return state
@@ -605,17 +614,19 @@ class CrawlPipeline:
                     raise RuntimeError(
                         f"data-plane chunk {idx} killed its worker "
                         f"{attempts[idx]} times; giving up")
-                chunk = inflight[idx]
-                ref = fresh.process_chunk.remote(chunk, state["round_dir"],
-                                                 idx)
+                span = inflight[idx]
+                ref = fresh.process_chunk.remote(state["table_ref"],
+                                                 state["round_dir"],
+                                                 idx, span)
                 pending[ref] = (idx, fresh)
                 continue
             inflight.pop(idx, None)
             if state["queue"]:
-                j, chunk = state["queue"].pop(0)
-                ref = worker.process_chunk.remote(chunk, state["round_dir"], j)
+                j, span = state["queue"].pop(0)
+                ref = worker.process_chunk.remote(state["table_ref"],
+                                                  state["round_dir"], j, span)
                 pending[ref] = (j, worker)
-                inflight[j] = chunk
+                inflight[j] = span
             while next_idx in results:
                 t = results.pop(next_idx)
                 if on_chunk is not None:

@@ -413,6 +413,48 @@ def q_jaccard_near_dup(sf_dir):
                               batch_size=65536)
 
 
+_SHINGLE_N = 3
+
+
+def _shingle_lists(b: pa.Table) -> pa.Table:
+    """Per doc: sorted distinct word-3-gram hash set as a binary blob —
+    the n-gram analog of _word_lists.  Docs with fewer than N words
+    have no shingles and emit NO row (no content → no dedup; matches
+    the oracle, where shingle-less docs never join)."""
+    ids, blobs = [], []
+    for doc_id, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+        ws = t.split()
+        if len(ws) < _SHINGLE_N:
+            continue
+        sh = {" ".join(ws[i:i + _SHINGLE_N])
+              for i in range(len(ws) - _SHINGLE_N + 1)}
+        blobs.append(np.sort(_word_hashes(sorted(sh))).tobytes())
+        ids.append(doc_id)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "words": pa.array(blobs, pa.binary())})
+
+
+def q_ngram_jaccard_near_dup(sf_dir):
+    """Word-3-gram (shingle) Jaccard near-dup, tau=0.9 — order-aware
+    dedup (shingles catch shuffled-word docs the word-SET metric calls
+    identical).  Same distributed machinery as q_jaccard_near_dup:
+    MinHash over shingle hashes → 21x6 banding (miss prob ~1.3e-7 at
+    tau, effectively exact) → hash-exchange candidate pairs →
+    co-partitioned signature attach → vectorized exact-Jaccard verify
+    over the shingle blobs."""
+    from .neardup import candidate_pairs, join_signatures
+    shingles = (_read(sf_dir, "documents", ["doc_id", "text"])
+                .map_batches(_shingle_lists, batch_format="pyarrow")
+                .materialize())
+    sigs = shingles.map_batches(_minhash_bands_from_words,
+                                batch_format="pyarrow")
+    pairs = candidate_pairs(sigs).materialize()
+    joined = join_signatures(pairs, shingles, "words",
+                             num_partitions=32).materialize()
+    return joined.map_batches(_jaccard_verify_vec, batch_format="pyarrow",
+                              batch_size=65536)
+
+
 def _sim64(b: pa.Table) -> pa.Table:
     """SimHash-64 per doc: per-bit vote over distinct-word md5 hashes."""
     out = []
@@ -1097,6 +1139,27 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = db
         WHERE i * 10 >= 9 * (sa.sz + sb.sz - i)
     """,
+    "ngram_jaccard_near_dup": r"""
+        WITH wl AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        g AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+            FROM wl, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM g a JOIN g b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT da AS doc_a, db AS doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 10 >= 9 * (sa.sz + sb.sz - i)
+    """,
     "quality_score": r"""
         WITH s AS (
             SELECT doc_id, trim(text) AS t,
@@ -1203,6 +1266,7 @@ QUERIES = {
     "dedup_counts": q_dedup_counts,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
+    "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
