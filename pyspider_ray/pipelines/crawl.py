@@ -281,6 +281,15 @@ class _RayCoordinator(Coordinator):
         got = iter(ray.get(live))
         return [next(got) if r is not None else None for r in refs]
 
+    def _fanout_shared(self, method: str, table, *extra) -> list:
+        # one driver-side serialization per round: the shared control
+        # table goes into plasma once; each shard call carries the ref
+        # (auto-dereferenced, zero-copy read) and filters locally
+        import ray
+        ref = ray.put(table)
+        return ray.get([s.call.remote(method, ref, *extra)
+                        for s in self.shards])
+
 
 class CrawlPipeline:
     def __init__(self, cfg: CrawlConfig):

@@ -201,6 +201,16 @@ class Coordinator:
         return self._submit(method, [(batch,) if (batch or always) else None
                                      for batch in per_shard])
 
+    def _fanout_shared(self, method: str, table, *extra) -> list:
+        """Send ONE shared table to every shard; each shard filters its
+        own hash range locally (``urlhash % n_shards == shard_id``).
+        In-process this is just N direct calls on the same object; the
+        Ray coordinator overrides it to a single ``ray.put`` so the
+        driver serializes the round's control stream once instead of
+        once per shard (and the per-column list conversion runs in the
+        shards, in parallel, instead of on the driver)."""
+        return [self._call(s, method, table, *extra) for s in self.shards]
+
     def dispatch_status_tables(self, tables: list) -> dict:
         """Columnar status fan-out: vectorized urlhash routing, per-shard
         Arrow sub-tables, pack building inside the shards."""
@@ -230,16 +240,9 @@ class Coordinator:
             cols["etag"] = t["etag"]
         status = pa.table(cols)
         self._seq += n
-        hashes = status["urlhash"].to_numpy()
-        shard_of = hashes % self.n_shards
-        args = []
-        for s in range(self.n_shards):
-            mask = shard_of == s
-            args.append((status.filter(pa.array(mask)),) if mask.any()
-                        else None)
         totals: dict[str, int] = {}
         now = self._clock()
-        for stats in self._submit("on_status_table", args):
+        for stats in self._fanout_shared("on_status_table", status):
             if stats is None:
                 continue
             for project, ok in stats.pop("tail", ()):
@@ -281,34 +284,20 @@ class Coordinator:
         seqs = np.arange(1, len(first_idx) + 1, dtype=np.int64) + self._seq
         self._seq += len(first_idx)
         kept_hashes = hashes[first_idx]
-        shard_of = kept_hashes % self.n_shards
         idx_arr = pa.array(first_idx)
-        taskids_k = pc.take(taskids, idx_arr)
-        urls_k = pc.take(urls, idx_arr)
-        hosts_k = pc.take(hosts, idx_arr)
-        cbs_k = pc.take(cbs, idx_arr) if has_cb else None
-        svs_k = pc.take(svs, idx_arr) if has_cb else None
-        prios_k = prios[first_idx] if has_cb else None
-        args = []
-        for s in range(self.n_shards):
-            mask = shard_of == s
-            if not mask.any():
-                args.append(None)
-                continue
-            m = pa.array(mask)
-            arg = [pc.filter(taskids_k, m).to_pylist(),
-                   kept_hashes[mask].tolist(),
-                   pc.filter(urls_k, m).to_pylist(),
-                   pc.filter(hosts_k, m).to_pylist(),
-                   seqs[mask].tolist(),
-                   project, priority]
-            if has_cb:
-                arg += [pc.filter(cbs_k, m).to_pylist(),
-                        pc.filter(svs_k, m).to_pylist(),
-                        prios_k[mask].tolist()]
-            args.append(tuple(arg))
+        fcols = {"taskid": pc.take(taskids, idx_arr),
+                 "urlhash": pa.array(kept_hashes),
+                 "url": pc.take(urls, idx_arr),
+                 "host": pc.take(hosts, idx_arr),
+                 "seq": pa.array(seqs)}
+        if has_cb:
+            fcols["callback"] = pc.take(cbs, idx_arr)
+            fcols["save"] = pc.take(svs, idx_arr)
+            fcols["priority"] = pa.array(prios[first_idx])
+        follows = pa.table(fcols)
         totals: dict[str, int] = {}
-        for stats in self._submit("on_follow_batch", args):
+        for stats in self._fanout_shared("on_follow_table", follows,
+                                         project, priority):
             for k, v in (stats or {}).items():
                 totals[k] = totals.get(k, 0) + v
         return totals

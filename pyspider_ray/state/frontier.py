@@ -154,12 +154,25 @@ class FrontierShard:
             self._dispatch_request(task, stats)
         return stats
 
+    def _own_rows(self, table):
+        """Filter a shared control table down to this shard's hash range
+        (``urlhash % n_shards == shard_id``).  The driver ``ray.put``s
+        the round's full control table ONCE and every shard slices its
+        own rows zero-copy from the object store — idempotent on a
+        pre-routed sub-table, so both fan-out styles work."""
+        import numpy as np
+        import pyarrow as pa
+        h = table["urlhash"].to_numpy(zero_copy_only=False)
+        mask = (h % self.n_shards) == self.shard_id
+        return table if mask.all() else table.filter(pa.array(mask))
+
     def on_status_table(self, table) -> dict:
-        """Columnar status ingestion: one Arrow sub-table per shard
-        (zero-copy through the object store); pack dicts are built here,
-        in parallel across shards, instead of on the driver.  Returns the
-        usual stats plus a ``tail`` of (project, process_ok) outcomes for
-        the coordinator's active-task ring (pause FSM)."""
+        """Columnar status ingestion over the shared round table (see
+        ``_own_rows``); pack dicts are built here, in parallel across
+        shards, instead of on the driver.  Returns the usual stats plus
+        a ``tail`` of (project, process_ok) outcomes for the
+        coordinator's active-task ring (pause FSM)."""
+        table = self._own_rows(table)
         cols = {name: table[name].to_pylist() for name in table.column_names}
         stats = {"done": 0, "retry": 0, "failed": 0, "not_processing": 0,
                  "bad_pack": 0, "accepted": []}
@@ -189,6 +202,27 @@ class FrontierShard:
         stats.pop("accepted")
         stats["tail"] = outcomes[-100:]
         return stats
+
+    def on_follow_table(self, table, project: str, priority: int) -> dict:
+        """Columnar follow ingestion over the shared round table: filter
+        to this shard's hash range (``_own_rows``), then delegate to
+        ``on_follow_batch``.  Global first-wins dedup and seq assignment
+        already happened on the driver (equal urlhashes route to one
+        shard, so the filter never splits a dedup group)."""
+        table = self._own_rows(table)
+        if not len(table):
+            return {}
+        has_cb = "callback" in table.column_names
+        return self.on_follow_batch(
+            table["taskid"].to_pylist(),
+            table["urlhash"].to_pylist(),
+            table["url"].to_pylist(),
+            table["host"].to_pylist(),
+            table["seq"].to_pylist(),
+            project, priority,
+            table["callback"].to_pylist() if has_cb else None,
+            table["save"].to_pylist() if has_cb else None,
+            table["priority"].to_pylist() if has_cb else None)
 
     def on_follow_batch(self, taskids: list[str], urlhashes: list[int],
                         urls: list[str], hosts: list[str], seqs: list[int],
