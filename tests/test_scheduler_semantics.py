@@ -304,3 +304,83 @@ class TestShardedParity:
             emitted += ids(coord.round())
             logs.append(emitted)
         assert logs[0] == logs[1]
+
+
+class TestSharedTableFanout:
+    """The columnar control plane (dispatch_status_tables /
+    dispatch_follow_tables) sends ONE shared table to every shard;
+    each shard filters its own hash range locally (_own_rows).  Pin:
+    (a) 4-shard emission parity with the single-heap reference order,
+    (b) strict per-shard ownership after ingestion, (c) _own_rows
+    idempotence on a pre-routed sub-table."""
+
+    def _ctrl_table(self, emitted):
+        import pyarrow as pa
+        from pyspider_ray.functions.urls import urlhash64
+        rows = {"taskid": [], "urlhash": [], "project": [], "url": [],
+                "host": [], "status_code": [], "fetch_time": [],
+                "process_ok": [], "process_time": [], "follows": [],
+                "follows_taskid": [], "follows_urlhash": [],
+                "follows_host": []}
+        for t in emitted:
+            rows["taskid"].append(t["taskid"])
+            rows["urlhash"].append(t["urlhash"])
+            rows["project"].append(t["project"])
+            rows["url"].append(t["url"])
+            rows["host"].append("h")
+            rows["status_code"].append(200)
+            rows["fetch_time"].append(0.01)
+            rows["process_ok"].append(True)
+            rows["process_time"].append(0.01)
+            links = [f"{t['url']}/f{j}" for j in range(3)]
+            rows["follows"].append(links)
+            rows["follows_taskid"].append([f"{t['taskid']}:f{j}"
+                                           for j in range(3)])
+            rows["follows_urlhash"].append([urlhash64(u) for u in links])
+            rows["follows_host"].append(["h"] * 3)
+        return pa.table({
+            **{k: pa.array(v) for k, v in rows.items()
+               if not k.startswith("follows")},
+            "follows": pa.array(rows["follows"], pa.list_(pa.string())),
+            "follows_taskid": pa.array(rows["follows_taskid"],
+                                       pa.list_(pa.string())),
+            "follows_urlhash": pa.array(rows["follows_urlhash"],
+                                        pa.list_(pa.int64())),
+            "follows_host": pa.array(rows["follows_host"],
+                                     pa.list_(pa.string())),
+        })
+
+    def _drive(self, n_shards):
+        coord, clock = make_coord(n_shards=n_shards, inqueue_limit=0)
+        coord.update_project(ProjectConfig("p", rate=1e9, burst=1e9))
+        seeds = [task(f"s{i}", project="p", url=f"http://h{i % 7}.test/p{i}")
+                 for i in range(80)]
+        emitted = coord.round(new_tasks=seeds)
+        clock.advance(1)
+        ctrl = self._ctrl_table(emitted)
+        coord.dispatch_status_tables([ctrl])
+        coord.dispatch_follow_tables([ctrl], "p", 0)
+        clock.advance(1)
+        emitted2 = coord.round()
+        return coord, ids(emitted) + ids(emitted2)
+
+    def test_parity_and_ownership(self):
+        coord1, log1 = self._drive(1)
+        coord4, log4 = self._drive(4)
+        assert log1 == log4
+        assert len(log4) == 80 + 240
+        for shard in coord4.shards:
+            for (project, taskid), t in shard.store.items():
+                assert t["urlhash"] % 4 == shard.shard_id
+
+    def test_own_rows_idempotent(self):
+        import pyarrow as pa
+        from pyspider_ray.state import FrontierShard, VirtualClock
+        clock = VirtualClock(T0)
+        shard = FrontierShard(2, 4, clock=clock)
+        t = pa.table({"urlhash": pa.array(list(range(100)), pa.int64())})
+        once = shard._own_rows(t)
+        twice = shard._own_rows(once)
+        assert once.equals(twice)
+        assert once["urlhash"].to_pylist() == [h for h in range(100)
+                                               if h % 4 == 2]
