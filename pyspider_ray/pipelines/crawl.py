@@ -281,14 +281,19 @@ class _RayCoordinator(Coordinator):
         got = iter(ray.get(live))
         return [next(got) if r is not None else None for r in refs]
 
-    def _fanout_shared(self, method: str, table, *extra) -> list:
+    def _fanout_submit(self, method: str, table, *extra) -> list:
         # one driver-side serialization per round: the shared control
         # table goes into plasma once; each shard call carries the ref
-        # (auto-dereferenced, zero-copy read) and filters locally
+        # (auto-dereferenced, zero-copy read) and filters locally.
+        # Returned refs are gathered later (finish_status_tables), so
+        # shard ingestion overlaps the driver's chunk dispatch loop.
         import ray
         ref = ray.put(table)
-        return ray.get([s.call.remote(method, ref, *extra)
-                        for s in self.shards])
+        return [s.call.remote(method, ref, *extra) for s in self.shards]
+
+    def _fanout_gather(self, handles: list) -> list:
+        import ray
+        return ray.get(handles)
 
 
 class CrawlPipeline:
@@ -655,7 +660,10 @@ class CrawlPipeline:
         def on_chunk(t: pa.Table) -> None:
             buffer.append(t)
             if len(buffer) >= 8:
-                self.coord.dispatch_status_tables(buffer)
+                # async submit: seq assignment happens now (chunk order,
+                # deterministic); the gather runs after the drain so the
+                # shards ingest while the driver keeps dispatching chunks
+                self.coord.begin_status_tables(buffer)
                 buffer.clear()
 
         cb = on_chunk if ingest_status else None
@@ -667,7 +675,9 @@ class CrawlPipeline:
             else:
                 out.extend(self._drain_plane(item, cb))
         if buffer:
-            self.coord.dispatch_status_tables(buffer)
+            self.coord.begin_status_tables(buffer)
+        if ingest_status:
+            self.coord.finish_status_tables()
         self._pending_ctrl = []
         return out
 

@@ -110,6 +110,7 @@ class Coordinator:
         self._pending_control: list[dict] = []  # on_finished etc, next round
         self.emitted_log: list[tuple[str, str]] = []  # (project, taskid)
         self._seq = 0  # global enqueue-sequence counter (AtomInt parity)
+        self._status_handles: list = []  # async status fan-outs in flight
 
     def _next_seq(self) -> int:
         self._seq += 1
@@ -209,24 +210,44 @@ class Coordinator:
         driver serializes the round's control stream once instead of
         once per shard (and the per-column list conversion runs in the
         shards, in parallel, instead of on the driver)."""
+        return self._fanout_gather(self._fanout_submit(method, table, *extra))
+
+    def _fanout_submit(self, method: str, table, *extra) -> list:
+        """Submit half of ``_fanout_shared``; in-process calls are
+        synchronous so the 'handles' ARE the results.  The Ray
+        coordinator returns actor-call refs so shard ingestion overlaps
+        the driver's next chunk dispatch (actor calls from one driver
+        run in submission order, so deferring the gather changes no
+        shard-visible ordering)."""
         return [self._call(s, method, table, *extra) for s in self.shards]
 
+    def _fanout_gather(self, handles: list) -> list:
+        return handles
+
     def dispatch_status_tables(self, tables: list) -> dict:
-        """Columnar status fan-out: vectorized urlhash routing, per-shard
-        Arrow sub-tables, pack building inside the shards."""
+        """Columnar status fan-out: build + submit + gather in one call."""
+        self.begin_status_tables(tables)
+        return self.finish_status_tables()
+
+    def begin_status_tables(self, tables: list) -> None:
+        """Async columnar status fan-out: driver-side seq assignment and
+        submission happen now (in chunk-arrival order — deterministic);
+        result gathering is deferred to ``finish_status_tables()``,
+        which the round loop calls before select, so pause-FSM /
+        active-ring semantics are identical to the synchronous path."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         tables = [t for t in tables if len(t)]
         if not tables:
-            return {}
+            return
         t = pa.concat_tables(tables, promote_options="default")
         if "not_send_status" in t.column_names:
             # @not_send_status callbacks (cronjob/message plumbing) emit
             # no status pack (processor.py:174-176)
             t = t.filter(pc.invert(t["not_send_status"].combine_chunks()))
             if not len(t):
-                return {}
+                return
         n = len(t)
         cols = {
             "taskid": t["taskid"], "urlhash": t["urlhash"],
@@ -240,9 +261,16 @@ class Coordinator:
             cols["etag"] = t["etag"]
         status = pa.table(cols)
         self._seq += n
+        self._status_handles.extend(
+            self._fanout_submit("on_status_table", status))
+
+    def finish_status_tables(self) -> dict:
+        """Gather every pending async status fan-out (begin_status_tables)
+        and fold the stats into the active-task rings."""
+        handles, self._status_handles = self._status_handles, []
         totals: dict[str, int] = {}
         now = self._clock()
-        for stats in self._fanout_shared("on_status_table", status):
+        for stats in self._fanout_gather(handles):
             if stats is None:
                 continue
             for project, ok in stats.pop("tail", ()):
