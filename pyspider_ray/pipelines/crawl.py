@@ -695,10 +695,14 @@ class CrawlPipeline:
         self.coord.dispatch_status(status)
         ctrl_tables = self._collect_ctrl()   # streams statuses to shards
         self.coord.dispatch_requests(new)
-        self.coord.dispatch_follow_tables(ctrl_tables, cfg.project,
-                                          cfg.follow_priority)
+        # async follow fan-out: shards ingest while the driver parses
+        # handler extras; gathered before select (shard mailbox FIFO keeps
+        # follow-before-select ordering regardless)
+        self.coord.begin_follow_tables(ctrl_tables, cfg.project,
+                                       cfg.follow_priority)
         if cfg.handler_cls is not None:
             self._ingest_handler_extras(ctrl_tables)
+        self.coord.finish_follow_tables()
         if self._send_buffer:
             # W8: out queue was full last round — selection halts until
             # the buffer drains (scheduler.send_task force path)

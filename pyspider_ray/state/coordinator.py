@@ -111,6 +111,7 @@ class Coordinator:
         self.emitted_log: list[tuple[str, str]] = []  # (project, taskid)
         self._seq = 0  # global enqueue-sequence counter (AtomInt parity)
         self._status_handles: list = []  # async status fan-outs in flight
+        self._follow_handles: list = []  # async follow fan-outs in flight
 
     def _next_seq(self) -> int:
         self._seq += 1
@@ -284,20 +285,31 @@ class Coordinator:
 
     def dispatch_follow_tables(self, tables: list, project: str,
                                priority: int = 0) -> dict:
+        """Columnar follow fan-out: build + submit + gather in one call."""
+        self.begin_follow_tables(tables, project, priority)
+        return self.finish_follow_tables()
+
+    def begin_follow_tables(self, tables: list, project: str,
+                            priority: int = 0) -> None:
         """Flatten the processor's canonicalized follow columns and route
         them with numpy; D2 first-wins dedup runs on the int64 urlhash
         (64-bit md5 low bits — collision odds are negligible and a lost
-        duplicate would only skip one redundant shard check)."""
+        duplicate would only skip one redundant shard check).
+
+        Async half: seq assignment + submission happen now; the gather is
+        deferred to ``finish_follow_tables()``.  Per-actor mailbox FIFO
+        means every shard ingests the follows before any later select
+        fan-out it receives, so deferring the gather changes no ordering."""
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         tables = [t for t in tables if len(t)]
         if not tables:
-            return {}
+            return
         t = pa.concat_tables(tables, promote_options="default")
         taskids = pc.list_flatten(t["follows_taskid"])
         if not len(taskids):
-            return {}
+            return
         hashes = pc.list_flatten(t["follows_urlhash"]).to_numpy()
         urls = pc.list_flatten(t["follows"])
         hosts = pc.list_flatten(t["follows_host"])
@@ -323,9 +335,14 @@ class Coordinator:
             fcols["save"] = pc.take(svs, idx_arr)
             fcols["priority"] = pa.array(prios[first_idx])
         follows = pa.table(fcols)
+        self._follow_handles.extend(
+            self._fanout_submit("on_follow_table", follows, project, priority))
+
+    def finish_follow_tables(self) -> dict:
+        """Gather every pending async follow fan-out."""
+        handles, self._follow_handles = self._follow_handles, []
         totals: dict[str, int] = {}
-        for stats in self._fanout_shared("on_follow_table", follows,
-                                         project, priority):
+        for stats in self._fanout_gather(handles):
             for k, v in (stats or {}).items():
                 totals[k] = totals.get(k, 0) + v
         return totals
@@ -354,10 +371,9 @@ class Coordinator:
 
     def select(self) -> list[dict]:
         """_check_select (scheduler.py:463-566) over sharded frontiers."""
-        self._call_all("check_update")
-
         weights: dict[str, int] = {}
-        sizes_by_shard = self._call_all("queue_sizes")
+        # one fused fan-out instead of check_update + queue_sizes back-to-back
+        sizes_by_shard = self._call_all("check_update_sizes")
         for name, rt in self.projects.items():
             if not rt.cfg.active or rt.paused:
                 continue

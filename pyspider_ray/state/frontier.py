@@ -511,6 +511,12 @@ class FrontierShard:
         for tq in self.queues.values():
             tq.check_update()
 
+    def check_update_sizes(self) -> dict[str, int]:
+        """check_update + queue_sizes fused into one control-plane round
+        trip (the select prologue needs both, back-to-back, every round)."""
+        self.check_update()
+        return self.queue_sizes()
+
     # -- introspection -------------------------------------------------------
     def queue_size(self, project: str | None = None) -> int:
         if project is not None:
