@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import time
 from dataclasses import dataclass, field, asdict
 
 import numpy as np
@@ -692,8 +693,10 @@ class CrawlPipeline:
         new, self._pending_new = self._pending_new, []
         # run_once phase order (scheduler.py:661-671): status → requests
         # (control dicts, then the columnar follow stream) → cron → select
+        t0 = time.perf_counter()
         self.coord.dispatch_status(status)
         ctrl_tables = self._collect_ctrl()   # streams statuses to shards
+        t_drain = time.perf_counter()
         self.coord.dispatch_requests(new)
         # async follow fan-out: shards ingest while the driver parses
         # handler extras; gathered before select (shard mailbox FIFO keeps
@@ -703,6 +706,7 @@ class CrawlPipeline:
         if cfg.handler_cls is not None:
             self._ingest_handler_extras(ctrl_tables)
         self.coord.finish_follow_tables()
+        t_follow = time.perf_counter()
         if self._send_buffer:
             # W8: out queue was full last round — selection halts until
             # the buffer drains (scheduler.send_task force path)
@@ -712,6 +716,7 @@ class CrawlPipeline:
                 t, self.coord.projects[t["project"]])
                 for t in self.coord.tick_cronjobs()]
             batch = control + self.coord.select()
+        t_select = time.perf_counter()
 
         admitted, deferred, blocked = self.gate.admit(batch)
         if cfg.out_queue_limit and len(admitted) > cfg.out_queue_limit:
@@ -738,13 +743,22 @@ class CrawlPipeline:
             self._pending_ctrl.append(out)
             n_results = len(admitted)  # 1 control row per admitted task
 
+        t_dispatch = time.perf_counter()
         self.metrics_hub.ingest_shard_deltas(self.coord.drain_counters())
         metric = {"round": self.round_idx, "emitted": len(batch),
                   "admitted": len(admitted), "deferred": len(deferred),
                   "blocked": len(blocked), "fetched": n_results,
                   "pending_new": len(self._pending_new),
                   "send_buffered": len(self._send_buffer),
-                  "vtime": self.clock.now()}
+                  "vtime": self.clock.now(),
+                  # driver-phase wall breakdown (seconds): drain = wait on
+                  # last round's data plane + status ingest; follow = follow
+                  # fan-out (+handler extras); select = cron+select+gate;
+                  # dispatch = table build + chunk submission
+                  "t_drain": round(t_drain - t0, 4),
+                  "t_follow": round(t_follow - t_drain, 4),
+                  "t_select": round(t_select - t_follow, 4),
+                  "t_dispatch": round(t_dispatch - t_select, 4)}
         self.metrics.append(metric)
         self.round_idx += 1
         self.clock.advance(cfg.clock_step)
