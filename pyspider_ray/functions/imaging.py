@@ -47,6 +47,10 @@ def png_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     rows = raw.reshape(h, 1 + stride)
     ftypes = rows[:, 0]
+    if not ftypes.any():
+        # filter type 0 on every scanline (what png_encode emits):
+        # the payload is already the pixel data
+        return np.ascontiguousarray(rows[:, 1:])
     data = rows[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
@@ -109,13 +113,13 @@ _FJPG_MAGIC = b"FJPG"
 _FJPG_Q = 4  # quantization step => max abs error 2 => PSNR ~46 dB
 
 
-def fjpg_encode(pixels: np.ndarray) -> bytes:
+def fjpg_encode(pixels: np.ndarray, compress_level: int = 6) -> bytes:
     """Deterministic lossy stand-in codec (STUB for real JPEG — see
     module docstring).  Error bound ±(Q/2) per channel."""
     assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
     h, w = pixels.shape[:2]
     q = (pixels.astype(np.uint16) // _FJPG_Q).astype(np.uint8)
-    body = zlib.compress(q.tobytes(), 6)
+    body = zlib.compress(q.tobytes(), compress_level)
     return _FJPG_MAGIC + struct.pack(">IIB", w, h, _FJPG_Q) + body
 
 
@@ -128,11 +132,14 @@ def fjpg_decode(data: bytes) -> np.ndarray:
     return np.minimum(pix, 255).astype(np.uint8)
 
 
-def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+def encode_image(pixels: np.ndarray, fmt: str,
+                 compress_level: int | None = None) -> bytes:
     if fmt == "png":
-        return png_encode(pixels)
+        return png_encode(pixels) if compress_level is None \
+            else png_encode(pixels, compress_level)
     if fmt in ("jpeg", "fjpg"):
-        return fjpg_encode(pixels)
+        return fjpg_encode(pixels) if compress_level is None \
+            else fjpg_encode(pixels, compress_level)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
@@ -160,6 +167,12 @@ def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
     h, w = gray.shape
     ys = np.linspace(0, h, 9).astype(int)
     xs = np.linspace(0, w, 9).astype(int)
+    if h >= 8 and w >= 8:
+        # every linspace step is >= 1 so the cut points are strictly
+        # increasing — one reduceat per axis replaces 64 tiny .mean()s
+        sums = np.add.reduceat(np.add.reduceat(gray, ys[:-1], axis=0),
+                               xs[:-1], axis=1)
+        return sums / np.outer(np.diff(ys), np.diff(xs))
     out = np.empty((8, 8), dtype=np.float64)
     for i in range(8):
         for j in range(8):

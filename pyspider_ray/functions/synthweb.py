@@ -126,7 +126,11 @@ def page_payload(url_id: int, scale: int = 1) -> dict:
     w, h = page_dims(url_id, scale)
     return {
         "image_id": f"img-{url_id:012d}",
-        "bytes": encode_image(pixels, fmt),
+        # compress_level=0 (stored deflate blocks — still spec-conformant
+        # PNG/zlib): these pixels are uniform random, hence incompressible;
+        # any higher level burns 10-60x CPU in the *simulation* for the
+        # same output size.  Real crawls swap in real codecs at real levels.
+        "bytes": encode_image(pixels, fmt, compress_level=0),
         "w": w,
         "h": h,
         "fmt": fmt,
