@@ -502,9 +502,11 @@ class CrawlPipeline:
             import math
             import ray
             workers = self._worker_pool()
-            # ~2 chunks per worker + completion-driven re-dispatch: the
-            # slowest chunk, not the slowest worker, bounds the round
-            per = max(16, math.ceil(len(table) / (len(workers) * 2)))
+            # ~4 chunks per worker + completion-driven re-dispatch: per-row
+            # cost varies ~10x with page dims, so finer chunks smooth the
+            # tail (the slowest chunk, not the slowest worker, bounds the
+            # round); chunk overhead stays negligible down to 16 rows
+            per = max(16, math.ceil(len(table) / (len(workers) * 4)))
             # one ray.put of the whole round table; chunks are (start,
             # len) spans the worker slices zero-copy from plasma
             table_ref = ray.put(table)
