@@ -784,6 +784,94 @@ def q_ann_ivf(sf_dir):
                                             batch_format="pandas"))
 
 
+_LSH_TABLES = 8
+_LSH_BITS = 6       # 2^6 buckets/table at test scale; grows with corpus
+
+
+def _lsh_planes(d: int) -> np.ndarray:
+    """Deterministic random hyperplanes, (tables, bits, d)."""
+    rng = np.random.default_rng(0x15A4)
+    return rng.standard_normal((_LSH_TABLES, _LSH_BITS, d))
+
+
+def _lsh_sigs(En: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Packed sign-bit signatures, (tables, n) int64."""
+    weights = (np.int64(1) << np.arange(_LSH_BITS, dtype=np.int64))
+    sigs = np.empty((planes.shape[0], En.shape[0]), dtype=np.int64)
+    for t in range(planes.shape[0]):
+        sigs[t] = ((En @ planes[t].T) > 0) @ weights
+    return sigs
+
+
+def _lsh_probe(b: pa.Table, q_ids, Q, planes) -> pa.Table:
+    """One streaming pass: per batch, a cheap sign-bit matmul yields
+    each row's signature per table; a row is a candidate for a query
+    iff they collide in ANY table; exact cosine runs only on
+    candidates, emitting partial top-k per query (merged by a tiny
+    grouped stage).  No shuffle, no corpus materialization — the
+    broadcast state is (queries + hyperplanes), a few KB."""
+    ids = b["vec_id"].to_numpy(zero_copy_only=False)
+    E = _embedding_matrix(b)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    planes = np.asarray(planes, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    q_ids = np.asarray(q_ids)
+    bsigs = _lsh_sigs(En, planes)              # (T, n)
+    qsigs = _lsh_sigs(Q, planes)               # (T, nq)
+    cand = np.zeros((Q.shape[0], En.shape[0]), dtype=bool)
+    for t in range(planes.shape[0]):
+        cand |= qsigs[t][:, None] == bsigs[t][None, :]
+    qs, ns, sims = [], [], []
+    for qi in range(Q.shape[0]):
+        m = cand[qi]
+        if not m.any():
+            continue
+        sub_ids = ids[m]
+        S = En[m] @ Q[qi]
+        k = min(_TOP_K + 1, S.shape[0])
+        idx = np.argpartition(-S, k - 1)[:k] if k < S.shape[0] \
+            else np.arange(S.shape[0])
+        for j in idx:
+            if sub_ids[j] == q_ids[qi]:
+                continue
+            qs.append(int(q_ids[qi]))
+            ns.append(int(sub_ids[j]))
+            sims.append(float(S[j]))
+    return pa.table({"query_id": pa.array(qs, pa.int64()),
+                     "neighbor_id": pa.array(ns, pa.int64()),
+                     "sim": pa.array(sims, pa.float64())})
+
+
+def q_ann_lsh(sf_dir):
+    """LSH-bucketed ANN (rows-only: approximate by construction):
+    random-hyperplane signatures (OR over _LSH_TABLES tables of
+    _LSH_BITS sign bits) gate which rows get exact cosine scoring —
+    the classic Charikar/SimHash bucketing applied to ANN search.
+    Scale contract: single streaming scan; per-batch extra cost is one
+    (batch x bits) matmul per table; candidate fraction ~= T/2^bits of
+    the corpus, tuned by _LSH_BITS.  For many queries (>~10^3) the
+    bucketed-shuffle form (group rows by signature, join query buckets
+    — the neardup.py machinery) beats this broadcast-probe form."""
+    import pandas as pd
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(_TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    import functools
+    q_ids, Q = _load_query_matrix(sf_dir, _N_QUERIES)
+    planes = _lsh_planes(Q.shape[1])
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(functools.partial(_lsh_probe, q_ids=q_ids,
+                                           Q=Q, planes=planes),
+                         batch_format="pyarrow")
+            .groupby("query_id").map_groups(final_topk,
+                                            batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (synthetic pages; no image libs in this container)
 # ---------------------------------------------------------------------------
@@ -1271,6 +1359,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
     "image_decode": q_image_decode,
     "image_phash_near_dup": q_image_phash_near_dup,
     "audio_features": q_audio_features,
