@@ -34,11 +34,22 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (measured 59.7 s fresh vs 0.9 s reused for the same expand kernel).
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+# route Arrow through the tuned glibc pool instead of jemalloc, whose
+# madvise decay returns pages to the OS and repays first-touch faults
+# on this host every cycle (measured 44.3 -> 38.6 ms/row on the
+# page_scale=12 fetch+process kernel in a slow host phase)
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 CRAWL_ID_SPACE = 10 ** 10          # url id space (north rule scale)
-CRAWL_ROUNDS = 5
+CRAWL_ROUNDS = int(os.environ.get("GRAFT_BENCH_ROUNDS", "5"))
 CRAWL_LOOP_LIMIT = 12_000          # single project caps at limit/3 = 4k/round
 CRAWL_SEEDS = 64
+# per-URL decode cost knob: 6 ≈ 7 ms/row (headline — the synthetic
+# codec after the stored-deflate fix), 12 ≈ 36 ms/row (the real-JPEG
+# decode cost band for multi-MPix pages; --scaling uses this so the
+# measured N→4N efficiency reflects the production decode workload
+# rather than the artificially cheap sandbox codec)
+CRAWL_PAGE_SCALE = int(os.environ.get("GRAFT_BENCH_PAGE_SCALE", "6"))
 
 QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "priority_topk", "dedup_exact", "token_count",
@@ -70,7 +81,8 @@ def bench_crawl() -> dict:
     cfg = CrawlConfig(total=CRAWL_ID_SPACE, n_seeds=CRAWL_SEEDS,
                       n_shards=8, n_hosts=64, use_ray=True,
                       out_dir=out, loop_limit=CRAWL_LOOP_LIMIT,
-                      batch_size=256, concurrency=conc, page_scale=6,
+                      batch_size=256, concurrency=conc,
+                      page_scale=CRAWL_PAGE_SCALE,
                       persist_payload=False)
     pipe = CrawlPipeline(cfg)
     pipe.seed()
@@ -203,7 +215,7 @@ def fault_probe_mb_per_s() -> float:
     return round(512 / dt, 1)
 
 
-def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
+def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
     """Same job, two parallelism levels, fresh processes; the faster of
     ``reps`` runs per level damps single-box noise (disk writeback,
     stray background work)."""
@@ -211,11 +223,16 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_CRAWL_ONLY="1",
                    GRAFT_BENCH_WARMUP="8")
+        # real-decode-cost workload for the scaling law (see
+        # CRAWL_PAGE_SCALE comment) unless the caller pinned one
+        env.setdefault("GRAFT_BENCH_PAGE_SCALE", "12")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
+    if reps is None:
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     probe_before = fault_probe_mb_per_s()
     best = {}
     for ncpu in (lo, hi):
@@ -228,6 +245,7 @@ def scaling(lo: int = 8, hi: int = 32, reps: int = 2) -> None:
         f"urls_per_sec_{lo}": best[lo]["crawl"]["urls_per_sec"],
         f"urls_per_sec_{hi}": best[hi]["crawl"]["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "page_scale": int(os.environ.get("GRAFT_BENCH_PAGE_SCALE", "12")),
         "fault_probe_mb_per_s": [probe_before, fault_probe_mb_per_s()],
     }))
 

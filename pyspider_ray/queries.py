@@ -312,7 +312,8 @@ def q_windowed_counter(sf_dir):
         import pandas as pd
         g = pd.DataFrame({"win": win, "n": 1, "value_cents": cents}) \
             .groupby("win", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
     return (_read(sf_dir, "events", ["ts", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("win")
@@ -486,7 +487,10 @@ def q_sliding_window(sf_dir):
         wins = (mins[:, None] - np.arange(5)[None, :]).ravel()
         g = pd.DataFrame({"win_start_min": wins, "n": 1}) \
             .groupby("win_start_min", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # drop the pandas schema metadata (a dict) — Ray Data's block
+        # schema dedup can't hash it and logs a warning per block
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return (_read(sf_dir, "events", ["ts"])
             .map_batches(fanout, batch_format="pyarrow")
@@ -528,7 +532,8 @@ def q_session_windows(sf_dir):
             .agg(n_events=("t", "size"), start_us=("t", "min"),
                  end_us=("t", "max"))
         out["n_events"] = out["n_events"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return (_read(sf_dir, "events", ["user_id", "ts"])
             .map_batches(prep, batch_format="pyarrow")
