@@ -42,7 +42,8 @@ os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 CRAWL_ID_SPACE = 10 ** 10          # url id space (north rule scale)
 CRAWL_ROUNDS = int(os.environ.get("GRAFT_BENCH_ROUNDS", "5"))
-CRAWL_LOOP_LIMIT = 12_000          # single project caps at limit/3 = 4k/round
+CRAWL_LOOP_LIMIT = int(os.environ.get("GRAFT_BENCH_LOOP_LIMIT",
+                                      "12000"))  # 1 project = limit/3 per round
 CRAWL_SEEDS = 64
 # per-URL decode cost knob: 6 ≈ 7 ms/row (headline — the synthetic
 # codec after the stored-deflate fix), 12 ≈ 36 ms/row (the real-JPEG
@@ -218,14 +219,23 @@ def fault_probe_mb_per_s() -> float:
 def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
     """Same job, two parallelism levels, fresh processes; the faster of
     ``reps`` runs per level damps single-box noise (disk writeback,
-    stray background work)."""
+    stray background work).  Reps are interleaved (lo,hi,lo,hi,...) so
+    a host memory-phase flip mid-run penalizes both levels evenly
+    instead of landing wholly on one; each leg records the fault-probe
+    bandwidth it ran at."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_CRAWL_ONLY="1",
-                   GRAFT_BENCH_WARMUP="8")
-        # real-decode-cost workload for the scaling law (see
-        # CRAWL_PAGE_SCALE comment) unless the caller pinned one
+                   GRAFT_BENCH_CRAWL_ONLY="1")
+        # scaling-law workload (unless the caller pinned its own):
+        # real-decode page cost (see CRAWL_PAGE_SCALE comment) and
+        # 8k-URL rounds — the per-round driver barrier (follow fan-out
+        # + select + politeness gate) is a fixed cost the reference's
+        # single scheduler shares, so bigger rounds measure the
+        # engine's scaling, not the barrier's
         env.setdefault("GRAFT_BENCH_PAGE_SCALE", "12")
+        env.setdefault("GRAFT_BENCH_LOOP_LIMIT", "24000")
+        env.setdefault("GRAFT_BENCH_ROUNDS", "3")
+        env.setdefault("GRAFT_BENCH_WARMUP", "5")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
@@ -233,11 +243,13 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
         return json.loads(out.stdout.strip().splitlines()[-1])
     if reps is None:
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
-    probe_before = fault_probe_mb_per_s()
-    best = {}
-    for ncpu in (lo, hi):
-        runs = [run(ncpu) for _ in range(reps)]
-        best[ncpu] = min(runs, key=lambda r: r["value"])
+    runs: dict[int, list] = {lo: [], hi: []}
+    probes = []
+    for _ in range(reps):
+        for ncpu in (lo, hi):
+            probes.append(fault_probe_mb_per_s())
+            runs[ncpu].append(run(ncpu))
+    best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
@@ -246,7 +258,9 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
         f"urls_per_sec_{hi}": best[hi]["crawl"]["urls_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "page_scale": int(os.environ.get("GRAFT_BENCH_PAGE_SCALE", "12")),
-        "fault_probe_mb_per_s": [probe_before, fault_probe_mb_per_s()],
+        "all_secs": {str(n): [r["value"] for r in rs]
+                     for n, rs in runs.items()},
+        "fault_probe_mb_per_s": probes + [fault_probe_mb_per_s()],
     }))
 
 

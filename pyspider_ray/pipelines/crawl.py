@@ -191,7 +191,8 @@ class _WorkerActor:
                  persist_payload: bool = True,
                  handler_spec: tuple | None = None,
                  fetcher_cls: type | None = None,
-                 sink_cls: type | None = None):
+                 sink_cls: type | None = None,
+                 batch_rows: int = 256):
         import gc
         import queue
         import threading
@@ -211,6 +212,16 @@ class _WorkerActor:
             self.processor = ProcessorStage(**processor_kwargs)
             self.handler_mode = False
         self.persist_payload = persist_payload
+        # cap on rows fetched+processed as one in-memory batch: the live
+        # set per batch is ~5-10x the encoded payload bytes (content
+        # column + decoded pixels + Arrow copies), so a whole multi-MB-
+        # payload chunk at once pushes the worker arena into the GBs —
+        # and on this host freshly-grown arena pages fault at as little
+        # as ~30 MB/s in slow memory phases, which once made a sustained
+        # 8k-row round 18x slower than its predecessor.  Sub-batching
+        # bounds the high-water mark regardless of chunk size (and is
+        # the right shape for real image payloads at 100 TB).
+        self.batch_rows = max(1, batch_rows)
         # payload writes happen off the compute path (bounded depth so a
         # slow disk backpressures instead of ballooning memory); flush()
         # joins the queue — called before checkpoints/result reads
@@ -246,21 +257,31 @@ class _WorkerActor:
         # serialization per round instead of one per chunk
         if span is not None:
             table = table.slice(span[0], span[1])
-        processed = self.processor(self.fetcher(table))
         if self.handler_mode:
             from ..stages.handler_processor import (handler_control_table,
                                                     handler_result_table)
-            results = handler_result_table(processed)
-            ctrl = handler_control_table(processed)
+            build_results, build_ctrl = handler_result_table, \
+                handler_control_table
         else:
             from ..stages.processor import ResultBuilder, control_table
-            results = ResultBuilder(processed)
-            ctrl = control_table(processed)
-        if not self.persist_payload and "bytes" in results.column_names:
-            results = results.drop_columns(["bytes"])
-        if len(results):
-            self._write_queue.put((results, round_dir, part_idx))
-        return ctrl
+            build_results, build_ctrl = ResultBuilder, control_table
+        n = len(table)
+        one_batch = n <= self.batch_rows
+        ctrl_parts = []
+        for k, off in enumerate(range(0, max(n, 1), self.batch_rows)):
+            sub = table.slice(off, self.batch_rows)
+            processed = self.processor(self.fetcher(sub))
+            results = build_results(processed)
+            ctrl_parts.append(build_ctrl(processed))
+            if not self.persist_payload and "bytes" in results.column_names:
+                results = results.drop_columns(["bytes"])
+            if len(results):
+                # sub-part names stay idempotent across re-dispatch (a
+                # re-run of the same chunk rewrites the same files)
+                pid = part_idx if one_batch else f"{part_idx}_{k}"
+                self._write_queue.put((results, round_dir, pid))
+        return ctrl_parts[0] if len(ctrl_parts) == 1 \
+            else pa.concat_tables(ctrl_parts)
 
 
 class _RayCoordinator(Coordinator):
@@ -484,8 +505,14 @@ class CrawlPipeline:
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
         spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
+        # keep each worker's in-flight payload batch near a fixed byte
+        # budget: page bytes grow ~quadratically with page_scale, so
+        # shrink rows accordingly (256 at scale 1 → 16 at scale 12)
+        batch_rows = max(16, cfg.batch_size // max(1, cfg.page_scale ** 2
+                                                   // 8))
         return worker_cls.remote(fk, pk, cfg.persist_payload, spec,
-                                 cfg.fetcher_cls, cfg.sink_cls)
+                                 cfg.fetcher_cls, cfg.sink_cls,
+                                 batch_rows)
 
     def _worker_pool(self) -> list:
         """Lazily create the persistent data-plane actor pool."""
