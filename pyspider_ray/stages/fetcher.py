@@ -104,8 +104,12 @@ class SyntheticFetcher:
                     {"Set-Cookie": f"sid={sid:08x}; Path=/"}))
             else:
                 headers.append("")
-            # deterministic pseudo fetch latency (metrics plumbing)
-            times[i] = 0.01 + float(synthweb.mix64(i, 77) % np.uint64(50)) / 1000.0
+            # deterministic pseudo fetch latency (metrics plumbing),
+            # derived from the URL so it is independent of batch layout
+            tail = url.rsplit("/", 1)[-1]
+            uid = int(tail) if tail.isdigit() else len(url)
+            times[i] = 0.01 + float(synthweb.mix64(uid, 77)
+                                    % np.uint64(50)) / 1000.0
         return (batch
                 .append_column("status_code", pa.array(codes, pa.int32()))
                 .append_column("content", pa.array(contents, pa.binary()))

@@ -349,3 +349,42 @@ class TestOutQueueBackpressure:
             if m["send_buffered"]:
                 assert pipe.metrics[i + 1]["emitted"] == m["send_buffered"]
         assert not pipe._send_buffer              # fully drained at end
+
+
+class TestWorkerSubBatching:
+    def test_sub_batched_chunk_matches_single_batch(self, tmp_path):
+        """process_chunk slices its chunk into batch_rows sub-batches to
+        bound the worker's live set; the control table and the union of
+        written payload parts must be identical to the one-batch path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import numpy as np
+        from pyspider_ray.functions import synthweb
+        from pyspider_ray.pipelines.crawl import _WorkerActor
+
+        ids = np.arange(100, 170, dtype=np.uint64)
+        urls = synthweb.urls_of(ids, 5)
+        table = pa.table({
+            "taskid": [f"t{int(i):x}" for i in ids],
+            "url": urls,
+            "project": ["bench"] * len(ids),
+            "priority": pa.array([0] * len(ids), pa.int32()),
+            "retried": pa.array([0] * len(ids), pa.int32()),
+        })
+        pk = {"total": 10 ** 6, "show": 20, "n_hosts": 5}
+        outs = {}
+        for name, rows in (("one", 10_000), ("sub", 16)):
+            w = _WorkerActor({}, pk, persist_payload=True, batch_rows=rows)
+            rd = str(tmp_path / name)
+            ctrl = w.process_chunk(table, rd, 3)
+            w.flush()
+            parts = sorted((tmp_path / name).glob("part-*.parquet"))
+            payload = pa.concat_tables([pq.read_table(p) for p in parts])
+            outs[name] = (ctrl, payload)
+        one_ctrl, one_payload = outs["one"]
+        sub_ctrl, sub_payload = outs["sub"]
+        assert len(list((tmp_path / "one").glob("part-*.parquet"))) == 1
+        assert len(list((tmp_path / "sub").glob("part-*.parquet"))) == 5
+        assert one_ctrl.sort_by("taskid").equals(sub_ctrl.sort_by("taskid"))
+        assert one_payload.sort_by("image_id").equals(
+            sub_payload.sort_by("image_id"))
