@@ -505,11 +505,16 @@ class CrawlPipeline:
         pk = {"total": cfg.total, "show": cfg.show, "n_hosts": cfg.n_hosts,
               "skew": cfg.skew, "follow_priority": cfg.follow_priority}
         spec = (cfg.handler_cls, cfg.project) if cfg.handler_cls else None
-        # keep each worker's in-flight payload batch near a fixed byte
-        # budget: page bytes grow ~quadratically with page_scale, so
-        # shrink rows accordingly (256 at scale 1 → 16 at scale 12)
-        batch_rows = max(16, cfg.batch_size // max(1, cfg.page_scale ** 2
-                                                   // 8))
+        # keep each worker's in-flight live set near a fixed byte budget
+        # (~256 MB): the live set per row is ~5-10x the encoded payload
+        # (content column + Arrow copies + decoded pixels), measured
+        # ~70 KB x page_scale^2.  Small-payload chunks stay whole (an
+        # A/B showed a 23% throughput tax when 100-row page_scale-6
+        # chunks were force-split); heavy payloads split to stay under
+        # the budget regardless of chunk size.
+        est_row_bytes = 70_000 * cfg.page_scale ** 2
+        batch_rows = max(16, min(cfg.batch_size * 4,
+                                 (256 << 20) // est_row_bytes))
         return worker_cls.remote(fk, pk, cfg.persist_payload, spec,
                                  cfg.fetcher_cls, cfg.sink_cls,
                                  batch_rows)
