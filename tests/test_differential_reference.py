@@ -105,3 +105,35 @@ class TestDifferential:
                 break
             order.append(a)
         assert len(order) == 40
+
+
+class TestTokenBucketDifferential:
+    def test_refill_parity_random_walk(self, monkeypatch):
+        """T3: our TokenBucket vs the reference Bucket
+        (token_bucket.py:15-56) over 2,000 random get/desc/advance steps
+        on the same mocked clock — levels must agree to float precision
+        at every step, including the >1-whole-token lazy-refill rule and
+        negative levels after over-consumption."""
+        import importlib
+        ref_tb = importlib.import_module("refsched.token_bucket")
+        from pyspider_ray.state.token_bucket import TokenBucket
+
+        now = [1.7e9]
+        monkeypatch.setattr(ref_tb.time, "time", lambda: now[0])
+        for rate, burst in ((3.0, None), (0.5, 2.0), (100.0, 10.0)):
+            ref = ref_tb.Bucket(rate=rate, burst=burst)
+            ours = TokenBucket(rate=rate, burst=burst,
+                               clock=lambda: now[0])
+            rng = random.Random(42)
+            for step in range(2000):
+                op = rng.random()
+                if op < 0.45:
+                    now[0] += rng.choice([0.01, 0.3, 1.0, 7.5])
+                elif op < 0.8:
+                    assert ours.get() == pytest.approx(ref.get(), abs=1e-9), \
+                        (rate, burst, step)
+                else:
+                    n = rng.choice([1, 1, 2, 5])
+                    ref.desc(n)
+                    ours.desc(n)
+            assert ours.get() == pytest.approx(ref.get(), abs=1e-9)
