@@ -73,12 +73,32 @@ def detect_encoding(content: bytes) -> str:
     return best
 
 
+def _replace_score(sample: bytes, enc: str) -> float:
+    """Per-character plausibility of ``sample`` decoded with
+    ``errors='replace'`` — density, not mass, so a multi-byte mojibake
+    decode can't win just by emitting fewer, individually-plausible
+    characters."""
+    try:
+        text = sample.decode(enc, "replace")
+    except LookupError:
+        return float("-inf")
+    if not text:
+        return float("-inf")
+    return _score(text) / len(text)
+
+
 def sniff_encoding(content: bytes, declared: str | None) -> str:
     """Full policy: trust a declared charset only when it survives the
     evidence; fall back to statistical detection.
 
     - valid multibyte UTF-8 wins over any legacy label;
     - a declared charset that strict-decodes the body is kept;
+    - a declared charset that fails strict decode (e.g. one corrupt
+      byte in an otherwise-utf-8 page) still COMPETES: its
+      replace-decode score is compared against utf-8 and the legacy
+      candidates, declared first on ties — mirroring the reference,
+      which decodes with the declared charset using replacement errors
+      (response.py:61-95) rather than discarding it;
     - anything else goes to :func:`detect_encoding`.
     """
     if not isinstance(content, bytes) or not content:
@@ -96,8 +116,31 @@ def sniff_encoding(content: bytes, declared: str | None) -> str:
         try:
             content.decode(declared, "strict")
             return declared
-        except (UnicodeDecodeError, LookupError):
+        except LookupError:
             pass
+        except UnicodeDecodeError:
+            sample = content[:65536]
+            # A few corrupt bytes don't discredit the label: if the
+            # declared replace-decode is plausibility-POSITIVE it stays
+            # (a true mislabel — e.g. gb18030 bytes declared utf-8 —
+            # floods the decode with U+FFFD and goes deeply negative).
+            # The sign test matters because mojibake of a WRONG codec
+            # can out-mass the right one (gb18030 turns utf-8 hanzi
+            # bytes into different but individually-plausible hanzi).
+            if _replace_score(sample, declared) >= 0:
+                return declared
+            ordered, seen = [], set()
+            for enc in (declared, "utf-8", *_CANDIDATES):
+                key = enc.lower().replace("_", "-")
+                if key not in seen:
+                    seen.add(key)
+                    ordered.append(enc)
+            best, best_score = declared, float("-inf")
+            for enc in ordered:          # strict > : declared wins ties
+                s = _replace_score(sample, enc)
+                if s > best_score:
+                    best, best_score = enc, s
+            return best
     if not has_high:
         return "utf-8"
     return detect_encoding(content)

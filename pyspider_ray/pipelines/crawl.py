@@ -753,18 +753,27 @@ class CrawlPipeline:
             self._ingest_handler_extras(ctrl_tables)
         self.coord.finish_follow_tables()
         t_follow = time.perf_counter()
+        # Cron ticks EVERY loop, drain rounds included (the reference
+        # runs _check_cronjob unconditionally, scheduler.py:661-671,
+        # even while the out queue is full).
+        control = [self.coord._on_select_task(
+            t, self.coord.projects[t["project"]])
+            for t in self.coord.tick_cronjobs()]
         if self._send_buffer:
-            # W8: out queue was full last round — selection halts until
-            # the buffer drains (scheduler.send_task force path)
-            batch, self._send_buffer = self._send_buffer, []
+            # W8 drain: selection halts until the buffer empties, and
+            # the buffered tasks already consumed politeness tokens when
+            # first admitted — the reference force-sends its _send_buffer
+            # without re-rating (scheduler.py:465-475) — so they bypass
+            # the gate; only this round's fresh cron controls are rated.
+            forced, self._send_buffer = self._send_buffer, []
+            batch = forced + control
         else:
-            control = [self.coord._on_select_task(
-                t, self.coord.projects[t["project"]])
-                for t in self.coord.tick_cronjobs()]
+            forced = []
             batch = control + self.coord.select()
         t_select = time.perf_counter()
 
-        admitted, deferred, blocked = self.gate.admit(batch)
+        admitted, deferred, blocked = self.gate.admit(batch[len(forced):])
+        admitted = forced + admitted
         if cfg.out_queue_limit and len(admitted) > cfg.out_queue_limit:
             self._send_buffer = admitted[cfg.out_queue_limit:]
             admitted = admitted[:cfg.out_queue_limit]

@@ -74,9 +74,13 @@ class RobotsCache:
     def restore(cls, snap: dict, fetch_fn, clock=wall_clock) -> "RobotsCache":
         rc = cls(fetch_fn, ttl=snap.get("ttl", 3600), clock=clock)
         for host, entry in (snap.get("hosts") or {}).items():
-            # tolerate the legacy time-only snapshot shape
-            t, body = entry if isinstance(entry, (list, tuple)) \
-                else (entry, "")
+            if not isinstance(entry, (list, tuple)):
+                # legacy time-only snapshot: no stored body — installing
+                # an empty (allow-all) parser pinned at the original
+                # fetch time would silently ignore disallow rules until
+                # TTL expiry, so fall back to on-demand refetch instead
+                continue
+            t, body = entry
             parser = RobotFileParser()
             parser.parse((body or "").splitlines())
             rc._cache[host] = (float(t), parser)

@@ -260,6 +260,8 @@ class Coordinator:
         }
         if "etag" in t.column_names:
             cols["etag"] = t["etag"]
+        if "last_modified" in t.column_names:
+            cols["last_modified"] = t["last_modified"]
         status = pa.table(cols)
         self._seq += n
         self._status_handles.extend(

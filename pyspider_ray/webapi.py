@@ -56,37 +56,48 @@ class PipelineProvider:
         import pyarrow.dataset as pads
         return ds.count_rows(filter=pads.field("project") == project)
 
-    def results_page(self, project: str | None, offset: int,
-                     limit: int) -> list[dict]:
-        """Fragment-wise paging: stream record batches, skip ``offset``
-        rows, stop after ``limit`` — never materializes the store."""
+    @staticmethod
+    def _decode_row(row: dict) -> dict:
+        if isinstance(row.get("result"), str):
+            try:
+                row["result"] = json.loads(row["result"])
+            except (TypeError, ValueError):
+                pass
+        if isinstance(row.get("bytes"), bytes):
+            row["bytes"] = f"<{len(row['bytes'])} bytes>"
+        return row
+
+    def iter_results(self, project: str | None, offset: int,
+                     limit: int | None):
+        """Fragment-wise row generator: stream record batches, skip
+        ``offset`` rows, stop after ``limit`` (None = all) — holds at
+        most one record batch in memory at a time."""
         ds = self._fragments()
         if ds is None:
-            return []
+            return
         import pyarrow.dataset as pads
         flt = (pads.field("project") == project) if project else None
-        out: list[dict] = []
         to_skip = max(0, offset)
+        remaining = limit
         for batch in ds.to_batches(filter=flt):
             if not batch.num_rows:
                 continue
             if to_skip >= batch.num_rows:
                 to_skip -= batch.num_rows
                 continue
-            take = batch.slice(to_skip, limit - len(out))
+            take = batch.slice(to_skip) if remaining is None \
+                else batch.slice(to_skip, remaining)
             to_skip = 0
-            out.extend(take.to_pylist())
-            if len(out) >= limit:
-                break
-        for row in out:
-            if isinstance(row.get("result"), str):
-                try:
-                    row["result"] = json.loads(row["result"])
-                except (TypeError, ValueError):
-                    pass
-            if isinstance(row.get("bytes"), bytes):
-                row["bytes"] = f"<{len(row['bytes'])} bytes>"
-        return out
+            for row in take.to_pylist():
+                yield self._decode_row(row)
+            if remaining is not None:
+                remaining -= take.num_rows
+                if remaining <= 0:
+                    return
+
+    def results_page(self, project: str | None, offset: int,
+                     limit: int) -> list[dict]:
+        return list(self.iter_results(project, offset, limit))
 
     # -- metrics ------------------------------------------------------------
     def counters(self, window: str) -> dict:
@@ -111,6 +122,7 @@ class PipelineProvider:
 
 class _Handler(BaseHTTPRequestHandler):
     provider: PipelineProvider = None   # set by serve()
+    protocol_version = "HTTP/1.1"       # chunked transfer for dumps
 
     def log_message(self, *a):   # quiet
         pass
@@ -124,12 +136,30 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _stream(self, chunks, mime: str) -> None:
-        body = "".join(chunks).encode()
+        """Chunked transfer encoding, one wire chunk per ~64 KB of
+        export output — a full-store dump never accumulates in driver
+        memory (the generator chain pulls one record batch at a time)."""
         self.send_response(200)
         self.send_header("Content-Type", f"{mime}; charset=utf-8")
-        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
-        self.wfile.write(body)
+        buf: list[str] = []
+        size = 0
+
+        def flush() -> None:
+            nonlocal buf, size
+            if size:
+                data = "".join(buf).encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode()
+                                 + data + b"\r\n")
+                buf, size = [], 0
+        for c in chunks:
+            buf.append(c)
+            size += len(c)
+            if size >= 65536:
+                flush()
+        flush()
+        self.wfile.write(b"0\r\n\r\n")
 
     def do_GET(self):   # noqa: C901 — a dispatch table in if-form
         p = self.provider
@@ -152,8 +182,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 project, fmt = name.rsplit(".", 1)
                 offset = int(q.get("offset", 0))
-                limit = int(q.get("limit", 0)) or 10**9
-                rows = p.results_page(project or None, offset, limit)
+                limit = int(q.get("limit", 0)) or None   # None = stream all
+                rows = p.iter_results(project or None, offset, limit)
                 if fmt == "json":
                     self._stream(dump_as_json(rows), "application/json")
                 elif fmt == "txt":

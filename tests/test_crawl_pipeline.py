@@ -350,6 +350,42 @@ class TestOutQueueBackpressure:
                 assert pipe.metrics[i + 1]["emitted"] == m["send_buffered"]
         assert not pipe._send_buffer              # fully drained at end
 
+    def test_drain_bypasses_gate_and_cron_keeps_ticking(self, tmp_path):
+        """Buffered tasks consumed their politeness token when FIRST
+        admitted; the drain round must not re-rate them (the reference
+        force-sends _send_buffer without re-rating, scheduler.py:465-475)
+        — so no taskid ever passes gate.admit twice — and cron ticks on
+        drain rounds too (_check_cronjob runs every loop)."""
+        from pyspider_ray.pipelines import CrawlConfig, CrawlPipeline
+        cfg = CrawlConfig(total=60, n_seeds=12, n_shards=2,
+                          loop_limit=100, out_queue_limit=5,
+                          use_ray=False,
+                          out_dir=str(tmp_path / "drain"))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        gated: list[str] = []
+        orig_admit = pipe.gate.admit
+        pipe.gate.admit = lambda batch: (
+            gated.extend(t["taskid"] for t in batch) or orig_admit(batch))
+        ticks = {"n": 0, "drain": 0}
+        orig_tick = pipe.coord.tick_cronjobs
+
+        def spy_tick():
+            ticks["n"] += 1
+            if pipe._send_buffer:
+                ticks["drain"] += 1
+            return orig_tick()
+        pipe.coord.tick_cronjobs = spy_tick
+        pipe.run(max_rounds=300)
+        t = pipe.results_table()
+        assert len(set(t["image_id"].to_pylist())) == 60
+        assert max(m["send_buffered"] for m in pipe.metrics) > 0
+        # no task rated twice: forced drain batches bypassed the gate
+        assert len(gated) == len(set(gated))
+        # cron ticked on every round, including the drain rounds
+        assert ticks["n"] == len(pipe.metrics)
+        assert ticks["drain"] > 0
+
 
 class TestWorkerSubBatching:
     def test_sub_batched_chunk_matches_single_batch(self, tmp_path):

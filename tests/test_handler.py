@@ -306,3 +306,19 @@ class TestEncodingDetection:
         jp = "今日は天気がいいので公園へ散歩に行きます。日本語のテキスト。"
         r = self._resp(jp.encode("shift_jis"))
         assert r.text == jp
+
+    def test_declared_utf8_with_one_corrupt_byte_stays_utf8(self):
+        """A declared charset that fails strict decode still competes:
+        a utf-8 page with a single corrupt byte must NOT be re-detected
+        as a legacy CJK codec and come out as mojibake — the reference
+        decodes with the declared charset using replacement errors."""
+        body = self.CN.encode("utf-8")
+        corrupt = body[:10] + b"\xff" + body[10:]
+        r = self._resp(corrupt, ctype="text/html; charset=utf-8")
+        assert r.encoding == "utf-8"
+        assert self.CN[:3] in r.text
+
+    def test_declared_utf8_corrupt_ascii_page_stays_utf8(self):
+        body = b"plain english text " * 40 + b"\xfe\xff" + b" tail"
+        r = self._resp(body, ctype="text/html; charset=utf-8")
+        assert r.encoding == "utf-8"

@@ -28,7 +28,8 @@ def _page_html(i: int) -> str:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    etag_full = 0   # class-level: counts full (200) /etag responses
+    etag_full = 0      # class-level: counts full (200) /etag responses
+    lastmod_full = 0   # class-level: counts full (200) /lastmod responses
 
     def log_message(self, *a):   # quiet
         pass
@@ -87,6 +88,7 @@ class _Handler(BaseHTTPRequestHandler):
             if self.headers.get("If-Modified-Since") == "LMDATE":
                 self._send(304)
             else:
+                _Handler.lastmod_full += 1
                 self._send(200, b"dated body",
                            [("Last-Modified", "LMDATE")])
         elif p == "/hop1":
@@ -390,6 +392,19 @@ class RichFetchHandler(BaseHandler):
         return {"body": response.text}
 
 
+class LastModRecrawlHandler(BaseHandler):
+    base = ""
+
+    def on_start(self, response):
+        self.crawl(f"{self.base}/lastmod", callback=self.page)
+
+    def page(self, response):
+        if not (response.save or {}).get("again"):
+            self.crawl(f"{self.base}/lastmod", callback=self.page,
+                       force_update=True, save={"again": 1})
+        return {"code": response.status_code}
+
+
 class EtagRecrawlHandler(BaseHandler):
     base = ""
 
@@ -450,3 +465,20 @@ class TestRichFetchThroughCrawlLoop:
                        for r in pipe.results_table().to_pylist()
                        if "code" in (r.get("result") or ""))
         assert 200 in codes
+
+    def test_last_modified_roundtrip_enables_conditional_recrawl(
+            self, server, tmp_path):
+        """J5's Last-Modified half in handler mode: the first fetch's
+        Last-Modified lands on the stored task via the control plane
+        (coordinator status fan-out → frontier pack), and the forced
+        re-crawl sends If-Modified-Since so the server answers 304 —
+        exactly one full response served end-to-end."""
+        _Handler.lastmod_full = 0
+        pipe = self._run(LastModRecrawlHandler, server, tmp_path)
+        assert _Handler.lastmod_full == 1
+        stored = []
+        for shard_rows in pipe.coord._call_all("dump_tasks", "richproj"):
+            stored.extend(shard_rows)
+        lm_tasks = [t for t in stored if t["url"].endswith("/lastmod")]
+        assert len(lm_tasks) == 1
+        assert lm_tasks[0].get("last_modified") == "LMDATE"

@@ -78,6 +78,19 @@ class TestSnapshotRestore:
         assert rc3.allowed("h.test", "http://h.test/private/x")
         assert rc3.fetch_count == 1
 
+    def test_legacy_time_only_snapshot_refetches_on_demand(self):
+        """A legacy snapshot entry with no stored body must NOT become
+        an allow-all parser pinned at the old fetch time — the safe
+        behavior is to skip the cache entry and refetch on first use."""
+        clock = VirtualClock(1000.0)
+        snap = {"hosts": {"h.test": 999.0}, "ttl": 3600}
+        rc = RobotsCache.restore(
+            snap, lambda h: "User-agent: *\nDisallow: /private\n",
+            clock=clock)
+        assert "h.test" not in rc._cache
+        assert not rc.allowed("h.test", "http://h.test/private/x")
+        assert rc.fetch_count == 1
+
 
 class TestCrawlWithFetchedRobots:
     def test_crawl_matches_static_rules(self, tmp_path):
