@@ -166,31 +166,42 @@ def bench_frontier_sweep() -> dict:
     return out
 
 
-def bench_queries() -> dict:
+def bench_queries() -> tuple[dict, dict]:
+    """Returns (per-leg seconds, per-leg fault-probe MB/s measured
+    immediately BEFORE each leg) — the probe makes every number
+    self-adjudicating against the host's memory-phase swings
+    (BASELINE.md: 2-7x same-code deltas between phases)."""
     import __ray_entry__ as entry
     qs = entry.queries()
-    out = {}
+    out, probes = {}, {}
     # one untimed pass first so the suite measures compute + shuffle,
     # not Ray Data session warmup / parquet-reader startup
     qs["status_count"](SF_DIR).to_pandas()
     for name in QUERY_NAMES:
+        probes[name] = fault_probe_fresh()
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if hasattr(res, "to_pandas"):
             res = res.to_pandas() if not hasattr(res, "materialize") \
                 else res.materialize()
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    return out, probes
 
 
 def main() -> None:
     init_ray()
+    probes = {"crawl_before": fault_probe_fresh()}
     crawl = bench_crawl()
+    probes["crawl_after"] = fault_probe_fresh()
     crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
     frontier = bench_frontier_ops() if not crawl_only else {}
     if not crawl_only:
         frontier.update(bench_frontier_sweep())
-    queries = bench_queries() if not crawl_only else {}
+    if not crawl_only:
+        queries, qprobes = bench_queries()
+        probes.update(qprobes)
+    else:
+        queries = {}
     import ray
     ray.shutdown()
     result = {
@@ -203,21 +214,46 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "crawl": {k: round(v, 1) for k, v in crawl.items()},
         "frontier_ops": {k: round(v, 1) for k, v in frontier.items()},
+        # per-leg host memory-phase probes (MB/s first-touch fault
+        # bandwidth, fresh subprocess, measured just before each leg):
+        # <~100 MB/s = slow phase, expect 2-7x inflated wall times
+        "fault_probes_mb_per_s": probes,
     }
     print(json.dumps(result))
 
 
-def fault_probe_mb_per_s() -> float:
+def fault_probe_mb_per_s(mb: int = 512) -> float:
     """Host memory-phase probe: bandwidth of first-touch page faults on
-    512 MB of fresh pages.  This box alternates between ~multi-GB/s and
-    ~50 MB/s phases (BASELINE.md); reporting the phase with every
-    scaling number makes runs comparable."""
+    ``mb`` MB of fresh pages.  This box alternates between ~multi-GB/s
+    and ~50 MB/s phases (BASELINE.md); reporting the phase with every
+    number makes runs self-adjudicating."""
     import numpy as np
     t0 = time.perf_counter()
-    x = np.ones(64_000_000)        # 512 MB, faulted by the fill
+    x = np.ones(mb * 131_072)      # mb MB of f64, faulted by the fill
     dt = time.perf_counter() - t0
     del x
-    return round(512 / dt, 1)
+    return round(mb / dt, 1)
+
+
+def fault_probe_fresh(mb: int = 128) -> float:
+    """``fault_probe_mb_per_s`` in a FRESH subprocess: the bench driver
+    itself imports pyspider_ray, whose mallopt tuning keeps freed pages
+    on the arena free list — an in-process second probe would measure
+    arena reuse, not the host's first-touch fault bandwidth.  A clean
+    interpreter faults genuinely fresh pages every time."""
+    code = ("import time,numpy as np\n"
+            "t0=time.perf_counter()\n"
+            f"x=np.ones({mb}*131072)\n"
+            f"print({mb}/(time.perf_counter()-t0))\n")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("MALLOC_")}
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, check=True,
+                             timeout=120)
+        return round(float(out.stdout.strip()), 1)
+    except Exception:
+        return -1.0
 
 
 def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:

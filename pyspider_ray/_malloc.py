@@ -39,3 +39,29 @@ def tune_malloc() -> bool:
     except Exception:
         pass   # non-glibc platform: nothing to tune
     return _done
+
+
+_prefaulted_mb = 0
+
+
+def prefault_arena(mb: int | None = None) -> int:
+    """Touch ``mb`` MB of fresh pages ONCE per process so the tuned
+    malloc free list is pre-populated before the first timed kernel —
+    the raw-task analogue of ``_WorkerActor(prefault_mb=)``: Ray reuses
+    worker processes across tasks, so the first exchange task in each
+    worker pays the fault cost here (outside any caller-visible hot
+    loop longer than one task) and every later allocation reuses the
+    arena.  Idempotent per process; size via PYSPIDER_RAY_PREFAULT_MB
+    (default 256, 0 disables).  Returns the high-water prefault MB."""
+    global _prefaulted_mb
+    if mb is None:
+        mb = int(os.environ.get("PYSPIDER_RAY_PREFAULT_MB", "256"))
+    if mb <= 0 or _prefaulted_mb >= mb:
+        return _prefaulted_mb
+    tune_malloc()
+    import numpy as np
+    scratch = np.ones((mb - _prefaulted_mb) << 17)   # 1 MB = 2^17 f64
+    scratch[::512] = 2.0   # touch every page (ones() already faults,
+    del scratch            # this guards lazy-alloc implementations)
+    _prefaulted_mb = mb
+    return _prefaulted_mb

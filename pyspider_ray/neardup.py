@@ -8,8 +8,10 @@ The scale shape (SURVEY.md §2.7 + the 100 TB brief):
 3. candidate generation co-locates complete (band, key) buckets by a
    coarse deterministic hash, then expands runs vectorized
    (``np.triu_indices`` over lexsorted runs);
-4. pair dedup across bands is a second hash exchange on the packed
-   (lo<<32|hi) key;
+4. pair dedup across bands is a second hash exchange keyed on the
+   (lo, hi) pair values — packed into one uint64 word on the wire when
+   doc ids fit 32 bits, carried as (n, 2) int64 columns beyond that
+   (the 10^10-doc envelope);
 5. exact verification re-joins the pair table against the signature /
    document table on doc_a then doc_b — a partitioned hash join; no
    stage broadcasts the corpus.
@@ -48,23 +50,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ._malloc import prefault_arena
+
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 _GOLD2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
-                 max_bucket: int = 0) -> np.ndarray:
+                 max_bucket: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized within-bucket pair expansion over lexsorted triples;
-    returns packed uint64 (lo<<32 | hi) pairs."""
+    returns (lo, hi) int64 pair columns (lo < hi).  Works for the full
+    int64 doc-id space — packing into one word, when the ids allow it,
+    is the transport layer's concern (``_pack_pairs``)."""
     if len(band) == 0:
-        return np.empty(0, dtype=np.uint64)
-    # pair packing is (lo<<32 | hi): doc ids must fit 32 bits — fail
-    # loud rather than silently corrupt pairs (at >2^32 docs switch the
-    # packed column to a (doc_a, doc_b) struct key)
-    assert doc.max(initial=0) < (1 << 32), "doc_id exceeds 32-bit packing"
+        e = np.empty(0, dtype=np.int64)
+        return e, e
     order = np.lexsort((doc, key, band))
     band, key = band[order], key[order]
-    doc_u = doc[order].astype(np.uint64)
+    doc_s = doc[order].astype(np.int64)
     new_run = np.ones(len(band), dtype=bool)
     new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
     starts = np.flatnonzero(new_run)
@@ -74,21 +77,64 @@ def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
         keepable = sizes <= max_bucket
         starts, sizes = starts[keepable], sizes[keepable]
     total = int((sizes.astype(np.int64) * (sizes - 1) // 2).sum())
-    out = np.empty(total, dtype=np.uint64)
+    lo_out = np.empty(total, dtype=np.int64)
+    hi_out = np.empty(total, dtype=np.int64)
     pos = 0
     for m in np.unique(sizes):
         if m < 2:
             continue
         runs = starts[sizes == m]
         ii, jj = np.triu_indices(int(m), k=1)
-        a = doc_u[(runs[:, None] + ii[None, :]).ravel()]
-        b = doc_u[(runs[:, None] + jj[None, :]).ravel()]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        n = lo.size
-        out[pos:pos + n] = (lo << np.uint64(32)) | hi
+        a = doc_s[(runs[:, None] + ii[None, :]).ravel()]
+        b = doc_s[(runs[:, None] + jj[None, :]).ravel()]
+        n = a.size
+        lo_out[pos:pos + n] = np.minimum(a, b)
+        hi_out[pos:pos + n] = np.maximum(a, b)
         pos += n
-    return out
+    return lo_out, hi_out
+
+
+_NARROW_MAX = np.int64(1) << np.int64(32)
+
+
+def _pack_pairs(lo: np.ndarray, hi: np.ndarray):
+    """Transport/dedup format for a pair column: packed uint64
+    (lo<<32 | hi) when every doc id fits 32 bits (half the exchange
+    bytes, one-word np.unique), else a C-contiguous (n, 2) int64 array
+    — the >2^32-doc fallback for 10^10-URL frontiers.  Mixed
+    representations meet safely in ``_nd_pair_unique``: partition
+    routing hashes (lo, hi) VALUES (``_pair_hash``), never the packed
+    word, so both formats route a given pair identically."""
+    if len(hi) == 0 or (hi.max() < _NARROW_MAX and lo.min() >= 0):
+        u = lo.astype(np.uint64) << np.uint64(32)
+        return u | hi.astype(np.uint64)
+    return np.ascontiguousarray(np.stack([lo, hi], axis=1))
+
+
+def _unpack_pairs(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if p.ndim == 2:
+        return p[:, 0], p[:, 1]
+    return ((p >> np.uint64(32)).astype(np.int64),
+            (p & np.uint64(0xFFFFFFFF)).astype(np.int64))
+
+
+def _pair_hash(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Partition hash over pair VALUES — identical whichever transport
+    representation carries the pair."""
+    with np.errstate(over="ignore"):
+        h = (lo.astype(np.uint64) * _GOLD) ^ (hi.astype(np.uint64) * _GOLD2)
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def _dedup_pairs(lo: np.ndarray, hi: np.ndarray):
+    """Distinct (lo, hi) rows via lexsort + adjacent-diff (the wide-id
+    path's np.unique equivalent); returns sorted pairs."""
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    keep = np.ones(len(lo), dtype=bool)
+    keep[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return lo[keep], hi[keep]
 
 
 def _key_bucket(k: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -148,6 +194,7 @@ def _grouped_block_refs(ds, target_bytes: int = 64 << 20,
 
 @ray.remote
 def _nd_split_bands(P: int, *blocks) -> tuple:
+    prefault_arena()
     t = pa.concat_tables(blocks)
     band = t["band"].to_numpy().astype(np.uint64)
     key = t["key"].to_numpy().astype(np.uint64)
@@ -162,36 +209,47 @@ def _nd_expand(P: int, max_bucket: int, *parts) -> tuple:
     """Reduce side of exchange 1 fused with the map side of exchange 2:
     expand this partition's complete buckets, locally dedup, and
     pre-partition the packed pairs by pair hash."""
+    prefault_arena()
     g = pa.concat_tables(parts)
-    packed = _expand_runs(g["band"].to_numpy().astype(np.int64),
+    lo, hi = _expand_runs(g["band"].to_numpy().astype(np.int64),
                           g["key"].to_numpy(), g["doc_id"].to_numpy(),
                           max_bucket=max_bucket)
-    packed = np.unique(packed)
-    with np.errstate(over="ignore"):
-        h = (packed * _GOLD) >> np.uint64(33)
-    ids = (h % np.uint64(P)).astype(np.int64)
+    packed = _pack_pairs(lo, hi)
+    if packed.ndim == 1:                       # narrow: one-word dedup
+        packed = np.unique(packed)
+        lo, hi = _unpack_pairs(packed)
+    else:                                      # wide (>2^32 doc ids)
+        lo, hi = _dedup_pairs(lo, hi)
+        packed = _pack_pairs(lo, hi)
+    ids = (_pair_hash(lo, hi) % np.uint64(P)).astype(np.int64)
     order = np.argsort(ids, kind="stable")
     sp = packed[order]
     bounds = np.searchsorted(ids[order], np.arange(P + 1))
-    return tuple(sp[bounds[p]:bounds[p + 1]] for p in range(P))
+    return tuple(np.ascontiguousarray(sp[bounds[p]:bounds[p + 1]])
+                 for p in range(P))
 
 
 @ray.remote
 def _nd_pair_unique(*parts) -> pa.Table:
     """Reduce side of exchange 2: global pair dedup within a partition
     (a pair's hash pins it to exactly one partition)."""
+    prefault_arena()
     arrs = [a for a in parts if len(a)]
     if not arrs:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
-    p = np.unique(np.concatenate(arrs))
-    return pa.table({
-        "doc_a": pa.array((p >> np.uint64(32)).astype(np.int64)),
-        "doc_b": pa.array((p & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+    if all(a.ndim == 1 for a in arrs):         # narrow: one-word dedup
+        p = np.unique(np.concatenate(arrs))
+        lo, hi = _unpack_pairs(p)
+    else:   # ≥1 wide part: normalize every part to (lo, hi) columns
+        los, his = zip(*(_unpack_pairs(a) for a in arrs))
+        lo, hi = _dedup_pairs(np.concatenate(los), np.concatenate(his))
+    return pa.table({"doc_a": pa.array(lo), "doc_b": pa.array(hi)})
 
 
 @ray.remote
 def _nd_split_by_key(col: str, P: int, *blocks) -> tuple:
+    prefault_arena()
     t = pa.concat_tables(blocks)
     return _split_table(t, _key_bucket(t[col].to_numpy(), P), P)
 
@@ -202,6 +260,7 @@ def _nd_attach(side: str, sig_col: str, out_col: str, n_pair_parts: int,
     """Reduce side of the partitioned hash join: attach ``sig_col`` of
     the ``side`` doc onto each pair row (inner-join semantics: pairs
     whose key is absent from the signature side are dropped)."""
+    prefault_arena()
     pairs = pa.concat_tables(parts[:n_pair_parts])
     sigs = pa.concat_tables(parts[n_pair_parts:])
     if not len(pairs):

@@ -340,6 +340,11 @@ class CrawlPipeline:
         self._pending_new: list[dict] = []      # seed/control task dicts
         self._pending_ctrl: list[pa.Table] = []  # fetched-round control tables
         self._send_buffer: list[dict] = []      # W8 out-queue overflow
+        # runtime-control command queue (webapi POSTs, reference
+        # scheduler xmlrpc scheduler.py:693-736): producers are other
+        # threads, the round loop drains it at the round boundary
+        import queue as _queue
+        self.control_inbox: "_queue.Queue[dict]" = _queue.Queue()
         os.makedirs(self.results_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -728,9 +733,48 @@ class CrawlPipeline:
         self._pending_ctrl = []
         return out
 
+    def apply_controls(self) -> list[dict]:
+        """Drain queued runtime-control commands — the reference
+        scheduler's xmlrpc surface (scheduler.py:693-736 update_project
+        / newtask / send_task, run.py:808-835 send_message) — at the
+        round boundary.  Producers (the webapi's POST handlers) enqueue
+        from their own threads; commands apply between rounds, the same
+        loop-polled semantics as the reference's projectdb re-read."""
+        import copy
+        import queue as _queue
+        applied: list[dict] = []
+        while True:
+            try:
+                cmd = self.control_inbox.get_nowait()
+            except _queue.Empty:
+                break
+            op = cmd.get("op")
+            project = cmd.get("project") or self.cfg.project
+            rt = self.coord.projects.get(project)
+            if op in ("pause", "unpause") and rt is not None:
+                cfg2 = copy.copy(rt.cfg)
+                cfg2.active = (op == "unpause")
+                self.coord.update_project(cfg2)
+            elif op == "update_rate" and rt is not None:
+                cfg2 = copy.copy(rt.cfg)
+                if cmd.get("rate") is not None:
+                    cfg2.rate = float(cmd["rate"])
+                if cmd.get("burst") is not None:
+                    cfg2.burst = float(cmd["burst"])
+                self.coord.update_project(cfg2)
+            elif op == "newtask" and cmd.get("task"):
+                self._pending_new.append(dict(cmd["task"]))
+            elif op == "message":
+                from ..send_message import message_task
+                self._pending_new.append(
+                    message_task(project, cmd.get("message")))
+            applied.append(cmd)
+        return applied
+
     def run_round(self) -> dict:
         cfg = self.cfg
         self._sync_clocks()
+        self.apply_controls()
         # operator inbox (send_message CLI, reference run.py:808-835):
         # spooled task files enter this round's request phase
         from ..send_message import drain_inbox

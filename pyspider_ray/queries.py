@@ -383,6 +383,32 @@ def q_doc_fingerprint(sf_dir):
 _TS_SHIFT = np.int64(1) << np.int64(52)   # user_id*2^52 + epoch_us packing
 
 
+def _asof_merge(pu, pt, pid, cu, ct, cid):
+    """General-key as-of resolve, valid for the FULL int64 user/ts
+    space (no packing): merge both sides into one stream lexsorted by
+    (user, ts, kind, id) — purchases (kind 0) ahead of clicks (kind 1)
+    at equal ts so at-or-before includes ties — then forward-fill the
+    latest purchase position with one ``np.maximum.accumulate``.  Ties
+    on (user, ts) resolve to the max purchase id (innermost sort key),
+    mirroring the oracle's QUALIFY dedup.  O((n+m) log(n+m)) per
+    partition, fully vectorized."""
+    n, m = len(pu), len(cu)
+    user = np.concatenate([pu, cu])
+    ts = np.concatenate([pt, ct])
+    kind = np.concatenate([np.zeros(n, np.int8), np.ones(m, np.int8)])
+    ids = np.concatenate([pid, cid]).astype(np.int64)
+    order = np.lexsort((ids, kind, ts, user))
+    ks, us, is_ = kind[order], user[order], ids[order]
+    pos = np.arange(n + m, dtype=np.int64)
+    fill = np.maximum.accumulate(np.where(ks == 0, pos, -1))
+    click_at = np.flatnonzero(ks == 1)
+    hit = fill[click_at]
+    ok = hit >= 0
+    hit = np.maximum(hit, 0)
+    ok &= us[hit] == us[click_at]     # hit must be the same user's
+    return is_[click_at[ok]], is_[hit[ok]]
+
+
 def q_asof_join(sf_dir):
     """As-of join: for each 'click' event, the user's most recent
     'purchase' at-or-before its timestamp.  Both sides hash-partition
@@ -419,12 +445,18 @@ def q_asof_join(sf_dir):
         pu, pt, pid = pu[last], pt[last], pid[last]
         cu = click["user_id"].to_numpy().astype(np.int64)
         ct = click["ts_us"].to_numpy()
-        cid = click["event_id"].to_numpy()
-        # packed key = user*2^52 + ts_us: valid while user < 2^11 and
-        # ts_us < 2^52 (year ~2112); fail loud outside that envelope
-        # (larger key spaces: searchsorted per user-run after lexsort)
-        assert pu.max(initial=0) < (1 << 11) and cu.max(initial=0) < (1 << 11)
-        assert pt.max(initial=0) < (1 << 52) and ct.max(initial=0) < (1 << 52)
+        cid = click["event_id"].to_numpy().astype(np.int64)
+        # packed key = user*2^52 + ts_us: the fast path while user fits
+        # 2^11 and ts_us fits 2^52 (year ~2112); wider key spaces take
+        # the no-packing merge path (_asof_merge), same semantics
+        if not (0 <= pu.min(initial=0) and pu.max(initial=0) < (1 << 11)
+                and 0 <= cu.min(initial=0) and cu.max(initial=0) < (1 << 11)
+                and 0 <= pt.min(initial=0) and pt.max(initial=0) < (1 << 52)
+                and 0 <= ct.min(initial=0) and ct.max(initial=0) < (1 << 52)):
+            eid, pid2 = _asof_merge(pu, pt, pid.astype(np.int64),
+                                    cu, ct, cid)
+            return pa.table({"event_id": pa.array(eid),
+                             "purchase_id": pa.array(pid2)})
         pk = pu * _TS_SHIFT + pt
         order = np.argsort(pk)
         pk, pid_s, pu_s = pk[order], pid[order], pu[order]

@@ -576,8 +576,10 @@ class _CosinePartialTopK:
     after — the scale pattern for 10^9-row ANN baselines."""
 
     def __init__(self, q_ids: np.ndarray, Q: np.ndarray):
-        self.q_ids = np.asarray(q_ids)
-        self.Q = np.asarray(Q, dtype=np.float64)
+        from ._malloc import prefault_arena
+        prefault_arena()   # once per actor: per-batch E matrices reuse
+        self.q_ids = np.asarray(q_ids)   # the arena instead of paying
+        self.Q = np.asarray(Q, dtype=np.float64)   # first-touch faults
 
     def __call__(self, b: pa.Table) -> pa.Table:
         E = _embedding_matrix(b)

@@ -13,6 +13,22 @@ Endpoints
 - ``GET /counters?window=5m|1h|1d|all``      MetricsHub counter tree
 - ``GET /active_tasks?project=``             the T9 ring, newest first
 - ``GET /metrics``                           per-round pipeline metrics
+- ``GET /projects``                          project config + runtime rows
+- ``GET /queues``                            per-project frontier sizes
+- ``GET /task?project=&taskid=``             point task lookup (track view)
+
+Runtime control (the reference scheduler's xmlrpc verbs,
+scheduler.py:693-736, + run.py:808-835 send_message) — POSTs enqueue
+onto ``CrawlPipeline.control_inbox`` and apply at the next round
+boundary, the loop-polled semantics of the reference:
+
+- ``POST /projects/<name>/pause`` / ``/unpause``  halt / resume select
+- ``POST /projects/<name>/rate``  body {"rate":, "burst":}
+- ``POST /newtask``               body = task dict (taskid, url, ...)
+- ``POST /messages``              body {"project":, "message":}
+- ``POST /debug``                 body {"script":, "url": | "task":}
+  one-shot fetch + callback through the handler harness
+  (webui/debug.py parity) — returns follows/result/logs/exception
 
 The server reads parquet result partitions fragment-by-fragment for
 paging, so a page request never loads the whole result set; at
@@ -119,6 +135,46 @@ class PipelineProvider:
     def round_metrics(self) -> list[dict]:
         return list(self.pipe.metrics)
 
+    # -- runtime control (reference scheduler xmlrpc, scheduler.py:693-736
+    #    update_project/newtask/send_task + run.py:808-835 send_message) ----
+    def control(self, cmd: dict) -> dict:
+        """Queue one control command for the round loop; it applies at
+        the next round boundary (``CrawlPipeline.apply_controls``) —
+        the same loop-polled semantics as the reference's projectdb
+        re-read after an xmlrpc update_project."""
+        self.pipe.control_inbox.put(cmd)
+        return {"queued": True, "op": cmd.get("op"),
+                "project": cmd.get("project")}
+
+    def projects(self) -> list[dict]:
+        """Dashboard project rows (webui/index.py): config + runtime."""
+        out = []
+        for name, rt in self.pipe.coord.projects.items():
+            # raw FSM flag, not the ``paused`` property: the property
+            # RUNS transitions, which belong to the round loop's thread
+            out.append({"name": name, "active": rt.cfg.active,
+                        "paused": rt._paused is True,
+                        "rate": rt.cfg.rate, "burst": rt.cfg.burst,
+                        "min_tick": rt.cfg.min_tick})
+        return out
+
+    def queue_sizes(self) -> dict:
+        """Per-project frontier sizes summed over shards (the xmlrpc
+        ``size`` call).  ``queue_sizes`` is the pure read — no
+        check_update side effects."""
+        total: dict[str, int] = {}
+        for sizes in self.pipe.coord._call_all("queue_sizes"):
+            for name, n in sizes.items():
+                total[name] = total.get(name, 0) + int(n)
+        return total
+
+    def get_task(self, project: str, taskid: str) -> dict | None:
+        """Point task lookup across shards (webui/task.py track view)."""
+        for t in self.pipe.coord._call_all("get_task", project, taskid):
+            if t:
+                return t
+        return None
+
 
 class _Handler(BaseHTTPRequestHandler):
     provider: PipelineProvider = None   # set by serve()
@@ -202,13 +258,95 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(p.active_tasks(q.get("project")))
             elif u.path == "/metrics":
                 self._json(p.round_metrics())
+            elif u.path == "/projects":
+                self._json(p.projects())
+            elif u.path == "/queues":
+                self._json(p.queue_sizes())
+            elif u.path == "/task":
+                project, taskid = q.get("project"), q.get("taskid")
+                if not project or not taskid:
+                    self._json({"error": "need project= and taskid="},
+                               400)
+                    return
+                task = p.get_task(project, taskid)
+                self._json(task if task is not None
+                           else {"error": "not found"},
+                           200 if task is not None else 404)
             else:
                 self._json({"error": "not found", "endpoints": [
                     "/results", "/results/dump/<project>.<fmt>",
-                    "/counters", "/active_tasks", "/metrics"]}, 404)
+                    "/counters", "/active_tasks", "/metrics",
+                    "/projects", "/queues", "/task",
+                    "POST /projects/<name>/pause|unpause|rate",
+                    "POST /newtask", "POST /messages",
+                    "POST /debug"]}, 404)
         except BrokenPipeError:
             pass
         except Exception as exc:   # read-only surface: surface, don't die
+            self._json({"error": str(exc)}, 500)
+
+    def _read_body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n > (8 << 20):
+            raise ValueError("body too large")
+        raw = self.rfile.read(n) if n else b""
+        if not raw:
+            return {}
+        body = json.loads(raw)
+        if not isinstance(body, dict):
+            raise ValueError("JSON object body required")
+        return body
+
+    def do_POST(self):
+        """Runtime control (the reference scheduler's xmlrpc verbs) +
+        the single-task debugger (webui/debug.py)."""
+        p = self.provider
+        u = urlsplit(self.path)
+        try:
+            body = self._read_body()
+            parts = [s for s in u.path.split("/") if s]
+            if len(parts) == 3 and parts[0] == "projects" \
+                    and parts[2] in ("pause", "unpause"):
+                self._json(p.control({"op": parts[2],
+                                      "project": parts[1]}))
+            elif len(parts) == 3 and parts[0] == "projects" \
+                    and parts[2] == "rate":
+                if body.get("rate") is None and body.get("burst") is None:
+                    self._json({"error": "need rate and/or burst"}, 400)
+                    return
+                self._json(p.control({
+                    "op": "update_rate", "project": parts[1],
+                    "rate": body.get("rate"), "burst": body.get("burst")}))
+            elif u.path == "/newtask":
+                if not body.get("taskid") or not body.get("url"):
+                    self._json({"error": "task needs taskid and url"},
+                               400)
+                    return
+                self._json(p.control({"op": "newtask", "task": body,
+                                      "project": body.get("project")}))
+            elif u.path == "/messages":
+                if "message" not in body:
+                    self._json({"error": "need message"}, 400)
+                    return
+                self._json(p.control({
+                    "op": "message", "project": body.get("project"),
+                    "message": body["message"]}))
+            elif u.path == "/debug":
+                if not body.get("script"):
+                    self._json({"error": "need script"}, 400)
+                    return
+                from .debugger import debug_run
+                self._json(debug_run(
+                    body["script"], url=body.get("url"),
+                    task=body.get("task"),
+                    project=body.get("project") or "__debug__"))
+            else:
+                self._json({"error": "not found"}, 404)
+        except (ValueError, KeyError) as exc:
+            self._json({"error": str(exc)}, 400)
+        except BrokenPipeError:
+            pass
+        except Exception as exc:
             self._json({"error": str(exc)}, 500)
 
 

@@ -132,3 +132,77 @@ class TestSynthWeb:
         urls = synthweb.urls_of(np.array([7, 12]))
         assert urls[0] == "http://site2.test/page/7"
         assert synthweb.parse_url_id(urls[1]) == 12
+
+
+class TestAsofWideKeys:
+    """q_asof_join beyond the packed-key envelope: user ids > 10^9
+    (>= 2^11) must take the no-packing merge path and still match
+    brute force."""
+
+    def _brute(self, events):
+        import collections
+        purch = collections.defaultdict(list)
+        for e in events:
+            if e["event_type"] == "purchase":
+                purch[e["user_id"]].append((e["ts_us"], e["event_id"]))
+        out = {}
+        for e in events:
+            if e["event_type"] != "click":
+                continue
+            best = None
+            for ts, pid in purch.get(e["user_id"], []):
+                if ts <= e["ts_us"] and (
+                        best is None or (ts, pid) > best):
+                    best = (ts, pid)
+            if best is not None:
+                out[e["event_id"]] = best[1]
+        return out
+
+    def test_wide_user_ids_match_bruteforce(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspider_ray.queries import q_asof_join
+        rng = np.random.RandomState(17)
+        users = (rng.randint(0, 50, 600).astype(np.int64)
+                 * 7_919_001_337 + 10**9)         # all > 10^9
+        ts = rng.randint(0, 10**15, 600).astype(np.int64)
+        kinds = rng.choice(["click", "purchase", "view"], 600,
+                           p=[0.4, 0.4, 0.2])
+        t = pa.table({
+            "event_id": pa.array(np.arange(600, dtype=np.int64)),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "user_id": pa.array(users),
+            "event_type": pa.array(kinds.tolist(), pa.string()),
+            "value": pa.array(np.zeros(600))})
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = {r["event_id"]: r["purchase_id"]
+               for r in q_asof_join(str(tmp_path)).take_all()}
+        events = [{"event_id": int(i), "ts_us": int(ts[i]),
+                   "user_id": int(users[i]), "event_type": str(kinds[i])}
+                  for i in range(600)]
+        assert got == self._brute(events)
+
+    def test_merge_kernel_matches_packed_path(self, ray_session, sf_dir):
+        """Force the merge path on the sf data (in-envelope ids) and
+        check it reproduces the packed fast path's exact output."""
+        import numpy as np
+        from pyspider_ray import queries as q
+        fast = sorted((r["event_id"], r["purchase_id"])
+                      for r in q.q_asof_join(sf_dir).take_all())
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "ts",
+                                   "event_type"])
+        import pyarrow.compute as pc
+        is_c = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False)
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        eid = t["event_id"].to_numpy()
+        uid = t["user_id"].to_numpy()
+        tsu = t["ts"].cast("int64").to_numpy()
+        got_e, got_p = q._asof_merge(
+            uid[is_p], tsu[is_p], eid[is_p],
+            uid[is_c], tsu[is_c], eid[is_c])
+        assert sorted(zip(got_e.tolist(), got_p.tolist())) == fast

@@ -47,6 +47,38 @@ class TestCandidatePairs:
                     exp.add((min(mem[i], mem[j]), max(mem[i], mem[j])))
         assert got == exp
 
+    def test_wide_doc_ids_beyond_2_32(self, rd):
+        """The >2^32-doc envelope (10^10-URL frontiers): doc ids that
+        don't fit the packed (lo<<32|hi) word ride the (n, 2) wide
+        transport through the same exchange, and MIXED narrow/wide
+        partitions meet safely in the pair-dedup reduce (partition
+        routing hashes pair VALUES, never the packed word)."""
+        rng = np.random.RandomState(13)
+        base = np.int64(1) << np.int64(40)           # 2^40 > 2^32
+        docs = []                                    # mixed id widths:
+        for d in range(80):                          # ~half narrow,
+            docs.append(int(d) if d % 2 == 0         # ~half wide
+                        else int(base + d * 977))
+        rows = []
+        for i, d in enumerate(docs):
+            for band in range(4):
+                key = (i // 3) * 10 + band if i % 2 == 0 \
+                    else int(rng.randint(0, 500))
+                rows.append((band, key, d))
+        pairs = candidate_pairs(rd.from_arrow(_triples_table(rows))
+                                .repartition(5))
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
+        buckets = collections.defaultdict(list)
+        for band, key, d in rows:
+            buckets[(band, key)].append(d)
+        exp = set()
+        for mem in buckets.values():
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    exp.add((min(mem[i], mem[j]), max(mem[i], mem[j])))
+        assert got == exp
+        assert any(a >= (1 << 32) or b >= (1 << 32) for a, b in got)
+
     def test_max_bucket_caps_hot_buckets(self, rd):
         rows = [(0, 1, d) for d in range(50)]          # one hot bucket
         rows += [(1, 2, 0), (1, 2, 1)]                 # one small bucket
@@ -72,6 +104,46 @@ class TestAttach:
         for r in out:
             assert r["sig_a"] == r["doc_a"] * 7
             assert r["sig_b"] == r["doc_b"] * 7
+
+
+class TestPairTransport:
+    """Unit contracts of the narrow/wide pair transport (no Ray)."""
+
+    def test_pack_roundtrip_narrow_and_wide(self):
+        from pyspider_ray.neardup import _pack_pairs, _unpack_pairs
+        lo = np.array([0, 5, 2**31], dtype=np.int64)
+        hi = np.array([1, 9, 2**32 - 1], dtype=np.int64)
+        p = _pack_pairs(lo, hi)
+        assert p.ndim == 1 and p.dtype == np.uint64
+        l2, h2 = _unpack_pairs(p)
+        assert (l2 == lo).all() and (h2 == hi).all()
+        hi_wide = hi.copy()
+        hi_wide[-1] = 2**40 + 3
+        w = _pack_pairs(lo, hi_wide)
+        assert w.ndim == 2
+        l3, h3 = _unpack_pairs(w)
+        assert (l3 == lo).all() and (h3 == hi_wide).all()
+
+    def test_pair_hash_format_independent(self):
+        """A pair routes to the same partition whichever transport
+        representation carries it."""
+        from pyspider_ray.neardup import _pair_hash
+        rng = np.random.RandomState(3)
+        lo = rng.randint(0, 2**31, 1000).astype(np.int64)
+        hi = lo + rng.randint(1, 2**31, 1000).astype(np.int64)
+        h1 = _pair_hash(lo, hi) % np.uint64(64)
+        h2 = _pair_hash(lo.copy(), hi.copy()) % np.uint64(64)
+        assert (h1 == h2).all()
+        assert len(np.unique(h1)) > 32        # spreads across partitions
+
+    def test_dedup_pairs_matches_np_unique(self):
+        from pyspider_ray.neardup import _dedup_pairs
+        rng = np.random.RandomState(5)
+        lo = rng.randint(0, 50, 5000).astype(np.int64)
+        hi = lo + rng.randint(1, 50, 5000).astype(np.int64)
+        dl, dh = _dedup_pairs(lo, hi)
+        exp = sorted(set(zip(lo.tolist(), hi.tolist())))
+        assert list(zip(dl.tolist(), dh.tolist())) == exp
 
 
 class TestHammingBanding:

@@ -111,3 +111,158 @@ class TestMetricsEndpoints:
         base, _ = served
         code, _, body = _get(base, "/nope")
         assert code == 404 and "endpoints" in body
+
+
+def _post(base, path, body=None):
+    data = json.dumps(body or {}).encode()
+    req = urllib.request.Request(
+        base + path, data=data,
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read().decode())
+
+
+@pytest.fixture()
+def live(tmp_path):
+    """A MID-CRAWL pipeline (not run to quiescence) + its API server,
+    for the runtime-control e2e: pause → select halts → rate update →
+    resume."""
+    cfg = CrawlConfig(total=400, n_seeds=8, n_shards=2, loop_limit=10,
+                      use_ray=False, out_dir=str(tmp_path / "crawl"))
+    pipe = CrawlPipeline(cfg)
+    pipe.seed()
+    for _ in range(3):
+        pipe.run_round()
+    srv = webapi.serve(pipe)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, pipe
+    srv.shutdown()
+
+
+class TestRuntimeControl:
+    def test_pause_halts_select_then_resume(self, live):
+        base, pipe = live
+        # sanity: crawl is live and selecting
+        m = pipe.run_round()
+        assert m["emitted"] > 0
+        code, out = _post(base, "/projects/bench/pause")
+        assert code == 200 and out["queued"]
+        m = pipe.run_round()               # command applies this round
+        assert m["emitted"] == 0           # select halted
+        rows = json.loads(_get(base, "/projects")[2])
+        assert rows == [{"name": "bench", "active": False,
+                         "paused": False, "rate": rows[0]["rate"],
+                         "burst": rows[0]["burst"],
+                         "min_tick": rows[0]["min_tick"]}]
+        m = pipe.run_round()
+        assert m["emitted"] == 0           # stays halted
+        code, out = _post(base, "/projects/bench/unpause")
+        assert code == 200 and out["queued"]
+        m = pipe.run_round()
+        assert m["emitted"] > 0            # select resumed
+
+    def test_rate_update_takes_effect_next_round(self, live):
+        base, pipe = live
+        code, out = _post(base, "/projects/bench/rate",
+                          {"rate": 2.5, "burst": 7.0})
+        assert code == 200 and out["queued"]
+        pipe.run_round()
+        rt = pipe.coord.projects["bench"]
+        assert rt.cfg.rate == 2.5 and rt.cfg.burst == 7.0
+        assert rt.bucket.rate == 2.5 and rt.bucket.burst == 7.0
+        code, _ = _post(base, "/projects/bench/rate", {})
+        assert code == 400                 # need rate and/or burst
+
+    def test_newtask_and_message_injection(self, live):
+        base, pipe = live
+        task = {"taskid": "tcontrol1", "project": "bench",
+                "url": "http://site0.test/p/999999",
+                "schedule": {"priority": 9}}
+        code, out = _post(base, "/newtask", task)
+        assert code == 200 and out["queued"]
+        code, out = _post(base, "/messages",
+                          {"project": "bench", "message": {"k": 1}})
+        assert code == 200 and out["queued"]
+        pipe.apply_controls()
+        pending = {t["taskid"] for t in pipe._pending_new}
+        assert "tcontrol1" in pending
+        assert any(t["url"] == "data:,on_message"
+                   for t in pipe._pending_new)
+        code, _ = _post(base, "/newtask", {"url": "x"})
+        assert code == 400                 # missing taskid
+
+    def test_queues_and_task_lookup(self, live):
+        base, pipe = live
+        sizes = json.loads(_get(base, "/queues")[2])
+        assert sizes.get("bench", 0) > 0
+        # a known seed task is inspectable by (project, taskid)
+        seed = pipe.seed_tasks()[0]
+        code, _, body = _get(base, f"/task?project=bench"
+                                   f"&taskid={seed['taskid']}")
+        assert code == 200
+        task = json.loads(body)
+        assert task["taskid"] == seed["taskid"]
+        assert task["url"] == seed["url"]
+        code, _, _ = _get(base, "/task?project=bench&taskid=nosuch")
+        assert code == 404
+        code, _, _ = _get(base, "/task?project=bench")
+        assert code == 400
+
+
+DEBUG_SCRIPT = """
+from pyspider.libs.base_handler import BaseHandler
+
+class Handler(BaseHandler):
+    def on_start(self, response):
+        print("debugging", response.url)
+        self.crawl("data:,next-page", callback="detail")
+        return {"body": response.text}
+
+    def detail(self, response):
+        return {"d": 1}
+"""
+
+
+class TestDebugEndpoint:
+    def test_debug_one_url_end_to_end(self, live):
+        base, _ = live
+        code, out = _post(base, "/debug", {
+            "script": DEBUG_SCRIPT, "url": "data:,hello"})
+        assert code == 200
+        assert out["ok"] and out["exception"] is None
+        assert out["fetch"]["status_code"] == 200
+        assert out["result"] == {"body": "hello"}
+        assert len(out["follows"]) == 1
+        assert out["follows"][0]["url"] == "data:,next-page"
+        assert out["follows"][0]["process"]["callback"] == "detail"
+        assert "debugging data:,hello" in out["logs"]
+
+    def test_debug_edited_script_and_task(self, live):
+        base, _ = live
+        edited = DEBUG_SCRIPT.replace('{"d": 1}', '{"d": 2}')
+        task = {"taskid": "t1", "project": "__debug__",
+                "url": "data:,detail-body",
+                "process": {"callback": "detail"}}
+        code, out = _post(base, "/debug",
+                          {"script": edited, "task": task})
+        assert code == 200 and out["result"] == {"d": 2}
+
+    def test_debug_callback_exception_is_captured(self, live):
+        base, _ = live
+        bad = DEBUG_SCRIPT.replace('return {"body": response.text}',
+                                   'raise RuntimeError("boom")')
+        code, out = _post(base, "/debug",
+                          {"script": bad, "url": "data:,x"})
+        assert code == 200                 # debug never 500s on user code
+        assert not out["ok"] and "boom" in out["exception"]
+
+    def test_debug_script_error_and_missing_fields(self, live):
+        base, _ = live
+        code, out = _post(base, "/debug",
+                          {"script": "def broken(:"})
+        assert code == 200 and "script error" in out["exception"]
+        code, _ = _post(base, "/debug", {"url": "data:,x"})
+        assert code == 400                 # need script
