@@ -43,7 +43,16 @@ def _rd():
 
 
 def _read(sf_dir, table, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # hand the reader a metadata-free schema: the files carry pandas
+    # schema metadata (an unhashable dict) that otherwise rides in on
+    # every block and defeats Ray Data's block-schema dedup ("Failed
+    # to hash the schemas" per block); one driver-side footer read
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return _rd().read_parquet(path, columns=columns, schema=schema)
 
 
 _WORD_HASH_CACHE: dict[str, int] = {}

@@ -192,3 +192,26 @@ class TestAnnLsh:
         b = q_ann_lsh(sf_dir).to_pandas().sort_values(
             ["query_id", "rank"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnIvf:
+    def test_recall_vs_brute_force(self, sf_dir):
+        """IVF probes 3 of 8 cells; with sample-trained centroids its
+        top-5 should recover most of the exact top-5 — the quantitative
+        pin that turns a rows-only entry into a measured approximation."""
+        from pyspider_ray.training_queries import q_ann_ivf, q_embedding_knn
+        exact = q_embedding_knn(sf_dir).to_pandas()
+        approx = q_ann_ivf(sf_dir).to_pandas()
+        assert set(approx.columns) == {"query_id", "rank", "neighbor_id"}
+        assert set(approx["query_id"]) == set(exact["query_id"])
+        assert (approx.groupby("query_id")["rank"].apply(
+            lambda r: sorted(r) == list(range(1, len(r) + 1)))).all()
+        hits = tot = 0
+        ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+        for qid, grp in approx.groupby("query_id")["neighbor_id"]:
+            truth = ex.get(qid, set())
+            hits += len(set(grp) & truth)
+            tot += len(truth)
+        recall = hits / max(tot, 1)
+        assert recall >= 0.6, f"recall {recall:.2f}"
