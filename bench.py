@@ -304,6 +304,77 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
     }))
 
 
+def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1") -> str:
+    """Deterministic 10x documents table for the near-dup scale
+    rehearsal: replica r of every sf0.1 doc gets doc_id + r*10^5 and
+    six replica-specific salt words appended.  Salt keeps each
+    replica's INTERNAL near-dup structure intact (same-replica docs
+    share the same salt, so their Jaccard only nudges up) while
+    pushing CROSS-replica word-set Jaccard below tau=0.9
+    (W/(W+12) <= 0.89 at the corpus' max 98 words/doc) — so expected
+    pairs ~= 10x the sf0.1 pair count and the exchange's O(n) scaling
+    is measurable without a quadratic dup blowup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pq.read_table("/root/testdata/sf0.1/documents.parquet")
+    ids = base["doc_id"].to_numpy()
+    texts = base["text"].to_pylist()
+    reps = []
+    for r in range(10):
+        salt = "" if r == 0 else " " + " ".join(
+            f"zsalt{r}{c}" for c in "abcdef")
+        reps.append(pa.table({
+            "doc_id": pa.array(ids + r * 100_000),
+            "text": pa.array([t + salt for t in texts], pa.string())}))
+    tmp = path + ".tmp"
+    pq.write_table(pa.concat_tables(reps), tmp)
+    os.replace(tmp, path)
+    return out_dir
+
+
+def neardup_scale() -> None:
+    """sf0.1-vs-10x near-dup exchange rehearsal (wall, pairs, probes) —
+    evidence that the manual hash exchange scales ~O(n) in docs.  Each
+    leg runs in a fresh process (its own Ray session + cold arenas)."""
+    sf1 = _build_sf1_documents()
+    legs = [("jaccard_near_dup", SF_DIR), ("jaccard_near_dup", sf1),
+            ("simhash_near_dup", SF_DIR), ("simhash_near_dup", sf1)]
+    out: dict = {"num_cpus": NUM_CPUS, "legs": []}
+    for qname, sf in legs:
+        probe = fault_probe_fresh()
+        code = (
+            "import json, time, ray\n"
+            f"ray.init(address='local', num_cpus={NUM_CPUS}, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from pyspider_ray import training_queries as tq\n"
+            "t0 = time.perf_counter()\n"
+            f"res = tq.q_{qname}({sf!r})\n"
+            "n = res.count()\n"
+            "print(json.dumps({'sec': round(time.perf_counter()-t0, 2), "
+            "'pairs': n}))\n"
+            "ray.shutdown()\n")
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        leg = json.loads(r.stdout.strip().splitlines()[-1])
+        leg.update({"query": qname,
+                    "sf": "sf1(10x)" if sf == sf1 else "sf0.1",
+                    "probe_mb_per_s": probe})
+        out["legs"].append(leg)
+    by = {(g["query"], g["sf"]): g for g in out["legs"]}
+    for q in ("jaccard_near_dup", "simhash_near_dup"):
+        a, b = by[(q, "sf0.1")], by[(q, "sf1(10x)")]
+        out[f"{q}_wall_ratio_10x"] = round(b["sec"] / a["sec"], 2)
+        out[f"{q}_pairs_ratio_10x"] = round(b["pairs"] /
+                                            max(a["pairs"], 1), 2)
+    print(json.dumps(out))
+
+
 def frontier_drill() -> None:
     """Resident-frontier scale drill (BASELINE.md evidence): run the
     real Ray crawl until the frontier holds 10^5 then 10^6 queued
@@ -374,5 +445,7 @@ if __name__ == "__main__":
         scaling()
     elif "--frontier-drill" in sys.argv:
         frontier_drill()
+    elif "--neardup-scale" in sys.argv:
+        neardup_scale()
     else:
         main()

@@ -39,8 +39,9 @@ shuffle would use it.
 
 Skew note: a degenerate band key (e.g. the empty-document signature)
 produces a quadratic bucket; callers cap buckets with ``max_bucket``
-(dropped buckets are logged in the output's ``n_capped`` accounting
-row) the way production MinHash dedup drops stop-buckets.
+the way production MinHash dedup drops stop-buckets.  Drops are never
+silent: the expand task logs (count, member rows, hottest size) per
+partition through the ``pyspider_ray.neardup`` logger.
 """
 
 from __future__ import annotations
@@ -75,6 +76,17 @@ def _expand_runs(band: np.ndarray, key: np.ndarray, doc: np.ndarray,
     sizes = ends - starts
     if max_bucket:
         keepable = sizes <= max_bucket
+        dropped = sizes[~keepable]
+        if len(dropped):
+            # stop-bucket cap accounting: dropped buckets are LOGGED,
+            # never silent (the 100 TB skew contract) — the count and
+            # the hottest size tell the operator whether the cap bit
+            import logging
+            logging.getLogger("pyspider_ray.neardup").warning(
+                "max_bucket=%d dropped %d hot bucket(s) "
+                "(%d member rows, hottest %d)",
+                max_bucket, len(dropped), int(dropped.sum()),
+                int(dropped.max()))
         starts, sizes = starts[keepable], sizes[keepable]
     total = int((sizes.astype(np.int64) * (sizes - 1) // 2).sum())
     lo_out = np.empty(total, dtype=np.int64)

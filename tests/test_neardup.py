@@ -87,6 +87,20 @@ class TestCandidatePairs:
         got = {(r["doc_a"], r["doc_b"]) for r in pairs.take_all()}
         assert got == {(0, 1)}          # hot bucket dropped, small kept
 
+    def test_cap_drops_are_logged_not_silent(self, caplog):
+        import logging
+        from pyspider_ray.neardup import _expand_runs
+        rows = [(0, 1, d) for d in range(50)] + [(1, 2, 0), (1, 2, 1)]
+        band = np.array([r[0] for r in rows])
+        key = np.array([r[1] for r in rows])
+        doc = np.array([r[2] for r in rows])
+        with caplog.at_level(logging.WARNING, "pyspider_ray.neardup"):
+            lo, hi = _expand_runs(band, key, doc, max_bucket=10)
+        assert len(lo) == 1             # only the small bucket expanded
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any("dropped 1 hot bucket" in m for m in msgs)
+        assert any("hottest 50" in m for m in msgs)
+
 
 class TestAttach:
     def test_attach_equals_hash_join(self, rd):
