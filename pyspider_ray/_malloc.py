@@ -42,26 +42,52 @@ def tune_malloc() -> bool:
 
 
 _prefaulted_mb = 0
+_prefault_given_up = False
+
+# stop prefaulting below this first-touch bandwidth: in the host's slow
+# memory phases (~5-50 MB/s) bulk-faulting a 256 MB arena costs tens of
+# seconds per worker — strictly worse than faulting lazily on demand,
+# which only pays for pages the kernels actually use (measured: the
+# sf0.1 jaccard exchange 267 s with bulk prefault vs 57 s without in a
+# ~15 MB/s phase; ~0.1 s total in a >1 GB/s phase either way)
+_MIN_MB_PER_S = 200.0
+_FIRST_CHUNK_MB = 2   # probe cost in the worst phase: ~32 workers x
+#                       2 MB at ~15 MB/s aggregate ≈ 4 s fleet-wide;
+#                       chunks double once the phase proves fast
 
 
 def prefault_arena(mb: int | None = None) -> int:
-    """Touch ``mb`` MB of fresh pages ONCE per process so the tuned
-    malloc free list is pre-populated before the first timed kernel —
-    the raw-task analogue of ``_WorkerActor(prefault_mb=)``: Ray reuses
-    worker processes across tasks, so the first exchange task in each
-    worker pays the fault cost here (outside any caller-visible hot
-    loop longer than one task) and every later allocation reuses the
-    arena.  Idempotent per process; size via PYSPIDER_RAY_PREFAULT_MB
-    (default 256, 0 disables).  Returns the high-water prefault MB."""
-    global _prefaulted_mb
+    """Touch up to ``mb`` MB of fresh pages ONCE per process so the
+    tuned malloc free list is pre-populated before the first timed
+    kernel — the raw-task analogue of ``_WorkerActor(prefault_mb=)``:
+    Ray reuses worker processes across tasks, so the first exchange
+    task in each worker pays the fault cost here and every later
+    allocation reuses the arena.
+
+    ADAPTIVE: faults in 8 MB chunks and gives up for the life of the
+    process when the measured fault bandwidth drops below
+    ~200 MB/s — in the host's slow memory phases bulk prefaulting
+    costs far more than the lazy faults it would save.  Idempotent per
+    process; size via PYSPIDER_RAY_PREFAULT_MB (default 256,
+    0 disables).  Returns the high-water prefault MB."""
+    global _prefaulted_mb, _prefault_given_up
     if mb is None:
         mb = int(os.environ.get("PYSPIDER_RAY_PREFAULT_MB", "256"))
-    if mb <= 0 or _prefaulted_mb >= mb:
+    if mb <= 0 or _prefaulted_mb >= mb or _prefault_given_up:
         return _prefaulted_mb
     tune_malloc()
+    import time
     import numpy as np
-    scratch = np.ones((mb - _prefaulted_mb) << 17)   # 1 MB = 2^17 f64
-    scratch[::512] = 2.0   # touch every page (ones() already faults,
-    del scratch            # this guards lazy-alloc implementations)
-    _prefaulted_mb = mb
+    chunk = _FIRST_CHUNK_MB
+    while _prefaulted_mb < mb:
+        step = min(chunk, mb - _prefaulted_mb)
+        t0 = time.perf_counter()
+        scratch = np.ones(step << 17)    # 1 MB = 2^17 f64
+        scratch[::512] = 2.0   # touch every page (ones() already
+        del scratch            # faults; guards lazy-alloc impls)
+        _prefaulted_mb += step
+        if step / max(time.perf_counter() - t0, 1e-9) < _MIN_MB_PER_S:
+            _prefault_given_up = True    # slow phase: lazy wins
+            break
+        chunk *= 2
     return _prefaulted_mb
