@@ -580,18 +580,18 @@ def _load_query_matrix(sf_dir: str, n_queries: int):
 
 class _CosinePartialTopK:
     """Brute-force cosine: the (tiny, driver-built) query matrix rides
-    fn_constructor_kwargs into each actor; each DB batch emits its
-    local top-k per query (partial), merged by a tiny grouped stage
-    after — the scale pattern for 10^9-row ANN baselines."""
+    in the serialized callable; each DB batch emits its local top-k
+    per query (partial), merged by the adaptive combine after — the
+    scale pattern for 10^9-row ANN baselines."""
 
     def __init__(self, q_ids: np.ndarray, Q: np.ndarray):
-        from ._malloc import prefault_arena
-        prefault_arena()   # once per actor: per-batch E matrices reuse
-        self.q_ids = np.asarray(q_ids)   # the arena instead of paying
-        self.Q = np.asarray(Q, dtype=np.float64)   # first-touch faults
+        self.q_ids = np.asarray(q_ids)
+        self.Q = np.asarray(Q, dtype=np.float64)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        E = _embedding_matrix(b)
+        from ._malloc import prefault_arena
+        prefault_arena()   # idempotent per worker process: per-batch E
+        E = _embedding_matrix(b)   # matrices reuse the arena
         E /= np.linalg.norm(E, axis=1, keepdims=True)
         vec_ids = b["vec_id"].to_numpy(zero_copy_only=False)
         S = self.Q @ E.T                      # (n_q, batch)
@@ -610,22 +610,51 @@ class _CosinePartialTopK:
                          "sim": pa.array(sims, pa.float64())})
 
 
-def q_embedding_knn(sf_dir):
-    """ANN baseline: brute-force cosine top-5 for the first 20 vectors."""
+def _final_topk_merge(partials, small_limit: int = 200_000):
+    """Final top-k combine over per-batch partial rows
+    (query_id, neighbor_id, sim).  The partial table is bounded by
+    O(n_blocks x queries x k); when it is small — every sf the driver
+    runs, and any corpus up to ~10^5 blocks — ONE driver-side
+    vectorized sort+groupby replaces a distributed sort-based groupby
+    whose fixed shuffle machinery (~5 s) dwarfs the data.  Past the
+    limit the distributed path runs (the 10^9-row scale shape)."""
     import pandas as pd
+
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"],
                           ascending=[False, True]).head(_TOP_K)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "rank", "neighbor_id"]]
+
+    m = partials.materialize()
+    if m.count() <= small_limit:
+        df = m.to_pandas()
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True], kind="stable")
+        out = df.groupby("query_id", sort=True).head(_TOP_K).copy()
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        out = out.sort_values(["query_id", "rank"])
+        return pa.table({
+            "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            "neighbor_id": pa.array(
+                out["neighbor_id"].to_numpy(np.int64))})
+    return m.groupby("query_id").map_groups(final_topk,
+                                            batch_format="pandas")
+
+
+def q_embedding_knn(sf_dir):
+    """ANN baseline: brute-force cosine top-5 for the first 20 vectors.
+    Partial top-k per batch (tasks — no actor pool to spin up for a
+    one-pass stateless matmul; the tiny query matrix ships once in the
+    serialized closure), adaptive final combine."""
+    import functools
     q_ids, Q = _load_query_matrix(sf_dir, _N_QUERIES)
-    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .map_batches(_CosinePartialTopK,
-                         fn_constructor_kwargs={"q_ids": q_ids, "Q": Q},
-                         batch_format="pyarrow", concurrency=2)
-            .groupby("query_id").map_groups(final_topk,
-                                            batch_format="pandas"))
+    scorer = _CosinePartialTopK(q_ids=q_ids, Q=Q)
+    partials = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                .map_batches(scorer, batch_format="pyarrow"))
+    return _final_topk_merge(partials)
 
 
 _NEARDUP_SHARDS = 4
@@ -776,23 +805,15 @@ def q_ann_ivf(sf_dir):
         for c in np.argsort(-(C @ v))[:3]:
             probes.setdefault(int(c), []).append(qi)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(_TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id"]]
-
     import functools
-    return (ds
-            .map_batches(functools.partial(_ivf_assign,
-                                           centroids=C.tolist()),
-                         batch_format="pyarrow")
-            .map_batches(functools.partial(
-                _ivf_probe, queries=queries,
-                probes=probes), batch_format="pyarrow")
-            .groupby("query_id").map_groups(final_topk,
-                                            batch_format="pandas"))
+    partials = (ds
+                .map_batches(functools.partial(_ivf_assign,
+                                               centroids=C.tolist()),
+                             batch_format="pyarrow")
+                .map_batches(functools.partial(
+                    _ivf_probe, queries=queries,
+                    probes=probes), batch_format="pyarrow"))
+    return _final_topk_merge(partials)
 
 
 _LSH_TABLES = 8
@@ -863,24 +884,14 @@ def q_ann_lsh(sf_dir):
     the corpus, tuned by _LSH_BITS.  For many queries (>~10^3) the
     bucketed-shuffle form (group rows by signature, join query buckets
     — the neardup.py machinery) beats this broadcast-probe form."""
-    import pandas as pd
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(_TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "neighbor_id"]]
-
     import functools
     q_ids, Q = _load_query_matrix(sf_dir, _N_QUERIES)
     planes = _lsh_planes(Q.shape[1])
-    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .map_batches(functools.partial(_lsh_probe, q_ids=q_ids,
-                                           Q=Q, planes=planes),
-                         batch_format="pyarrow")
-            .groupby("query_id").map_groups(final_topk,
-                                            batch_format="pandas"))
+    partials = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                .map_batches(functools.partial(_lsh_probe, q_ids=q_ids,
+                                               Q=Q, planes=planes),
+                             batch_format="pyarrow"))
+    return _final_topk_merge(partials)
 
 
 # ---------------------------------------------------------------------------
