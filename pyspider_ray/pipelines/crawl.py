@@ -98,6 +98,11 @@ class CrawlConfig:
     # plane: user callbacks drive the crawl (processor.py:102-203 role),
     # cronjobs/min_tick/crawl_config/retry_delay are read off the class
     handler_cls: type | None = None
+    # the script FILE handler_cls was built from (CLI --script): set, it
+    # enables the script-editor surface — POST /projects/<name>/script
+    # saves a new version and the loop hot-swaps the handler class +
+    # project config + worker pool at the next round boundary
+    script_path: str | None = None
     # pluggable components (§2.10, run.py --fetcher-cls / ResultWorker
     # analogues): a fetch stage class (ctor(**fetcher_kwargs), called
     # per Arrow batch) and a result sink class (ctor(), called with
@@ -345,6 +350,7 @@ class CrawlPipeline:
         # threads, the round loop drains it at the round boundary
         import queue as _queue
         self.control_inbox: "_queue.Queue[dict]" = _queue.Queue()
+        self._pending_script_reload = False
         os.makedirs(self.results_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
@@ -768,8 +774,48 @@ class CrawlPipeline:
                 from ..send_message import message_task
                 self._pending_new.append(
                     message_task(project, cmd.get("message")))
+            elif op == "update_script":
+                # the script file was already validated + written by
+                # the producer; the swap itself waits for the plane to
+                # drain (run_round applies it right after _collect_ctrl)
+                self._pending_script_reload = True
             applied.append(cmd)
         return applied
+
+    def _apply_script_update(self) -> None:
+        """Hot-swap the handler script — the reference's script-editor
+        save path (webui/debug.py save → projectdb.update → scheduler
+        update_project → processor rebuilds the project module): rebuild
+        the handler class from the saved script file, refresh the
+        project config (rate/burst are script header comments,
+        min_tick/crawl_config/retry_delay are class attrs), and retire
+        the worker pool so the next data-plane dispatch spawns workers
+        carrying the new class (handler classes pickle by value).
+        Called at the round boundary with the plane idle."""
+        self._pending_script_reload = False
+        cfg = self.cfg
+        if not cfg.script_path:
+            return
+        from ..sources.projectdb import LocalProjectDB
+        from ..sources.projectdb import build_handler as _build
+        db = LocalProjectDB([cfg.script_path])
+        projects = db.get_all()
+        if not projects:
+            return
+        project = projects[0]
+        cfg.handler_cls = _build(project)
+        cfg.rate, cfg.burst = project["rate"], project["burst"]
+        self.coord.update_project(_project_config(cfg))
+        workers = getattr(self, "_workers", None) or []
+        if workers:
+            import ray
+            for w in workers:
+                try:
+                    ray.kill(w)
+                except Exception:
+                    pass
+        self._workers = None
+        self._local_processor = None   # no-ray path rebuilds lazily
 
     def run_round(self) -> dict:
         cfg = self.cfg
@@ -786,6 +832,8 @@ class CrawlPipeline:
         t0 = time.perf_counter()
         self.coord.dispatch_status(status)
         ctrl_tables = self._collect_ctrl()   # streams statuses to shards
+        if self._pending_script_reload:
+            self._apply_script_update()      # plane is idle here
         t_drain = time.perf_counter()
         self.coord.dispatch_requests(new)
         # async follow fan-out: shards ingest while the driver parses
@@ -1067,7 +1115,8 @@ def _main() -> None:
         project = db.get_all()[0]
         extra = {"handler_cls": build_handler(project),
                  "project": project["name"],
-                 "rate": project["rate"], "burst": project["burst"]}
+                 "rate": project["rate"], "burst": project["burst"],
+                 "script_path": os.path.abspath(args.script)}
     cfg = CrawlConfig(total=args.total, n_seeds=args.seeds,
                       n_shards=args.shards, n_hosts=args.hosts,
                       out_dir=args.out, loop_limit=args.loop_limit,

@@ -175,6 +175,27 @@ class PipelineProvider:
                 return t
         return None
 
+    def save_script(self, script: str) -> dict:
+        """The script editor's save (webui/debug.py save → projectdb
+        update): validate the script BUILDS, write it atomically to the
+        crawl's registered script file, and queue the hot-swap (handler
+        class + rate/burst + worker pool) for the next round boundary.
+        409 when the crawl isn't script-driven."""
+        import os
+        path = getattr(self.pipe.cfg, "script_path", None)
+        if not path:
+            raise LookupError("crawl is not script-driven "
+                              "(no --script path registered)")
+        from .sources.projectdb import build_handler
+        build_handler({"name": "__save_check__", "script": script,
+                       "path": path})   # raises on a broken script
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(script)
+        os.replace(tmp, path)
+        self.pipe.control_inbox.put({"op": "update_script"})
+        return {"saved": True, "path": path, "queued": True}
+
 
 class _Handler(BaseHTTPRequestHandler):
     provider: PipelineProvider = None   # set by serve()
@@ -309,6 +330,17 @@ class _Handler(BaseHTTPRequestHandler):
                     and parts[2] in ("pause", "unpause"):
                 self._json(p.control({"op": parts[2],
                                       "project": parts[1]}))
+            elif len(parts) == 3 and parts[0] == "projects" \
+                    and parts[2] == "script":
+                if not body.get("script"):
+                    self._json({"error": "need script"}, 400)
+                    return
+                try:
+                    self._json(p.save_script(body["script"]))
+                except LookupError as exc:
+                    self._json({"error": str(exc)}, 409)
+                except (SyntaxError, ValueError) as exc:
+                    self._json({"error": f"script error: {exc}"}, 400)
             elif len(parts) == 3 and parts[0] == "projects" \
                     and parts[2] == "rate":
                 if body.get("rate") is None and body.get("burst") is None:

@@ -266,3 +266,120 @@ class TestDebugEndpoint:
         assert code == 200 and "script error" in out["exception"]
         code, _ = _post(base, "/debug", {"url": "data:,x"})
         assert code == 400                 # need script
+
+
+SCRIPT_V1 = """# rate: 100
+# burst: 100
+from pyspider.libs.base_handler import *
+
+class Handler(BaseHandler):
+    def on_start(self, response):
+        self.crawl('data:,seed1', callback=self.page)
+
+    def page(self, response):
+        return {'version': 1, 'seen': response.text}
+"""
+
+SCRIPT_V2 = SCRIPT_V1.replace("# rate: 100", "# rate: 7") \
+                     .replace("'version': 1", "'version': 2")
+
+
+class TestScriptEditor:
+    def _results(self, pipe):
+        rows = pipe.results_table().to_pylist()
+        return [json.loads(r["result"]) for r in rows if r.get("result")]
+
+    def test_save_script_hot_swaps_handler(self, tmp_path):
+        from pyspider_ray.sources.projectdb import (LocalProjectDB,
+                                                    build_handler)
+        script = tmp_path / "editproj.py"
+        script.write_text(SCRIPT_V1)
+        db = LocalProjectDB([str(script)])
+        project = db.get_all()[0]
+        cfg = CrawlConfig(total=10, n_shards=2, loop_limit=50,
+                          use_ray=False, out_dir=str(tmp_path / "out"),
+                          handler_cls=build_handler(project),
+                          project=project["name"],
+                          rate=project["rate"], burst=project["burst"],
+                          script_path=str(script))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(6):
+            pipe.run_round()
+        v1 = self._results(pipe)
+        assert any(r.get("version") == 1 for r in v1)
+        srv = webapi.serve(pipe)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            # broken script → 400, file untouched
+            code, out = _post(base, f"/projects/{cfg.project}/script",
+                              {"script": "def broken(:"})
+            assert code == 400
+            assert script.read_text() == SCRIPT_V1
+            # valid new version → saved + queued
+            code, out = _post(base, f"/projects/{cfg.project}/script",
+                              {"script": SCRIPT_V2})
+            assert code == 200 and out["saved"] and out["queued"]
+            assert script.read_text() == SCRIPT_V2
+            pipe.run_round()      # hot swap applies at the boundary
+            rt = pipe.coord.projects[cfg.project]
+            assert rt.cfg.rate == 7.0       # header comment re-read
+            # a fresh task now runs through the NEW handler class
+            code, _ = _post(base, "/newtask", {
+                "taskid": "edit-seed2", "project": cfg.project,
+                "url": "data:,seed2",
+                "process": {"callback": "page"},
+                "schedule": {"priority": 9}})
+            assert code == 200
+            for _ in range(6):
+                pipe.run_round()
+            versions = {r["seen"]: r["version"]
+                        for r in self._results(pipe) if "seen" in r}
+            assert versions.get("seed2") == 2
+            assert versions.get("seed1") == 1    # old result unchanged
+        finally:
+            srv.shutdown()
+
+    def test_save_script_409_when_not_script_driven(self, live):
+        base, _ = live
+        code, out = _post(base, "/projects/bench/script",
+                          {"script": SCRIPT_V1})
+        assert code == 409
+
+    def test_save_script_hot_swaps_worker_pool_ray_mode(
+            self, tmp_path, ray_session):
+        """Ray mode: the swap retires the persistent worker actors and
+        the next dispatch spawns a pool carrying the new class."""
+        from pyspider_ray.sources.projectdb import (LocalProjectDB,
+                                                    build_handler)
+        script = tmp_path / "rayproj.py"
+        script.write_text(SCRIPT_V1)
+        project = LocalProjectDB([str(script)]).get_all()[0]
+        cfg = CrawlConfig(total=10, n_shards=2, loop_limit=50,
+                          use_ray=True, concurrency=2,
+                          out_dir=str(tmp_path / "rayout"),
+                          handler_cls=build_handler(project),
+                          project=project["name"],
+                          rate=project["rate"], burst=project["burst"],
+                          script_path=str(script))
+        pipe = CrawlPipeline(cfg)
+        pipe.seed()
+        for _ in range(6):
+            pipe.run_round()
+        old_pool = list(getattr(pipe, "_workers", None) or [])
+        assert old_pool
+        script.write_text(SCRIPT_V2)
+        pipe.control_inbox.put({"op": "update_script"})
+        pipe.run_round()
+        assert getattr(pipe, "_workers", None) in (None, [])
+        pipe._pending_new.append({
+            "taskid": "ray-seed2", "project": cfg.project,
+            "url": "data:,seed2", "process": {"callback": "page"},
+            "schedule": {"priority": 9}})
+        for _ in range(6):
+            pipe.run_round()
+        pipe._flush_writes()
+        versions = {r["seen"]: r["version"]
+                    for r in self._results(pipe) if "seen" in r}
+        assert versions.get("seed2") == 2
+        assert versions.get("seed1") == 1
