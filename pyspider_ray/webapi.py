@@ -298,7 +298,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "/results", "/results/dump/<project>.<fmt>",
                     "/counters", "/active_tasks", "/metrics",
                     "/projects", "/queues", "/task",
-                    "POST /projects/<name>/pause|unpause|rate",
+                    "POST /projects/<name>/pause|unpause|rate|script",
                     "POST /newtask", "POST /messages",
                     "POST /debug"]}, 404)
         except BrokenPipeError:
