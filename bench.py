@@ -307,14 +307,18 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
 def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1") -> str:
     """Deterministic 10x documents table for the near-dup scale
     rehearsal: replica r of every sf0.1 doc gets doc_id + r*10^5 and
-    six replica-specific salt words appended.  Salt keeps each
-    replica's INTERNAL near-dup structure intact (same-replica docs
-    share the same salt, so their Jaccard only nudges up) while
-    pushing CROSS-replica word-set Jaccard below tau=0.9
-    (W/(W+12) <= 0.89 at the corpus' max 98 words/doc) — so expected
-    pairs ~= 10x the sf0.1 pair count and the exchange's O(n) scaling
-    is measurable without a quadratic dup blowup."""
-    import numpy as np
+    (for r > 0) every word PREFIXED with ``z{r}q`` — a bijective
+    per-replica vocabulary transform.  Word-set Jaccard is invariant
+    under a bijection, so each replica's INTERNAL near-dup structure
+    is EXACTLY the sf0.1 structure (pairs == 10x, the O(n) yardstick),
+    while cross-replica word sets are fully DISJOINT — no cross-replica
+    MinHash band ever collides, so candidate volume scales linearly
+    too.  (A previous salt-append design kept cross-replica Jaccard
+    just below tau=0.9 — below the VERIFY threshold but far above the
+    band-collision threshold, so every bucket went 10x denser and
+    candidate pairs went ~100x: a quadratic rehearsal, not an O(n)
+    one.  Banding collides on SIGNATURE similarity, not on the verify
+    tau; a scale replica must be disjoint in signature space.)"""
     import pyarrow as pa
     import pyarrow.parquet as pq
     path = os.path.join(out_dir, "documents.parquet")
@@ -326,11 +330,15 @@ def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1") -> str:
     texts = base["text"].to_pylist()
     reps = []
     for r in range(10):
-        salt = "" if r == 0 else " " + " ".join(
-            f"zsalt{r}{c}" for c in "abcdef")
+        if r == 0:
+            rep_texts = texts
+        else:
+            p = f"z{r}q"
+            rep_texts = [" ".join(p + w for w in t.split())
+                         for t in texts]
         reps.append(pa.table({
             "doc_id": pa.array(ids + r * 100_000),
-            "text": pa.array([t + salt for t in texts], pa.string())}))
+            "text": pa.array(rep_texts, pa.string())}))
     tmp = path + ".tmp"
     pq.write_table(pa.concat_tables(reps), tmp)
     os.replace(tmp, path)

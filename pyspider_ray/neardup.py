@@ -117,7 +117,8 @@ def _pack_pairs(lo: np.ndarray, hi: np.ndarray):
     representations meet safely in ``_nd_pair_unique``: partition
     routing hashes (lo, hi) VALUES (``_pair_hash``), never the packed
     word, so both formats route a given pair identically."""
-    if len(hi) == 0 or (hi.max() < _NARROW_MAX and lo.min() >= 0):
+    if len(hi) == 0 or (hi.max() < _NARROW_MAX and lo.max() < _NARROW_MAX
+                        and min(lo.min(), hi.min()) >= 0):
         u = lo.astype(np.uint64) << np.uint64(32)
         return u | hi.astype(np.uint64)
     return np.ascontiguousarray(np.stack([lo, hi], axis=1))
@@ -241,6 +242,85 @@ def _nd_expand(P: int, max_bucket: int, *parts) -> tuple:
                  for p in range(P))
 
 
+def _expand_bipartite_runs(band: np.ndarray, key: np.ndarray,
+                           doc: np.ndarray, isq: np.ndarray,
+                           max_bucket: int = 0
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Within-bucket query x corpus expansion over lexsorted rows
+    (queries sort to each run's tail); returns ORDERED (query, corpus)
+    int64 pair columns, self-pairs excluded.  Full int64 id space —
+    transport packing is ``_pack_pairs``' concern.  The Python loop
+    runs only over buckets that contain a query."""
+    qs = np.empty(0, dtype=np.int64)
+    cs = np.empty(0, dtype=np.int64)
+    if not len(band):
+        return qs, cs
+    order = np.lexsort((doc, isq, key, band))       # queries sort last
+    band, key = band[order], key[order]
+    doc, isq = doc[order], isq[order]
+    new_run = np.ones(len(band), dtype=bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(band))
+    nq = np.add.reduceat(isq, starts).astype(np.int64)
+    nc = (ends - starts) - nq
+    produce = (nq > 0) & (nc > 0)
+    if max_bucket:
+        hot = produce & (nc > max_bucket)
+        if hot.any():
+            import logging
+            logging.getLogger("pyspider_ray.neardup").warning(
+                "max_bucket=%d dropped %d hot bipartite bucket(s) "
+                "(%d corpus rows, hottest %d)",
+                max_bucket, int(hot.sum()), int(nc[hot].sum()),
+                int(nc[hot].max()))
+            produce &= ~hot
+    q_parts, c_parts = [], []
+    for s, e, k in zip(starts[produce], ends[produce], nq[produce]):
+        corpus = doc[s:e - k]
+        queries = doc[e - k:e]
+        q_parts.append(np.repeat(queries, len(corpus)))
+        c_parts.append(np.tile(corpus, int(k)))
+    if q_parts:
+        qs = np.concatenate(q_parts)
+        cs = np.concatenate(c_parts)
+        keep = qs != cs                              # no self-match
+        qs, cs = qs[keep], cs[keep]
+    return qs, cs
+
+
+@ray.remote
+def _nd_expand_bipartite(P: int, max_bucket: int, *parts) -> tuple:
+    """Reduce side of the BIPARTITE bucket exchange (query x corpus —
+    the many-queries ANN-LSH scale path): within each complete
+    (band, key) bucket, pair every query member with every non-self
+    corpus member.  Ordered pairs (query, corpus) — no lo/hi
+    canonicalization — then local dedup + pair-hash pre-partition,
+    exactly like ``_nd_expand``.  The loop below runs only over
+    buckets that CONTAIN a query (≤ tables x queries / P iterations),
+    never over the corpus."""
+    prefault_arena()
+    g = pa.concat_tables(parts)
+    qs, cs = _expand_bipartite_runs(
+        g["band"].to_numpy().astype(np.int64),
+        g["key"].to_numpy().astype(np.int64),
+        g["doc_id"].to_numpy().astype(np.int64),
+        g["is_q"].to_numpy().astype(bool), max_bucket=max_bucket)
+    packed = _pack_pairs(qs, cs)
+    if packed.ndim == 1:                             # narrow ids
+        packed = np.unique(packed)
+        qs, cs = _unpack_pairs(packed)
+    else:                                            # >2^32 ids
+        qs, cs = _dedup_pairs(qs, cs)
+        packed = _pack_pairs(qs, cs)
+    ids = (_pair_hash(qs, cs) % np.uint64(P)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    sp = packed[order]
+    bounds = np.searchsorted(ids[order], np.arange(P + 1))
+    return tuple(np.ascontiguousarray(sp[bounds[p]:bounds[p + 1]])
+                 for p in range(P))
+
+
 @ray.remote
 def _nd_pair_unique(*parts) -> pa.Table:
     """Reduce side of exchange 2: global pair dedup within a partition
@@ -312,6 +392,33 @@ def candidate_pairs(sig_ds, n_buckets: int = 64, max_bucket: int = 0):
     splits = [_nd_split_bands.options(num_returns=P).remote(P, *g)
               for g in groups]
     expanded = [_nd_expand.options(num_returns=P)
+                .remote(P, max_bucket, *(s[p] for s in splits))
+                for p in range(P)]
+    finals = [_nd_pair_unique.remote(*(e[p] for e in expanded))
+              for p in range(P)]
+    return rd.from_arrow_refs(finals)
+
+
+def bipartite_candidate_pairs(sig_ds, n_buckets: int = 64,
+                              max_bucket: int = 0):
+    """(band, key, doc_id, is_q) Dataset → distinct ORDERED candidate
+    pairs (doc_a = query, doc_b = corpus member) — the asymmetric
+    variant of :func:`candidate_pairs` for many-queries ANN search:
+    query and corpus signature rows meet in co-located (band, key)
+    buckets; each bucket emits its query x corpus cross product
+    (self-pairs excluded); the second exchange dedups pairs that
+    collided in several tables.  Same partitioning contract, same
+    stop-bucket cap (``max_bucket`` bounds the CORPUS side of a
+    bucket), nothing touches the driver."""
+    import ray.data as rd
+    groups = _grouped_block_refs(sig_ds)
+    P = max(2, n_buckets)
+    if not groups:
+        return rd.from_arrow(pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())}))
+    splits = [_nd_split_bands.options(num_returns=P).remote(P, *g)
+              for g in groups]
+    expanded = [_nd_expand_bipartite.options(num_returns=P)
                 .remote(P, max_bucket, *(s[p] for s in splits))
                 for p in range(P)]
     finals = [_nd_pair_unique.remote(*(e[p] for e in expanded))

@@ -894,6 +894,89 @@ def q_ann_lsh(sf_dir):
     return _final_topk_merge(partials)
 
 
+def _lsh_band_rows(b: pa.Table, q_ids, planes) -> pa.Table:
+    """Signature fan-out for the bucketed LSH exchange: T (band, key,
+    doc_id, is_q=0) rows per corpus row — one sign-bit matmul per
+    table, raw embeddings (normalization can't change a sign) — plus a
+    duplicate is_q=1 row set for rows whose id is a query (a query is
+    also a corpus member: it must remain findable as OTHER queries'
+    neighbor, exactly like the broadcast form)."""
+    schema = pa.schema([("band", pa.int64()), ("key", pa.int64()),
+                        ("doc_id", pa.int64()), ("is_q", pa.int8())])
+    if not len(b):
+        return schema.empty_table()
+    ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    planes = np.asarray(planes, dtype=np.float64)
+    sigs = _lsh_sigs(_embedding_matrix(b), planes)        # (T, n)
+    T, n = sigs.shape
+    parts = [pa.table({
+        "band": np.repeat(np.arange(T, dtype=np.int64), n),
+        "key": sigs.ravel(),
+        "doc_id": np.tile(ids, T),
+        "is_q": np.zeros(T * n, dtype=np.int8)}, schema=schema)]
+    qmask = np.isin(ids, np.asarray(q_ids))
+    if qmask.any():
+        qn = int(qmask.sum())
+        parts.append(pa.table({
+            "band": np.repeat(np.arange(T, dtype=np.int64), qn),
+            "key": sigs[:, qmask].ravel(),
+            "doc_id": np.tile(ids[qmask], T),
+            "is_q": np.ones(T * qn, dtype=np.int8)}, schema=schema))
+    return pa.concat_tables(parts)
+
+
+def _list_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(len(arr), -1)
+
+
+def _bipartite_cosine(b: pa.Table) -> pa.Table:
+    """Exact cosine over joined candidate rows (doc_a=query,
+    doc_b=corpus, embedding_a, embedding_b) → (query_id, neighbor_id,
+    sim) — one vectorized normalize + row-dot per batch."""
+    if not len(b):
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    A = _list_matrix(b["embedding_a"])
+    B = _list_matrix(b["embedding_b"])
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    return pa.table({"query_id": b["doc_a"], "neighbor_id": b["doc_b"],
+                     "sim": np.einsum("ij,ij->i", A, B)})
+
+
+def q_ann_lsh_bucketed(sf_dir):
+    """Bucketed-shuffle LSH ANN — the many-queries (>~10^3) scale path
+    q_ann_lsh's docstring promises: corpus and query signature rows
+    meet in co-located (table, signature) buckets through the neardup
+    hash exchange; each bucket emits its query x corpus cross product
+    (deduped across tables by the pair exchange); embeddings re-join
+    the candidate table via the partitioned hash join
+    (neardup.join_signatures — never a broadcast corpus); exact cosine
+    + adaptive top-k combine.  The collision criterion (ANY-table
+    signature match, same planes) is identical to q_ann_lsh's
+    broadcast-probe form, so both produce the SAME top-k — pinned by
+    TestAnnLshBucketed.  Driver-held state: the tiny query-id list.
+    Rows-only entry: approximate by construction, like ann_lsh."""
+    import functools
+    from . import neardup as nd
+    q_ids, Q = _load_query_matrix(sf_dir, _N_QUERIES)
+    planes = _lsh_planes(Q.shape[1])
+    sig_ds = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+              .map_batches(functools.partial(_lsh_band_rows, q_ids=q_ids,
+                                             planes=planes),
+                           batch_format="pyarrow"))
+    pairs = nd.bipartite_candidate_pairs(sig_ds, n_buckets=32)
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(lambda t: t.rename_columns(["doc_id", "embedding"]),
+                        batch_format="pyarrow"))
+    joined = nd.join_signatures(pairs, emb, "embedding")
+    scored = joined.map_batches(_bipartite_cosine, batch_format="pyarrow")
+    return _final_topk_merge(scored)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (synthetic pages; no image libs in this container)
 # ---------------------------------------------------------------------------
@@ -1382,6 +1465,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "image_decode": q_image_decode,
     "image_phash_near_dup": q_image_phash_near_dup,
     "audio_features": q_audio_features,

@@ -150,6 +150,37 @@ class TestPairTransport:
         assert (h1 == h2).all()
         assert len(np.unique(h1)) > 32        # spreads across partitions
 
+    def test_expand_bipartite_matches_bruteforce(self):
+        """Query x corpus bucket expansion == brute-force set logic,
+        including ids beyond 2^32 (wide transport) and self-exclusion."""
+        from pyspider_ray.neardup import _expand_bipartite_runs
+        rng = np.random.RandomState(7)
+        n = 600
+        band = rng.randint(0, 4, n).astype(np.int64)
+        key = rng.randint(0, 9, n).astype(np.int64)
+        doc = rng.randint(0, 2**40, n).astype(np.int64)
+        # make some docs queries; duplicate their rows like the fan-out
+        isq = np.zeros(n, dtype=bool)
+        qdocs = set(doc[rng.choice(n, 25, replace=False)].tolist())
+        qrows = np.isin(doc, list(qdocs))
+        band = np.concatenate([band, band[qrows]])
+        key = np.concatenate([key, key[qrows]])
+        doc = np.concatenate([doc, doc[qrows]])
+        isq = np.concatenate([isq, np.ones(int(qrows.sum()), bool)])
+        qs, cs = _expand_bipartite_runs(band, key, doc, isq)
+        got = set(zip(qs.tolist(), cs.tolist()))
+        exp = set()
+        buckets: dict = {}
+        for b, k, d, q in zip(band.tolist(), key.tolist(),
+                              doc.tolist(), isq.tolist()):
+            buckets.setdefault((b, k), ([], []))[int(q)].append(d)
+        for corpus, queries in buckets.values():
+            for q in queries:
+                for c in corpus:
+                    if q != c:
+                        exp.add((q, c))
+        assert got == exp and len(exp) > 0
+
     def test_dedup_pairs_matches_np_unique(self):
         from pyspider_ray.neardup import _dedup_pairs
         rng = np.random.RandomState(5)
@@ -205,6 +236,26 @@ class TestAnnLsh:
             ["query_id", "rank"]).reset_index(drop=True)
         b = q_ann_lsh(sf_dir).to_pandas().sort_values(
             ["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnLshBucketed:
+    def test_matches_broadcast_form_exactly(self, sf_dir):
+        """The bucketed-shuffle form uses the same planes and the same
+        ANY-table collision criterion as the broadcast-probe form, so
+        the candidate sets — and therefore the exact-scored top-k —
+        are identical.  This pins the whole exchange (bipartite bucket
+        expansion, cross-table pair dedup, partitioned embedding join,
+        vectorized scoring) against the independently-implemented
+        broadcast path."""
+        from pyspider_ray.training_queries import (q_ann_lsh,
+                                                   q_ann_lsh_bucketed)
+        a = q_ann_lsh(sf_dir).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        b = q_ann_lsh_bucketed(sf_dir).to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        assert len(a) > 0
         assert a.equals(b)
 
 
