@@ -162,6 +162,31 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 ** 2 / mse)
 
 
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize of an (h, w, c) or (h, w) uint8 image
+    — half-pixel-center sampling (the OpenCV/PIL convention), edge
+    clamp, all numpy fancy-indexing (no Python per-pixel loop).  Real
+    (not stubbed): the sandbox codecs hand back real pixel arrays."""
+    squeeze = px.ndim == 2
+    if squeeze:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
     """Downsample an (h, w) array to 8x8 by rectangular block means."""
     h, w = gray.shape

@@ -1007,6 +1007,58 @@ class _DecodeResize:
                          "thumb_mean": pa.array(means, pa.int64())})
 
 
+class _ResizeEncode:
+    """Image resize actor stage: decode → bilinear 64x64 → re-encode —
+    the thumbnailing shape of a multimodal training pipeline (decode
+    state + target dims built once per actor; small batches because
+    payloads are wide).  The resize kernel is REAL vectorized numpy
+    (functions/imaging.py::resize_bilinear); only the exotic codecs
+    are sandbox-stubbed."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        from .functions.imaging import decode_image, encode_image
+        from .functions.imaging import resize_bilinear
+        self._decode = decode_image
+        self._encode = encode_image
+        self._resize = resize_bilinear
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        outs, ws, hs, means = [], [], [], []
+        for data, fmt in zip(b["bytes"].to_pylist(),
+                             b["fmt"].to_pylist()):
+            px = self._decode(data)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            small = self._resize(px, self.out_h, self.out_w)
+            means.append(int(round(float(small.mean()))))
+            outs.append(self._encode(small, fmt))
+        return pa.table({"image_id": b["image_id"],
+                         "w_in": pa.array(ws, pa.int32()),
+                         "h_in": pa.array(hs, pa.int32()),
+                         "resized_mean": pa.array(means, pa.int64()),
+                         "resized_bytes": pa.array(outs, pa.binary())})
+
+
+def q_image_resize(sf_dir):
+    """Multimodal resize/thumbnail pipeline over 200 synthetic pages
+    (rows-only; deterministic from the seed): actor-pool decode →
+    real bilinear 64x64 → re-encode, emitting the thumbnail payload
+    plus its observed stats."""
+    from .functions.synthweb import page_payload
+    rows = [page_payload(i) for i in range(200)]
+    table = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+    })
+    return (_rd().from_arrow(table)
+            .map_batches(_ResizeEncode, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+            .select_columns(["image_id", "w_in", "h_in",
+                             "resized_mean"]))
+
+
 def q_image_decode(sf_dir):
     """Multimodal decode/feature pipeline over 200 synthetic pages
     (rows-only; deterministic from the seed)."""
@@ -1466,6 +1518,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "image_resize": q_image_resize,
     "image_decode": q_image_decode,
     "image_phash_near_dup": q_image_phash_near_dup,
     "audio_features": q_audio_features,

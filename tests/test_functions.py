@@ -89,6 +89,45 @@ class TestImaging:
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff\xe0 real jpeg not supported")
 
+    def test_resize_bilinear_identity_and_constant(self):
+        from pyspider_ray.functions.imaging import resize_bilinear
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        # same dims => exact identity (weights collapse to the source)
+        assert np.array_equal(resize_bilinear(img, 40, 56), img)
+        # constant image stays constant at any dims
+        flat = np.full((33, 21, 3), 127, dtype=np.uint8)
+        out = resize_bilinear(flat, 64, 8)
+        assert out.shape == (64, 8, 3) and (out == 127).all()
+        # grayscale (2-d) path keeps its shape
+        assert resize_bilinear(img[:, :, 0], 16, 16).shape == (16, 16)
+
+    def test_resize_bilinear_downsample_of_upsample_recovers(self):
+        """2x upsample then downsample back of a SMOOTH image recovers
+        it closely — the interpolation is sane, not just
+        shape-correct.  (High-frequency content necessarily blurs
+        under bilinear resampling, so the probe is low-frequency.)"""
+        from pyspider_ray.functions.imaging import resize_bilinear
+        yy, xx = np.mgrid[0:48, 0:64].astype(np.float64)
+        img = np.stack([127 + 100 * np.sin(yy / 9) * np.cos(xx / 11),
+                        127 + 80 * np.cos(yy / 7),
+                        127 + 60 * np.sin(xx / 13)], axis=2)
+        img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        h, w = img.shape[:2]
+        up = resize_bilinear(img, 2 * h, 2 * w)
+        back = resize_bilinear(up, h, w)
+        assert psnr(img, back) >= 30.0
+
+    def test_resize_bilinear_gradient_preserved(self):
+        """Resizing a linear ramp keeps it (approximately) a ramp."""
+        from pyspider_ray.functions.imaging import resize_bilinear
+        ramp = np.tile(np.linspace(0, 255, 128, dtype=np.uint8)
+                       [None, :, None], (32, 1, 3))
+        out = resize_bilinear(ramp, 16, 64)
+        col = out[8, :, 0].astype(np.float64)
+        assert np.all(np.diff(col) >= 0)            # monotone
+        assert abs(col[0] - 2) <= 3 and abs(col[-1] - 253) <= 3
+
     def test_phash_properties(self):
         img = synthweb.page_pixels(17)
         h1 = phash64(img)

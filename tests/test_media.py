@@ -67,3 +67,28 @@ class TestWinnowing:
         c = fps("unrelated content with nothing in common at all here ok")
         assert a & b                      # shared region → shared prints
         assert not (a & c)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImageResizeQuery:
+    def test_actor_pool_resize_matches_local_kernel(self, sf_dir):
+        """q_image_resize end-to-end: 200 synthetic pages through the
+        actor-pool decode→bilinear→re-encode stage; spot rows must
+        equal a driver-side decode+resize of the same payload."""
+        from pyspider_ray.functions.imaging import (decode_image,
+                                                    resize_bilinear)
+        from pyspider_ray.functions.synthweb import page_payload
+        from pyspider_ray.training_queries import q_image_resize
+        df = q_image_resize(sf_dir).to_pandas()
+        assert len(df) == 200
+        assert df["image_id"].is_unique
+        assert (df["w_in"] > 0).all() and (df["h_in"] > 0).all()
+        assert df["resized_mean"].between(0, 255).all()
+        by_id = df.set_index("image_id")
+        for i in (0, 17, 199):
+            r = page_payload(i)
+            px = decode_image(r["bytes"])
+            small = resize_bilinear(px, 64, 64)
+            row = by_id.loc[r["image_id"]]
+            assert (row["h_in"], row["w_in"]) == px.shape[:2]
+            assert row["resized_mean"] == int(round(float(small.mean())))
