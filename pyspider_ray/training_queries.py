@@ -827,8 +827,11 @@ def _lsh_planes(d: int) -> np.ndarray:
 
 
 def _lsh_sigs(En: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    """Packed sign-bit signatures, (tables, n) int64."""
-    weights = (np.int64(1) << np.arange(_LSH_BITS, dtype=np.int64))
+    """Packed sign-bit signatures, (tables, n) int64.  Bits derive
+    from the planes' shape (never the module constant: the planes are
+    built on the driver and shipped to workers, whose module state is
+    their own)."""
+    weights = (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64))
     sigs = np.empty((planes.shape[0], En.shape[0]), dtype=np.int64)
     for t in range(planes.shape[0]):
         sigs[t] = ((En @ planes[t].T) > 0) @ weights
