@@ -304,7 +304,10 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
     }))
 
 
-def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1") -> str:
+def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1_v2") -> str:
+    # v2 path: the v1 salt-append table (quadratic, see below) may
+    # still be cached on hosts that ran the old bench — the existence
+    # check must never resurrect it
     """Deterministic 10x documents table for the near-dup scale
     rehearsal: replica r of every sf0.1 doc gets doc_id + r*10^5 and
     (for r > 0) every word PREFIXED with ``z{r}q`` — a bijective

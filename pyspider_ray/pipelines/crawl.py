@@ -349,7 +349,13 @@ class CrawlPipeline:
         # scheduler xmlrpc scheduler.py:693-736): producers are other
         # threads, the round loop drains it at the round boundary
         import queue as _queue
+        import threading
         self.control_inbox: "_queue.Queue[dict]" = _queue.Queue()
+        # serializes the round loop with webapi control-plane READS
+        # (the reference's xmlrpc handlers share the scheduler ioloop
+        # thread — same semantics): the HTTP thread never observes a
+        # mid-round coordinator/shard state in the no-ray path
+        self.ctl_lock = threading.RLock()
         self._pending_script_reload = False
         os.makedirs(self.results_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -758,8 +764,11 @@ class CrawlPipeline:
             project = cmd.get("project") or self.cfg.project
             rt = self.coord.projects.get(project)
             if op in ("pause", "unpause") and rt is not None:
+                # manual pause halts SELECTION only; inbound follows /
+                # retries / newtasks keep queueing (active=False is the
+                # reference's STOP and would reject them at task_verify)
                 cfg2 = copy.copy(rt.cfg)
-                cfg2.active = (op == "unpause")
+                cfg2.paused = (op == "pause")
                 self.coord.update_project(cfg2)
             elif op == "update_rate" and rt is not None:
                 cfg2 = copy.copy(rt.cfg)
@@ -769,7 +778,11 @@ class CrawlPipeline:
                     cfg2.burst = float(cmd["burst"])
                 self.coord.update_project(cfg2)
             elif op == "newtask" and cmd.get("task"):
-                self._pending_new.append(dict(cmd["task"]))
+                task = dict(cmd["task"])
+                # default the crawl's project so a bare /newtask isn't
+                # silently dropped by task_verify's project check
+                task.setdefault("project", project)
+                self._pending_new.append(task)
             elif op == "message":
                 from ..send_message import message_task
                 self._pending_new.append(
@@ -809,6 +822,14 @@ class CrawlPipeline:
         workers = getattr(self, "_workers", None) or []
         if workers:
             import ray
+            # drain each worker's async payload-write queue BEFORE the
+            # kill — retiring the pool must not lose parquet parts the
+            # just-collected round queued (the _flush_writes contract)
+            for w in workers:
+                try:
+                    ray.get(w.flush.remote())
+                except Exception:
+                    pass
             for w in workers:
                 try:
                     ray.kill(w)
@@ -818,6 +839,10 @@ class CrawlPipeline:
         self._local_processor = None   # no-ray path rebuilds lazily
 
     def run_round(self) -> dict:
+        with self.ctl_lock:
+            return self._run_round_locked()
+
+    def _run_round_locked(self) -> dict:
         cfg = self.cfg
         self._sync_clocks()
         self.apply_controls()

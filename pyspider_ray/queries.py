@@ -22,24 +22,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rd():
-    import ray.data as rd
-    ctx = rd.DataContext.get_current()
-    ctx.enable_progress_bars = False
-    return rd
+from ._io import rd as _rd
+from ._io import read_table as _read_table
 
 
 def _read(sf_dir, table, columns=None):
-    # hand the reader a metadata-free schema: the files carry pandas
-    # schema metadata (an unhashable dict) that otherwise rides in on
-    # every block and defeats Ray Data's block-schema dedup ("Failed
-    # to hash the schemas" per block); one driver-side footer read
-    import pyarrow.parquet as pq
-    path = f"{sf_dir}/{table}.parquet"
-    schema = pq.read_schema(path).remove_metadata()
-    if columns:
-        schema = pa.schema([schema.field(c) for c in columns])
-    return _rd().read_parquet(path, columns=columns, schema=schema)
+    return _read_table(sf_dir, table, columns)
 
 
 # ---------------------------------------------------------------------------

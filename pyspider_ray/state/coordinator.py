@@ -377,7 +377,8 @@ class Coordinator:
         # one fused fan-out instead of check_update + queue_sizes back-to-back
         sizes_by_shard = self._call_all("check_update_sizes")
         for name, rt in self.projects.items():
-            if not rt.cfg.active or rt.paused:
+            if not rt.cfg.active or rt.paused \
+                    or getattr(rt.cfg, "paused", False):
                 continue
             weights[name] = sum(s.get(name, 0) for s in sizes_by_shard)
         total_weight = sum(weights.values())

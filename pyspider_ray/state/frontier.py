@@ -46,11 +46,16 @@ class ProjectConfig:
 
     def __init__(self, name: str, rate: float = 1.0, burst: float = 3.0,
                  active: bool = True, retry_delay: dict | None = None,
-                 min_tick: int = 0, crawl_config: dict | None = None):
+                 min_tick: int = 0, crawl_config: dict | None = None,
+                 paused: bool = False):
         self.name = name
         self.rate = rate
         self.burst = burst
         self.active = active
+        # manual pause (webapi /projects/<p>/pause): halts SELECTION
+        # only — inbound tasks still verify and queue, unlike
+        # active=False (the reference's STOP status) which rejects them
+        self.paused = paused
         self.retry_delay = retry_delay or dict(DEFAULT_RETRY_DELAY)
         self.min_tick = min_tick
         self.crawl_config = crawl_config or {}

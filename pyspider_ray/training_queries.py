@@ -36,23 +36,8 @@ _LSH_ROWS = 6                      # 21 bands x 6 rows: at tau=0.9 the
 _JACCARD_TAU_NUM, _JACCARD_TAU_DEN = 9, 10   # tau = 0.9, integer compare
 
 
-def _rd():
-    import ray.data as rd
-    rd.DataContext.get_current().enable_progress_bars = False
-    return rd
-
-
-def _read(sf_dir, table, columns=None):
-    # hand the reader a metadata-free schema: the files carry pandas
-    # schema metadata (an unhashable dict) that otherwise rides in on
-    # every block and defeats Ray Data's block-schema dedup ("Failed
-    # to hash the schemas" per block); one driver-side footer read
-    import pyarrow.parquet as pq
-    path = f"{sf_dir}/{table}.parquet"
-    schema = pq.read_schema(path).remove_metadata()
-    if columns:
-        schema = pa.schema([schema.field(c) for c in columns])
-    return _rd().read_parquet(path, columns=columns, schema=schema)
+from ._io import rd as _rd
+from ._io import read_table as _read
 
 
 _WORD_HASH_CACHE: dict[str, int] = {}
@@ -539,10 +524,7 @@ _TOP_K = 5
 def _embedding_matrix(b: pa.Table) -> np.ndarray:
     """Zero-copy-ish list<float> -> (n, dim) float64 via Arrow flatten
     (no per-row to_pylist)."""
-    col = b["embedding"]
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False)
-    return flat.astype(np.float64, copy=False).reshape(len(b), -1)
+    return _list_matrix(b["embedding"])
 
 
 def _smallest_vec_rows(sf_dir: str, n: int):
@@ -929,6 +911,8 @@ def _lsh_band_rows(b: pa.Table, q_ids, planes) -> pa.Table:
 
 
 def _list_matrix(col) -> np.ndarray:
+    """One shared Arrow list-column -> (n, dim) float64 conversion
+    (combine_chunks -> flatten -> reshape; no per-row to_pylist)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     return flat.astype(np.float64, copy=False).reshape(len(arr), -1)

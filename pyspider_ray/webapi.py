@@ -120,20 +120,23 @@ class PipelineProvider:
         hub = self.pipe.metrics_hub
         if window not in hub.WINDOWS:
             raise KeyError(window)
-        return hub.to_dict(window)
+        with self.pipe.ctl_lock:
+            return hub.to_dict(window)
 
     def active_tasks(self, project: str | None) -> list:
         out = []
-        for name, rt in self.pipe.coord.projects.items():
-            if project and name != project:
-                continue
-            for ts, task in rt.active_tasks:
-                out.append([ts, task])
+        with self.pipe.ctl_lock:
+            for name, rt in list(self.pipe.coord.projects.items()):
+                if project and name != project:
+                    continue
+                for ts, task in rt.active_tasks:
+                    out.append([ts, task])
         out.sort(key=lambda e: -e[0])
         return out
 
     def round_metrics(self) -> list[dict]:
-        return list(self.pipe.metrics)
+        with self.pipe.ctl_lock:
+            return list(self.pipe.metrics)
 
     # -- runtime control (reference scheduler xmlrpc, scheduler.py:693-736
     #    update_project/newtask/send_task + run.py:808-835 send_message) ----
@@ -149,13 +152,17 @@ class PipelineProvider:
     def projects(self) -> list[dict]:
         """Dashboard project rows (webui/index.py): config + runtime."""
         out = []
-        for name, rt in self.pipe.coord.projects.items():
-            # raw FSM flag, not the ``paused`` property: the property
-            # RUNS transitions, which belong to the round loop's thread
-            out.append({"name": name, "active": rt.cfg.active,
-                        "paused": rt._paused is True,
-                        "rate": rt.cfg.rate, "burst": rt.cfg.burst,
-                        "min_tick": rt.cfg.min_tick})
+        with self.pipe.ctl_lock:
+            for name, rt in list(self.pipe.coord.projects.items()):
+                # raw FSM flag, not the ``paused`` property: the
+                # property RUNS transitions, which belong to the round
+                # loop's thread
+                out.append({"name": name, "active": rt.cfg.active,
+                            "paused": (rt._paused is True
+                                       or getattr(rt.cfg, "paused",
+                                                  False)),
+                            "rate": rt.cfg.rate, "burst": rt.cfg.burst,
+                            "min_tick": rt.cfg.min_tick})
         return out
 
     def queue_sizes(self) -> dict:
@@ -163,16 +170,19 @@ class PipelineProvider:
         ``size`` call).  ``queue_sizes`` is the pure read — no
         check_update side effects."""
         total: dict[str, int] = {}
-        for sizes in self.pipe.coord._call_all("queue_sizes"):
-            for name, n in sizes.items():
-                total[name] = total.get(name, 0) + int(n)
+        with self.pipe.ctl_lock:
+            for sizes in self.pipe.coord._call_all("queue_sizes"):
+                for name, n in sizes.items():
+                    total[name] = total.get(name, 0) + int(n)
         return total
 
     def get_task(self, project: str, taskid: str) -> dict | None:
         """Point task lookup across shards (webui/task.py track view)."""
-        for t in self.pipe.coord._call_all("get_task", project, taskid):
-            if t:
-                return t
+        with self.pipe.ctl_lock:
+            for t in self.pipe.coord._call_all("get_task", project,
+                                               taskid):
+                if t:
+                    return t
         return None
 
     def save_script(self, script: str) -> dict:
@@ -216,6 +226,14 @@ class _Handler(BaseHTTPRequestHandler):
         """Chunked transfer encoding, one wire chunk per ~64 KB of
         export output — a full-store dump never accumulates in driver
         memory (the generator chain pulls one record batch at a time)."""
+        # pull the first chunk BEFORE the headers: an immediate
+        # generator failure (bad store path, corrupt first fragment)
+        # still surfaces as a clean JSON 500 via the caller's handler
+        it = iter(chunks)
+        try:
+            first: str | None = next(it)
+        except StopIteration:
+            first = None
         self.send_response(200)
         self.send_header("Content-Type", f"{mime}; charset=utf-8")
         self.send_header("Transfer-Encoding", "chunked")
@@ -230,11 +248,29 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(f"{len(data):x}\r\n".encode()
                                  + data + b"\r\n")
                 buf, size = [], 0
-        for c in chunks:
-            buf.append(c)
-            size += len(c)
-            if size >= 65536:
-                flush()
+        try:
+            for c in ([first] if first is not None else []):
+                buf.append(c)
+                size += len(c)
+            for c in it:
+                buf.append(c)
+                size += len(c)
+                if size >= 65536:
+                    flush()
+        except Exception as exc:
+            # the 200 + chunked headers are already on the wire — a
+            # late generator failure must ABORT the connection (no
+            # terminal 0-chunk), never inject a JSON 500 into the open
+            # chunk stream.  The truncated stream is the error signal.
+            import logging
+            logging.getLogger("pyspider_ray.webapi").error(
+                "dump stream aborted mid-body: %s", exc)
+            self.close_connection = True
+            try:
+                self.wfile.flush()
+            except Exception:
+                pass
+            return
         flush()
         self.wfile.write(b"0\r\n\r\n")
 

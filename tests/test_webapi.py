@@ -153,16 +153,27 @@ class TestRuntimeControl:
         m = pipe.run_round()               # command applies this round
         assert m["emitted"] == 0           # select halted
         rows = json.loads(_get(base, "/projects")[2])
-        assert rows == [{"name": "bench", "active": False,
-                         "paused": False, "rate": rows[0]["rate"],
+        # manual pause halts SELECTION only — the project stays active
+        # (active=False is the reference's STOP and rejects tasks)
+        assert rows == [{"name": "bench", "active": True,
+                         "paused": True, "rate": rows[0]["rate"],
                          "burst": rows[0]["burst"],
                          "min_tick": rows[0]["min_tick"]}]
+        # a task arriving WHILE paused must queue, not drop
+        code, out = _post(base, "/newtask", {
+            "taskid": "paused-inject",            # no "project": defaulted
+            "url": "http://site0.test/p/888888",
+            "schedule": {"priority": 9}})
+        assert code == 200
         m = pipe.run_round()
         assert m["emitted"] == 0           # stays halted
         code, out = _post(base, "/projects/bench/unpause")
         assert code == 200 and out["queued"]
         m = pipe.run_round()
         assert m["emitted"] > 0            # select resumed
+        for _ in range(4):
+            pipe.run_round()
+        assert "paused-inject" in pipe.seen_taskids()   # nothing lost
 
     def test_rate_update_takes_effect_next_round(self, live):
         base, pipe = live
