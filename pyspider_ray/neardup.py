@@ -185,6 +185,12 @@ def _grouped_block_refs(ds, target_bytes: int = 64 << 20,
     refs, sizes = [], []
     for bundle in ds.materialize().iter_internal_ref_bundles():
         for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows == 0:
+                # empty blocks carry a ZERO-COLUMN schema (Ray Data
+                # skips the map fn on empty batches), and a task group
+                # of only-empty blocks would concat to a columnless
+                # table — drop them; they contribute nothing anyway
+                continue
             refs.append(ref)
             sizes.append(meta.size_bytes or 0)
     if not refs:
@@ -344,6 +350,46 @@ def _nd_split_by_key(col: str, P: int, *blocks) -> tuple:
     prefault_arena()
     t = pa.concat_tables(blocks)
     return _split_table(t, _key_bucket(t[col].to_numpy(), P), P)
+
+
+@ray.remote
+def _nd_min_by_key(key_col: str, val_col: str, *parts) -> pa.Table:
+    """Reduce side of a groupby-min exchange: per distinct key, the
+    minimum value — one lexsort + adjacent-diff per partition, no
+    Python per-group loop.  The key hash pins every key to exactly one
+    partition, so partition-local minima are global minima."""
+    prefault_arena()
+    t = pa.concat_tables(parts)
+    if not len(t):
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         val_col: pa.array([], pa.int64())})
+    k = t[key_col].to_numpy().astype(np.int64)
+    v = t[val_col].to_numpy().astype(np.int64)
+    order = np.lexsort((v, k))
+    k, v = k[order], v[order]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = k[1:] != k[:-1]
+    return pa.table({key_col: pa.array(k[first]),
+                     val_col: pa.array(v[first])})
+
+
+def min_by_key(ds, key_col: str, val_col: str, n_buckets: int = 32):
+    """Distributed groupby-min over (key, value) int64 rows via the
+    manual hash exchange (no sort-based groupby: hash partitioning
+    moves the rows without ordering them).  Returns a Dataset with one
+    row per distinct key.  Per-reduce memory is O(rows/P)."""
+    import ray.data as rd
+    P = max(2, n_buckets)
+    groups = _grouped_block_refs(ds)
+    if not groups:
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64()),
+                                       val_col: pa.array([], pa.int64())}))
+    splits = [_nd_split_by_key.options(num_returns=P)
+              .remote(key_col, P, *g) for g in groups]
+    outs = [_nd_min_by_key.remote(key_col, val_col,
+                                  *(s[p] for s in splits))
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
 
 
 @ray.remote

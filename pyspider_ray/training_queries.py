@@ -1330,6 +1330,148 @@ def q_crawl_order(sf_dir):
                      "taskid": pa.array(order, pa.string())})
 
 
+# ---------------------------------------------------------------------------
+# dedup clustering / keep-best / corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def q_near_dup_components(sf_dir):
+    """Connected components over the MinHash-Jaccard near-dup pair
+    graph — the canonical "collapse each duplicate CLUSTER to one
+    representative" operator (pairs alone under-merge: A~B and B~C
+    must land in one cluster even when A~C misses the tau cut).
+
+    Distributed min-label propagation over the verified pair table:
+    labels start as each node's own id; every round attaches both
+    endpoints' labels onto the edges (partitioned hash joins —
+    ``neardup.attach_column``), fans out (node, neighbor_label)
+    candidates, and reduces per node with the manual groupby-min
+    exchange (``neardup.min_by_key``).  Labels are monotone
+    non-increasing, so the global int64 label sum is a convergence
+    certificate computed as a streaming aggregate — no driver-side
+    label table at any point.  Rounds scale with component DIAMETER
+    (near-dup clusters are shallow; a web-scale corpus with adversarial
+    chain components would swap this loop for large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"],
+    same exchange machinery).
+
+    Output: (doc_id, component) for every doc in the pair graph,
+    component = min doc_id reachable.  Oracle: DuckDB recursive CTE.
+    """
+    from .neardup import attach_column, min_by_key
+    pairs = q_jaccard_near_dup(sf_dir).materialize()
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "component": pa.array([], pa.int64())})
+    if pairs.count() == 0:                 # no near-dups: empty graph
+        return _rd().from_arrow(_empty)
+
+    def _both_endpoints(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([b["doc_a"].to_numpy(),
+                              b["doc_b"].to_numpy()]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "label": pa.array(ids)})
+
+    labels = min_by_key(
+        pairs.map_batches(_both_endpoints, batch_format="pyarrow"),
+        "doc_id", "label").materialize()
+
+    def _propose(b: pa.Table) -> pa.Table:
+        """Edge fan-out: each endpoint proposes its label to the other
+        (plus keeps its own) — min over proposals is the new label."""
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        c = b["doc_b"].to_numpy().astype(np.int64)
+        la = b["label_a"].to_numpy().astype(np.int64)
+        lb = b["label_b"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, a, c, c])),
+            "label": pa.array(np.concatenate([la, lb, lb, la]))})
+
+    def _label_sum(lds) -> int:
+        return sum(r["s"] for r in lds.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(t["label"].to_numpy().sum())], pa.int64())}),
+            batch_format="pyarrow").take_all())
+
+    prev = _label_sum(labels)
+    for _ in range(64):                    # diameter cap, loud on trip
+        e = attach_column(pairs, labels, "label", "doc_a", "label_a")
+        e = attach_column(e, labels, "label", "doc_b", "label_b")
+        labels = min_by_key(
+            e.map_batches(_propose, batch_format="pyarrow"),
+            "doc_id", "label").materialize()
+        cur = _label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("components: no convergence in 64 rounds "
+                           "(component diameter > 64 — switch to "
+                           "large-star/small-star)")
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow")
+
+
+def q_dedup_keep_best(sf_dir):
+    """Keep-best dedup: per word-SET duplicate group, keep the single
+    best row (longest text, ties to the smallest doc_id) — the
+    quality-aware variant of first-wins dedup a training corpus
+    actually wants.
+
+    Combiner pattern: each batch reduces to its local best-per-group
+    first (one lexsort, no Python per-group loop), so the groupby that
+    follows moves one row per (batch, group) — on a dup-heavy corpus
+    orders of magnitude less than the input — and the final map_groups
+    sees tiny groups."""
+    def best_local(b: pa.Table) -> pa.Table:
+        fps = np.array([hashlib.md5(" ".join(sorted(set(t.split())))
+                                    .encode()).hexdigest()
+                        for t in b["text"].to_pylist()])
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        nch = b["n_chars"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -nch, fps))
+        first = np.ones(len(order), dtype=bool)
+        f = fps[order]
+        first[1:] = f[1:] != f[:-1]
+        keep = order[first]
+        return pa.table({"set_fp": pa.array(fps[keep]),
+                         "doc_id": pa.array(ids[keep]),
+                         "n_chars": pa.array(nch[keep])})
+
+    def best_global(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        nch = g["n_chars"].to_numpy().astype(np.int64)
+        i = int(np.lexsort((ids, -nch))[0])
+        return g.slice(i, 1)
+
+    return (_read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+            .map_batches(best_local, batch_format="pyarrow")
+            .groupby("set_fp")
+            .map_groups(best_global, batch_format="pyarrow"))
+
+
+def q_vocab_topk(sf_dir):
+    """Corpus vocabulary top-k: the 100 most frequent words by TOTAL
+    occurrence count (the stats pass behind tokenizer training /
+    stopword induction).  Combiner pattern: per-batch value_counts
+    shrinks each batch to its distinct words (Zipf: vocabulary ≪
+    tokens), the groupby-sum moves only those partials, and the final
+    sort ranks the already-tiny vocabulary table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b["text"].str.strip().str.split(r"\s+")
+              .explode().value_counts())
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n": vc.values.astype("int64")})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(counts, batch_format="pandas")
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(100))
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -1489,6 +1631,37 @@ def _lang_id_oracle() -> str:
 
 ORACLES["lang_id"] = _lang_id_oracle()
 
+# components oracle derives from the SAME jaccard pair SQL (no drift):
+# recursive reachability over the undirected pair graph, min reachable
+# id per node == the label-propagation fixpoint.
+ORACLES["near_dup_components"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["jaccard_near_dup"]}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v)
+    SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
+"""
+
+ORACLES["dedup_keep_best"] = r"""
+    WITH f AS (SELECT doc_id, n_chars,
+        md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(trim(text), '\s+'))), ' ')) AS set_fp
+        FROM documents)
+    SELECT set_fp, doc_id, n_chars FROM f
+    QUALIFY row_number() OVER (PARTITION BY set_fp
+                               ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+ORACLES["vocab_topk"] = r"""
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents) t
+    GROUP BY word ORDER BY n DESC, word LIMIT 100
+"""
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -1498,6 +1671,9 @@ QUERIES = {
     "dedup_counts": q_dedup_counts,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
+    "near_dup_components": q_near_dup_components,
+    "dedup_keep_best": q_dedup_keep_best,
+    "vocab_topk": q_vocab_topk,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,

@@ -280,3 +280,57 @@ class TestAnnIvf:
             tot += len(truth)
         recall = hits / max(tot, 1)
         assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+class TestMinByKey:
+    def test_matches_pandas_groupby_min(self, rd):
+        import pandas as pd
+        from pyspider_ray.neardup import min_by_key
+        rng = np.random.RandomState(3)
+        k = rng.randint(0, 500, size=5000).astype(np.int64)
+        v = rng.randint(-10**12, 10**12, size=5000).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(7)
+        got = min_by_key(ds, "k", "v", n_buckets=8).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        exp = pd.DataFrame({"k": k, "v": v}).groupby("k", as_index=False) \
+            .min().sort_values("k").reset_index(drop=True)
+        assert (got["k"].values == exp["k"].values).all()
+        assert (got["v"].values == exp["v"].values).all()
+
+    def test_wide_int64_keys(self, rd):
+        """Keys beyond 2^32 partition and reduce correctly (the
+        10^10-doc id space)."""
+        from pyspider_ray.neardup import min_by_key
+        base = np.int64(1) << np.int64(40)
+        k = np.array([base + 1, base + 1, base + 2], dtype=np.int64)
+        v = np.array([7, 3, 9], dtype=np.int64)
+        got = min_by_key(rd.from_arrow(pa.table({"k": k, "v": v})),
+                         "k", "v").to_pandas().sort_values("k")
+        assert got["v"].tolist() == [3, 9]
+
+
+class TestNearDupComponents:
+    def test_chain_converges_to_min_label(self, rd, tmp_path):
+        """A chain component A-B-C-D (diameter 3) must collapse to one
+        label even though the ends never share a pair — the case plain
+        pair output under-merges.  Runs the label-propagation loop on a
+        synthetic documents table whose near-dup pairs form the chain."""
+        import pyarrow.parquet as pq
+        from pyspider_ray.training_queries import q_near_dup_components
+        # sliding 20-word windows over w0..w22: adjacent docs share 19
+        # words (J=19/21~0.905 >= 0.9), two apart share 18 (J=18/22
+        # ~0.818 < 0.9) — a true chain, no shortcut edges
+        docs = [" ".join(f"w{i}" for i in range(d, d + 20))
+                for d in range(4)]
+        t = pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                      "text": pa.array(docs, pa.string()),
+                      "lang": pa.array(["en"] * 4),
+                      "source": pa.array(["t"] * 4),
+                      "n_chars": pa.array([len(d) for d in docs],
+                                          pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_near_dup_components(str(tmp_path)).to_pandas() \
+            .sort_values("doc_id")
+        # every doc in one component labeled by the min id
+        assert out["doc_id"].tolist() == [10, 11, 12, 13]
+        assert out["component"].tolist() == [10, 10, 10, 10]
