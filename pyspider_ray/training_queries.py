@@ -1472,6 +1472,133 @@ def q_vocab_topk(sf_dir):
             .limit(100))
 
 
+def q_doc_top_terms(sf_dir):
+    """Per-document top-3 terms by term frequency (ties to the
+    alphabetically-first word) with the GLOBAL document frequency
+    attached — the stats kernel under TF-IDF scoring / keyword
+    extraction.
+
+    Scale shape: term frequency and the top-3 cut are BATCH-LOCAL (a
+    doc lives wholly in its batch; selection orders by tf alone), so
+    the expensive side never shuffles.  Document frequency is a
+    combiner-pattern aggregate over per-batch distinct (word, doc)
+    pairs, vocabulary-sized output (Zipf: ≪ corpus).  The df attach is
+    a partitioned hash join on the md5-64 word key through
+    ``neardup.attach_column`` — the same word keying the jaccard
+    machinery uses; no broadcast, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    from .neardup import attach_column
+
+    def top3(b: pa.Table) -> pa.Table:
+        ids, words, tfs, whs = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            ws, cs = np.unique(np.array(t.split()), return_counts=True)
+            order = np.lexsort((ws, -cs))[:3]
+            for i in order:
+                ids.append(doc_id)
+                words.append(str(ws[i]))
+                tfs.append(int(cs[i]))
+        whs = _word_hashes(words).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "word": pa.array(words, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "doc_a": pa.array(whs)})
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        whs, cnt = [], []
+        for t in b["text"].to_pylist():
+            whs.append(_word_hashes(sorted(set(t.split()))))
+        if whs:
+            u, c = np.unique(np.concatenate(whs), return_counts=True)
+            whs, cnt = u.astype(np.int64), c.astype(np.int64)
+        return pa.table({"doc_id": pa.array(whs, pa.int64()),
+                         "df_p": pa.array(cnt, pa.int64())})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    dfs = (docs.map_batches(df_partial, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Sum("df_p", alias_name="df")))
+    top = docs.map_batches(top3, batch_format="pyarrow")
+    out = attach_column(top, dfs, "df", "doc_a", "df")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "word", "tf", "df"]),
+        batch_format="pyarrow")
+
+
+def q_sample_per_source(sf_dir):
+    """Deterministic stratified subsample: per source, keep the 10
+    docs that sort first by md5(doc_id) — salted-hash reservoir
+    sampling, the standard per-domain rebalancing op for a training
+    mix.  Combiner pattern: each batch keeps its LOCAL top-10 per
+    source first, so the groupby moves ≤ 10 rows per (batch, source)
+    instead of the corpus."""
+    def local_top(b: pa.Table) -> pa.Table:
+        src = np.array(b["source"].to_pylist())
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        keys = np.array([hashlib.md5(str(i).encode()).hexdigest()
+                         for i in ids])
+        order = np.lexsort((ids, keys, src))
+        src_s, ids_s, keys_s = src[order], ids[order], keys[order]
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = src_s[1:] != src_s[:-1]
+        rank = np.arange(len(order)) - \
+            np.maximum.accumulate(np.where(new, np.arange(len(order)), 0))
+        keep = rank < 10
+        return pa.table({"source": pa.array(src_s[keep]),
+                         "doc_id": pa.array(ids_s[keep]),
+                         "md5k": pa.array(keys_s[keep])})
+
+    def final_top(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        keys = np.array(g["md5k"].to_pylist())
+        keep = np.lexsort((ids, keys))[:10]
+        return g.take(pa.array(np.sort(keep))).select(["source", "doc_id"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(local_top, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(final_top, batch_format="pyarrow"))
+
+
+def q_source_token_stats(sf_dir):
+    """Per-source corpus accounting: doc count, total whitespace
+    tokens, distinct languages — the mix table a data curator reads
+    before weighting sources.  Per-batch partial aggregation keyed on
+    (source, lang) shrinks each batch to its distinct key pairs; the
+    groupby then moves partials only."""
+    def partial(b: pa.Table) -> pa.Table:
+        src = np.array(b["source"].to_pylist())
+        lang = np.array(b["lang"].to_pylist())
+        ntok = np.array([len(t.split()) for t in b["text"].to_pylist()],
+                        dtype=np.int64)
+        key = np.char.add(np.char.add(src, "\x00"), lang)
+        u, inv = np.unique(key, return_inverse=True)
+        docs = np.bincount(inv)
+        toks = np.bincount(inv, weights=ntok).astype(np.int64)
+        first = np.full(len(u), -1, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(key) - 1, -1, -1)
+        return pa.table({"source": pa.array(src[first]),
+                         "lang": pa.array(lang[first]),
+                         "docs": pa.array(docs.astype(np.int64)),
+                         "toks": pa.array(toks)})
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": g["source"].slice(0, 1),
+            "n_docs": pa.array([int(g["docs"].to_numpy().sum())],
+                               pa.int64()),
+            "n_tokens": pa.array([int(g["toks"].to_numpy().sum())],
+                                 pa.int64()),
+            "n_langs": pa.array([len(set(g["lang"].to_pylist()))],
+                                pa.int64())})
+
+    return (_read(sf_dir, "documents", ["text", "source", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(final, batch_format="pyarrow"))
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -1662,6 +1789,38 @@ ORACLES["vocab_topk"] = r"""
     GROUP BY word ORDER BY n DESC, word LIMIT 100
 """
 
+ORACLES["doc_top_terms"] = r"""
+    WITH tokens AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1)
+    SELECT doc_id, word, tf, df FROM (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, tf.word) AS rn
+        FROM tf JOIN df USING (word)) t
+    WHERE rn <= 3
+"""
+
+ORACLES["sample_per_source"] = """
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 10
+"""
+
+ORACLES["source_token_stats"] = r"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+"""
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -1674,6 +1833,9 @@ QUERIES = {
     "near_dup_components": q_near_dup_components,
     "dedup_keep_best": q_dedup_keep_best,
     "vocab_topk": q_vocab_topk,
+    "doc_top_terms": q_doc_top_terms,
+    "sample_per_source": q_sample_per_source,
+    "source_token_stats": q_source_token_stats,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
