@@ -24,6 +24,8 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
+import ray.data
 
 from .functions.synthweb import mix64
 
@@ -351,36 +353,147 @@ def _jaccard_verify_mask(b: pa.Table) -> pa.Table:
                      "doc_b": b["doc_b"].filter(keep)})
 
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
+
+def _popcnt64_mat(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array of any shape via a 16-bit
+    lookup table (numpy 1.26 has no bitwise_count)."""
+    v = x.reshape(-1).view(np.uint16).reshape(-1, 4)
+    return _POP16[v].sum(axis=1, dtype=np.int64).reshape(x.shape)
+
+
+# Gates for the exact mask-class fast path: the driver-side CSR pull is
+# 16 B/doc and the broadcast class table is 8 B/class — both bounded
+# here; beyond them the LSH path handles the corpus.
+_MASK_CLASS_MAX_DOCS = 50_000_000
+_MASK_CLASS_MAX_CLASSES = 1 << 16
+
+
+def _mask_csr_stream(masks_ds):
+    """Stream (doc_id, mask) into a class CSR: sorted distinct masks,
+    member offsets, member doc_ids.  Aborts (returns None) if the doc
+    or class gate trips — driver memory stays bounded either way."""
+    ids_l, ms_l, n = [], [], 0
+    for b in masks_ds.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+        ids_l.append(b["doc_id"].to_numpy().astype(np.int64))
+        ms_l.append(b["mask"].to_numpy().astype(np.int64)
+                    .view(np.uint64))
+        n += len(ids_l[-1])
+        if n > _MASK_CLASS_MAX_DOCS:
+            return None
+    if not n:
+        return None
+    ids = np.concatenate(ids_l)
+    ms = np.concatenate(ms_l)
+    order = np.lexsort((ids, ms))
+    ids, ms = ids[order], ms[order]
+    uniq, starts = np.unique(ms, return_index=True)
+    if len(uniq) > _MASK_CLASS_MAX_CLASSES:
+        return None
+    offs = np.append(starts, len(ms)).astype(np.int64)
+    return uniq, offs, ids
+
+
+class _ClassPairExpand:
+    """Actor-pool stage over class indices: popcount-compares its block
+    of class masks against the full (broadcast) class table, then
+    expands qualifying class pairs into member doc pairs from the CSR.
+    State fetched ONCE per actor from the object store."""
+
+    _INNER = 8192  # inner-axis chunk bounding the B x C compare matrix
+
+    def __init__(self, csr_ref):
+        self.masks, self.offs, self.members = ray.get(csr_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        idx = b["id"].to_numpy().astype(np.int64)
+        masks, offs, mem = self.masks, self.offs, self.members
+        ci_l, cj_l = [], []
+        m_blk = masks[idx]
+        for lo in range(0, len(masks), self._INNER):
+            sl = masks[lo:lo + self._INNER]
+            inter = _popcnt64_mat(m_blk[:, None] & sl[None, :])
+            union = _popcnt64_mat(m_blk[:, None] | sl[None, :])
+            ok = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
+            # upper triangle INCLUDING the diagonal: each unordered
+            # class pair is emitted by exactly one block row, and the
+            # (i,i) diagonal carries the intra-class (jaccard 1.0) pairs
+            ok &= idx[:, None] <= (lo + np.arange(len(sl)))[None, :]
+            bi, bj = np.nonzero(ok)
+            ci_l.append(idx[bi])
+            cj_l.append(lo + bj)
+        ci = np.concatenate(ci_l) if ci_l else np.empty(0, np.int64)
+        cj = np.concatenate(cj_l) if cj_l else np.empty(0, np.int64)
+        # vectorized cross-product expansion: class pair k contributes
+        # na[k]*nb[k] member pairs; build flat row->(k, a-slot, b-slot)
+        # index arrays with repeat/cumsum, no per-pair Python loop
+        na = offs[ci + 1] - offs[ci]
+        nb = offs[cj + 1] - offs[cj]
+        sizes = na * nb
+        total = int(sizes.sum())
+        if not total:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        k = np.repeat(np.arange(len(ci)), sizes)
+        starts = np.cumsum(sizes) - sizes
+        within = np.arange(total) - starts[k]
+        a_slot = within // nb[k]
+        b_slot = within - a_slot * nb[k]
+        da = mem[offs[ci][k] + a_slot]
+        db = mem[offs[cj][k] + b_slot]
+        keep = np.where(ci[k] == cj[k], da < db, np.True_)
+        da, db = da[keep], db[keep]
+        return pa.table({"doc_a": pa.array(np.minimum(da, db)),
+                         "doc_b": pa.array(np.maximum(da, db))})
+
+
+def _mask_class_near_dup(masks_ds):
+    """Exact small-vocab near-dup: dedup docs into wordset classes, then
+    popcount-join the tiny class table block-wise and expand survivors
+    back to member pairs.  NO LSH, NO shuffle, NO pair dedup: each doc
+    belongs to exactly one class, so every emitted pair is unique by
+    construction.  Returns None when the CSR gates trip (caller falls
+    back to the LSH machinery)."""
+    csr = _mask_csr_stream(masks_ds)
+    if csr is None:
+        return None
+    uniq, offs, members = csr
+    c = len(uniq)
+    ref = ray.put((uniq, offs, members))
+    return (ray.data.range(c, override_num_blocks=max(1, min(64, c // 64)))
+            .map_batches(_ClassPairExpand,
+                         fn_constructor_kwargs={"csr_ref": ref},
+                         concurrency=(1, 16), batch_format="pyarrow",
+                         batch_size=256))
+
+
 def q_jaccard_near_dup(sf_dir):
-    """MinHash+LSH near-dup (shingle→minhash→band→bucket→candidate
-    pairs→exact-Jaccard verify), tau=0.9 on word sets.  With 21 bands x
-    6 rows the per-pair miss probability at tau is ~1.3e-7, so the
-    verified output equals the exact pair set the oracle computes.
+    """Near-dup pairs at tau=0.9 on word sets, two adaptive exact paths:
 
-    Every stage is distributed (pyspider_ray.neardup): tokenize-once
-    word lists feed both the LSH banding and the verification; pair
-    expansion is a coarse-bucket hash shuffle; pair dedup is a groupby
-    on the packed key; exact verification joins the candidate table
-    back to the word-list table on doc_a then doc_b (co-partitioned
-    hash joins) and popcounts intersections VECTORIZED — no Python
-    per-pair loop, no corpus broadcast, no driver materialization.
+    1. Small-vocab fast path: a streaming probe (early-abort, O(64)
+       driver memory) detects a <=64-word global vocabulary; each doc
+       becomes one uint64 bitset, docs dedup into wordset CLASSES, and
+       a block-wise popcount compare of the tiny class table replaces
+       BOTH LSH candidate generation and verification — exact by
+       construction, zero shuffles (``_mask_class_near_dup``).  Gated
+       by `_MASK_CLASS_MAX_DOCS`/`_MASK_CLASS_MAX_CLASSES`.
 
-    Adaptive verify payload: a streaming probe (early-abort, O(64)
-    driver memory) detects a <=64-word global vocabulary; then each doc
-    is one int64 bitset and verification attaches 8-byte masks instead
-    of word-hash blobs — same pipeline shape, ~20x smaller shuffle
-    payload.  A real 10^9-doc corpus takes the blob path."""
+    2. General path (real corpora): MinHash+LSH (21 bands x 6 rows:
+       per-pair miss probability ~1.3e-7 at tau, so the verified output
+       equals the exact pair set) through pyspider_ray.neardup —
+       tokenize-once word lists feed banding and verification; pair
+       expansion is a coarse-bucket hash shuffle; dedup a groupby on
+       the packed key; verification joins candidates back to the
+       word-list table on doc_a then doc_b (co-partitioned hash joins)
+       and popcounts intersections vectorized.  No corpus broadcast,
+       no driver materialization."""
     from .neardup import candidate_pairs, join_signatures
     words = (_read(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(_word_lists, batch_format="pyarrow")
              .materialize())
-    sigs = words.map_batches(_minhash_bands_from_words,
-                             batch_format="pyarrow")
-    # materialize between the shuffle stages: chaining three all-to-all
-    # ops through one lazy streaming DAG triples wall time (executor
-    # scheduling, measured); the intermediates are compact distributed
-    # tables (int64 pairs), never driver-side
-    pairs = candidate_pairs(sigs).materialize()
     vocab = _probe_small_vocab(words)
     if vocab is not None:
         bit_of = {w: i for i, w in enumerate(vocab)}
@@ -396,11 +509,16 @@ def q_jaccard_near_dup(sf_dir):
                              "mask": pa.array(masks, pa.int64())})
 
         masks = words.map_batches(to_mask, batch_format="pyarrow")
-        joined = join_signatures(pairs, masks, "mask",
-                                 num_partitions=32).materialize()
-        return joined.map_batches(_jaccard_verify_mask,
-                                  batch_format="pyarrow",
-                                  batch_size=65536)
+        out = _mask_class_near_dup(masks)
+        if out is not None:
+            return out
+    sigs = words.map_batches(_minhash_bands_from_words,
+                             batch_format="pyarrow")
+    # materialize between the shuffle stages: chaining three all-to-all
+    # ops through one lazy streaming DAG triples wall time (executor
+    # scheduling, measured); the intermediates are compact distributed
+    # tables (int64 pairs), never driver-side
+    pairs = candidate_pairs(sigs).materialize()
     joined = join_signatures(pairs, words, "words",
                              num_partitions=32).materialize()
     return joined.map_batches(_jaccard_verify_vec, batch_format="pyarrow",

@@ -334,3 +334,70 @@ class TestNearDupComponents:
         # every doc in one component labeled by the min id
         assert out["doc_id"].tolist() == [10, 11, 12, 13]
         assert out["component"].tolist() == [10, 10, 10, 10]
+
+
+class TestMaskClassFastPath:
+    """The small-vocab exact near-dup path (training_queries
+    ._mask_class_near_dup): wordset classes + popcount class joins must
+    equal brute force AND the general LSH path bit-for-bit."""
+
+    def _write_docs(self, tmp_path, wide_ids=False):
+        import pyarrow.parquet as pq
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(24)]
+        base_id = (1 << 33) if wide_ids else 0
+        ids, texts = [], []
+        d = 0
+        for c in range(25):  # 25 clusters of 5 variants of a base set
+            size = int(rng.randint(10, 20))
+            base = set(rng.choice(24, size=size, replace=False).tolist())
+            for v in range(5):
+                s = set(base)
+                if v and len(s) > 10:
+                    s.discard(sorted(s)[int(rng.randint(0, len(s)))])
+                words = [vocab[i] for i in sorted(s)]
+                rng.shuffle(words)
+                texts.append(" ".join(words))
+                ids.append(base_id + d)
+                d += 1
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string()),
+                      "lang": pa.array(["en"] * d),
+                      "source": pa.array(["t"] * d),
+                      "n_chars": pa.array([len(x) for x in texts],
+                                          pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        sets = {i: frozenset(x.split()) for i, x in zip(ids, texts)}
+        exp = set()
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    if inter * 10 >= 9 * union:
+                        exp.add((i, j))
+        return exp
+
+    def _run(self, tmp_path):
+        from pyspider_ray.training_queries import q_jaccard_near_dup
+        out = q_jaccard_near_dup(str(tmp_path)).to_pandas()
+        return set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        exp = self._write_docs(tmp_path)
+        assert len(exp) > 100  # the corpus is genuinely similarity-dense
+        assert self._run(tmp_path) == exp
+
+    def test_gate_trip_falls_back_to_lsh_identically(self, ray_session,
+                                                     tmp_path,
+                                                     monkeypatch):
+        import pyspider_ray.training_queries as tq
+        exp = self._write_docs(tmp_path)
+        monkeypatch.setattr(tq, "_MASK_CLASS_MAX_CLASSES", 1)
+        assert self._run(tmp_path) == exp
+
+    def test_wide_doc_ids_beyond_2_32(self, ray_session, tmp_path):
+        exp = self._write_docs(tmp_path, wide_ids=True)
+        got = self._run(tmp_path)
+        assert got == exp
+        assert min(a for a, _ in got) >= (1 << 33)
