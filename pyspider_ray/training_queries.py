@@ -371,15 +371,16 @@ _MASK_CLASS_MAX_DOCS = 50_000_000
 _MASK_CLASS_MAX_CLASSES = 1 << 16
 
 
-def _mask_csr_stream(masks_ds):
-    """Stream (doc_id, mask) into a class CSR: sorted distinct masks,
-    member offsets, member doc_ids.  Aborts (returns None) if the doc
-    or class gate trips — driver memory stays bounded either way."""
+def _mask_csr_stream(values_ds, col="mask"):
+    """Stream (doc_id, <col>) into a class CSR: sorted distinct
+    values, member offsets, member doc_ids.  Aborts (returns None) if
+    the doc or class gate trips — driver memory stays bounded either
+    way."""
     ids_l, ms_l, n = [], [], 0
-    for b in masks_ds.iter_batches(batch_format="pyarrow",
-                                   batch_size=65536):
+    for b in values_ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
         ids_l.append(b["doc_id"].to_numpy().astype(np.int64))
-        ms_l.append(b["mask"].to_numpy().astype(np.int64)
+        ms_l.append(b[col].to_numpy().astype(np.int64)
                     .view(np.uint64))
         n += len(ids_l[-1])
         if n > _MASK_CLASS_MAX_DOCS:
@@ -399,14 +400,17 @@ def _mask_csr_stream(masks_ds):
 
 class _ClassPairExpand:
     """Actor-pool stage over class indices: popcount-compares its block
-    of class masks against the full (broadcast) class table, then
+    of class values against the full (broadcast) class table, then
     expands qualifying class pairs into member doc pairs from the CSR.
-    State fetched ONCE per actor from the object store."""
+    State fetched ONCE per actor from the object store.  ``mode``
+    picks the metric: "jaccard" (bitset tau test) or "hamming"
+    (popcount of xor <= ``max_dist``)."""
 
     _INNER = 8192  # inner-axis chunk bounding the B x C compare matrix
 
-    def __init__(self, csr_ref):
+    def __init__(self, csr_ref, mode="jaccard", max_dist=6):
         self.masks, self.offs, self.members = ray.get(csr_ref)
+        self.mode, self.max_dist = mode, max_dist
 
     def __call__(self, b: pa.Table) -> pa.Table:
         idx = b["id"].to_numpy().astype(np.int64)
@@ -415,9 +419,13 @@ class _ClassPairExpand:
         m_blk = masks[idx]
         for lo in range(0, len(masks), self._INNER):
             sl = masks[lo:lo + self._INNER]
-            inter = _popcnt64_mat(m_blk[:, None] & sl[None, :])
-            union = _popcnt64_mat(m_blk[:, None] | sl[None, :])
-            ok = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
+            if self.mode == "hamming":
+                ok = _popcnt64_mat(m_blk[:, None] ^ sl[None, :]) \
+                    <= self.max_dist
+            else:
+                inter = _popcnt64_mat(m_blk[:, None] & sl[None, :])
+                union = _popcnt64_mat(m_blk[:, None] | sl[None, :])
+                ok = inter * _JACCARD_TAU_DEN >= _JACCARD_TAU_NUM * union
             # upper triangle INCLUDING the diagonal: each unordered
             # class pair is emitted by exactly one block row, and the
             # (i,i) diagonal carries the intra-class (jaccard 1.0) pairs
@@ -450,14 +458,16 @@ class _ClassPairExpand:
                          "doc_b": pa.array(np.maximum(da, db))})
 
 
-def _mask_class_near_dup(masks_ds):
-    """Exact small-vocab near-dup: dedup docs into wordset classes, then
-    popcount-join the tiny class table block-wise and expand survivors
-    back to member pairs.  NO LSH, NO shuffle, NO pair dedup: each doc
-    belongs to exactly one class, so every emitted pair is unique by
-    construction.  Returns None when the CSR gates trip (caller falls
-    back to the LSH machinery)."""
-    csr = _mask_csr_stream(masks_ds)
+def _mask_class_near_dup(values_ds, col="mask", mode="jaccard",
+                         max_dist=6):
+    """Exact class-dedup near-dup: dedup docs into equal-value classes
+    (wordset bitmask / simhash fingerprint), then popcount-join the
+    tiny class table block-wise and expand survivors back to member
+    pairs.  NO LSH, NO shuffle, NO pair dedup: each doc belongs to
+    exactly one class, so every emitted pair is unique by construction.
+    Returns None when the CSR gates trip (caller falls back to the
+    banding machinery)."""
+    csr = _mask_csr_stream(values_ds, col=col)
     if csr is None:
         return None
     uniq, offs, members = csr
@@ -465,7 +475,9 @@ def _mask_class_near_dup(masks_ds):
     ref = ray.put((uniq, offs, members))
     return (ray.data.range(c, override_num_blocks=max(1, min(64, c // 64)))
             .map_batches(_ClassPairExpand,
-                         fn_constructor_kwargs={"csr_ref": ref},
+                         fn_constructor_kwargs={"csr_ref": ref,
+                                                "mode": mode,
+                                                "max_dist": max_dist},
                          concurrency=(1, 16), batch_format="pyarrow",
                          batch_size=256))
 
@@ -625,6 +637,14 @@ def q_simhash_near_dup(sf_dir):
     sigs = (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(_sim64, batch_format="pyarrow")
             .materialize())
+    # class fast path: a fingerprint IS one int64, so similarity-dense
+    # corpora dedup into few classes and a block-wise xor-popcount of
+    # the class table replaces banding+exchange+verify (exact; same
+    # gates and fallback as the jaccard fast path)
+    fast = _mask_class_near_dup(sigs, col="simhash", mode="hamming",
+                                max_dist=6)
+    if fast is not None:
+        return fast
     triples = sigs.map_batches(_simhash_bands, batch_format="pyarrow")
     pairs = candidate_pairs(triples)
     joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
@@ -1717,6 +1737,99 @@ def q_source_token_stats(sf_dir):
             .map_groups(final, batch_format="pyarrow"))
 
 
+_DECON_N = 13      # GPT-3-style decontamination n-gram width
+_DECON_MOD = 50    # doc_id % mod == 0 marks the in-corpus "eval set"
+
+
+def _gram_hashes(text: str) -> np.ndarray:
+    """Distinct word-13-gram md5-64 hashes of one document (uint64,
+    unsorted).  Docs shorter than N words have none."""
+    ws = text.split()
+    if len(ws) < _DECON_N:
+        return np.empty(0, dtype=np.uint64)
+    grams = {" ".join(ws[i:i + _DECON_N])
+             for i in range(len(ws) - _DECON_N + 1)}
+    return _word_hashes(sorted(grams))
+
+
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    13-gram with the eval set (docs with doc_id % 50 == 0 stand in for
+    a held-out benchmark), reporting the count of distinct overlapping
+    grams — the GPT-3/PaLM-style train/test-leak filter.
+
+    Scale shape: the eval side is the SMALL side by definition (a
+    benchmark is thousands of docs, the corpus billions), so its
+    distinct gram-hash set is collected through a distributed per-batch
+    distinct + driver union and broadcast once via ray.put; the corpus
+    pass is a single streaming map_batches doing one sorted-array
+    membership test (np.isin) per doc — no shuffle, no corpus
+    materialization."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % _DECON_MOD == 0
+        hs = [_gram_hashes(t) for t, k in
+              zip(b["text"].to_pylist(), keep) if k]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"g": pa.array(u.view(np.int64))})
+
+    parts = []
+    for b in (docs.map_batches(eval_grams, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        parts.append(b["g"].to_numpy())
+    bench = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    class _Contaminated:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids_out, hits = [], []
+            ids = b["doc_id"].to_numpy()
+            for doc_id, t in zip(ids, b["text"].to_pylist()):
+                if doc_id % _DECON_MOD == 0:
+                    continue
+                h = _gram_hashes(t).view(np.int64)
+                n = int(np.isin(h, self.bench,
+                                assume_unique=True).sum())
+                if n:
+                    ids_out.append(int(doc_id))
+                    hits.append(n)
+            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                             "n_hits": pa.array(hits, pa.int64())})
+
+    return docs.map_batches(_Contaminated,
+                            fn_constructor_kwargs={"ref": bench_ref},
+                            concurrency=(1, 8), batch_format="pyarrow")
+
+
+def q_token_len_hist(sf_dir):
+    """Token-length histogram (bucket width 10): the length-
+    distribution pass behind sequence-length curricula and packing
+    efficiency estimates.  Per-batch bincount partials (one tiny
+    (bucket, n) table per batch) feed a vocabulary-sized groupby —
+    the shuffled volume is O(distinct buckets), not O(docs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = np.array([len(t.split()) for t in b["text"].to_pylist()],
+                     dtype=np.int64)
+        bucket = n // 10 * 10
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n_docs": pa.array(c.astype(np.int64))})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n_docs",
+                                             alias_name="n_docs")))
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -1939,6 +2052,27 @@ ORACLES["source_token_stats"] = r"""
     FROM documents GROUP BY source
 """
 
+ORACLES["decontaminate"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(ws[i:i+12], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ws) - 11)) AS t(i)),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT doc_id, count(DISTINCT g) AS n_hits
+    FROM grams
+    WHERE doc_id % 50 != 0 AND g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+"""
+
+ORACLES["token_len_hist"] = r"""
+    SELECT len(regexp_split_to_array(trim(text), '\s+')) // 10 * 10
+               AS bucket,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -1954,6 +2088,8 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "sample_per_source": q_sample_per_source,
     "source_token_stats": q_source_token_stats,
+    "decontaminate": q_decontaminate,
+    "token_len_hist": q_token_len_hist,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
