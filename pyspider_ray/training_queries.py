@@ -1830,6 +1830,149 @@ def q_token_len_hist(sf_dir):
                                              alias_name="n_docs")))
 
 
+def q_gopher_repetition(sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per doc, total/distinct word counts and the occurrence count of the
+    most frequent word 2-gram, plus an integer keep flag (distinct
+    fraction >= 0.3 AND top-2-gram fraction <= 0.2).  Integer outputs
+    only so the value hash is exact against the SQL oracle.
+
+    Scale shape: a single streaming map_batches — per doc the words are
+    hashed through the memoized vocab cache, 2-grams combine adjacent
+    hashes arithmetically, and np.unique gives both distinct counts;
+    no shuffle, no driver materialization."""
+    def signals(b: pa.Table) -> pa.Table:
+        nw, nd, top, n2 = [], [], [], []
+        for t in b["text"].to_pylist():
+            ws = t.split()
+            h = _word_hashes(ws)
+            nw.append(len(ws))
+            nd.append(len(np.unique(h)))
+            if len(h) >= 2:
+                g = h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:]
+                _, c = np.unique(g, return_counts=True)
+                top.append(int(c.max()))
+                n2.append(len(g))
+            else:
+                top.append(0)
+                n2.append(0)
+        nw = np.array(nw, dtype=np.int64)
+        nd = np.array(nd, dtype=np.int64)
+        top = np.array(top, dtype=np.int64)
+        n2 = np.array(n2, dtype=np.int64)
+        keep = ((nd * 10 >= nw * 3)
+                & ((n2 == 0) | (top * 5 <= n2))).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_words": pa.array(nw),
+                         "n_distinct": pa.array(nd),
+                         "top2_count": pa.array(top),
+                         "n_2grams": pa.array(n2),
+                         "keep": pa.array(keep)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(signals, batch_format="pyarrow"))
+
+
+_QUANTILES = ((25, 100), (50, 100), (75, 100), (95, 100))
+
+
+def q_source_len_quantiles(sf_dir):
+    """Exact per-source length quantiles (p25/p50/p75/p95 of n_chars)
+    WITHOUT a distributed sort: per-batch (source, n_chars) value
+    counts collapse the corpus into a value-domain histogram (the
+    shuffled volume is O(distinct values x sources), independent of row
+    count), then one tiny per-source cumsum reads the quantiles off the
+    histogram.  Quantile definition: smallest v with
+    count(x <= v) * den >= num * n — matched exactly by the oracle's
+    integer-arithmetic window form."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"source": b["source"].to_pandas(),
+                           "n_chars": b["n_chars"].to_pandas()})
+        g = (df.groupby(["source", "n_chars"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({"source": pa.array(g["source"].astype(str)),
+                         "n_chars": pa.array(g["n_chars"].astype("int64")),
+                         "c": pa.array(g["c"].astype("int64"))})
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = g["n_chars"].to_numpy()
+        c = g["c"].to_numpy()
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out = {"source": pa.array([g["source"][0].as_py()])}
+        for num, den in _QUANTILES:
+            idx = int(np.searchsorted(cum * den, num * n))
+            out[f"p{num}"] = pa.array([int(v[idx])], pa.int64())
+        return pa.table(out)
+
+    return (_read(sf_dir, "documents", ["source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .groupby("source")
+            .map_groups(quantiles, batch_format="pyarrow"))
+
+
+_PACK_BUDGET = 512   # tokens per packed training sequence
+
+
+def pack_greedy(tokens: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential first-fit packing: walk docs in order,
+    starting a new bin when the next doc would overflow ``budget``
+    (an oversized doc gets a bin alone).  Returns the bin id per doc.
+    O(bins log n) via searchsorted on the running cumsum — no per-doc
+    Python loop."""
+    cum = np.cumsum(tokens.astype(np.int64))
+    bins = np.empty(len(tokens), dtype=np.int64)
+    s = 0
+    b = 0
+    while s < len(tokens):
+        base = cum[s - 1] if s else 0
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        if j <= s:
+            j = s + 1
+        bins[s:j] = b
+        s, b = j, b + 1
+    return bins
+
+
+def q_seq_packing(sf_dir):
+    """Sequence packing for training-batch construction: pack docs
+    (doc_id order) into fixed token budgets, one packing stream per
+    source, and report per-bin occupancy — the packing-efficiency
+    pass run before tokenized-corpus serialization.
+
+    Scale shape: packing is sequential WITHIN a partition by design
+    (real pipelines pack per shard); here the partition key is
+    ``source``, so one groupby co-locates each stream and a vectorized
+    searchsorted walk assigns bins.  no_oracle (greedy packing is
+    order-dependent, not SQL-expressible) — pinned by a pytest parity
+    test against a reference implementation."""
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        o = np.argsort(ids)
+        toks = np.array([len(t.split()) for t in g["text"].to_pylist()],
+                        dtype=np.int64)[o]
+        bins = pack_greedy(toks, _PACK_BUDGET)
+        u, start = np.unique(bins, return_index=True)
+        n_docs = np.diff(np.append(start, len(bins)))
+        sums = np.add.reduceat(toks, start)
+        src = g["source"][0].as_py()
+        return pa.table({"source": pa.array([src] * len(u)),
+                         "bin_id": pa.array(u, pa.int64()),
+                         "n_docs": pa.array(n_docs.astype(np.int64)),
+                         "n_tokens": pa.array(sums.astype(np.int64))})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+            .groupby("source")
+            .map_groups(pack, batch_format="pyarrow"))
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -2073,6 +2216,47 @@ ORACLES["token_len_hist"] = r"""
     FROM documents GROUP BY 1
 """
 
+ORACLES["gopher_repetition"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents),
+    counts AS (
+        SELECT doc_id, len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct, ws FROM base),
+    grams AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM counts, UNNEST(range(1, len(ws))) AS t(i)),
+    top AS (
+        SELECT doc_id, max(c) AS top2_count FROM (
+            SELECT doc_id, g, count(*) AS c FROM grams
+            GROUP BY doc_id, g) GROUP BY doc_id)
+    SELECT c.doc_id, n_words, n_distinct,
+           COALESCE(top2_count, 0) AS top2_count,
+           CASE WHEN n_words >= 2 THEN n_words - 1 ELSE 0 END AS n_2grams,
+           CASE WHEN n_distinct * 10 >= n_words * 3
+                 AND (n_words < 2
+                      OR COALESCE(top2_count, 0) * 5 <= n_words - 1)
+                THEN 1 ELSE 0 END AS keep
+    FROM counts c LEFT JOIN top USING (doc_id)
+"""
+
+ORACLES["source_len_quantiles"] = r"""
+    WITH c AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+    w AS (
+        SELECT source, n_chars,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM c)
+    SELECT source,
+           min(CASE WHEN cum * 100 >= 25 * n THEN n_chars END) AS p25,
+           min(CASE WHEN cum * 100 >= 50 * n THEN n_chars END) AS p50,
+           min(CASE WHEN cum * 100 >= 75 * n THEN n_chars END) AS p75,
+           min(CASE WHEN cum * 100 >= 95 * n THEN n_chars END) AS p95
+    FROM w GROUP BY source
+"""
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -2090,6 +2274,9 @@ QUERIES = {
     "source_token_stats": q_source_token_stats,
     "decontaminate": q_decontaminate,
     "token_len_hist": q_token_len_hist,
+    "gopher_repetition": q_gopher_repetition,
+    "source_len_quantiles": q_source_len_quantiles,
+    "seq_packing": q_seq_packing,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
