@@ -1549,6 +1549,32 @@ def q_near_dup_components(sf_dir):
         batch_format="pyarrow")
 
 
+def q_near_dup_collapse(sf_dir):
+    """End-to-end corpus dedup: MinHash-Jaccard pairs → connected
+    components → keep ONE representative per cluster (the min doc_id,
+    i.e. the component label) → anti-join the losers out of the
+    corpus.  Returns the surviving doc_ids — the actual "write the
+    deduplicated corpus" operator a training pipeline runs.
+
+    Composition, all existing machinery: the component table marks
+    losers (member != label) with one vectorized compare, and the
+    corpus drops them through the coarse-bucket co-partitioned
+    membership filter — per-actor state stays O(partition); the loser
+    set is never broadcast or driver-materialized."""
+    from .queries import _membership_filter
+    comp = q_near_dup_components(sf_dir)
+
+    def losers(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        lab = b["component"].to_numpy().astype(np.int64)
+        return pa.table({"drop_id": pa.array(ids[ids != lab])})
+
+    return _membership_filter(
+        _read(sf_dir, "documents", ["doc_id"]), "doc_id",
+        comp.map_batches(losers, batch_format="pyarrow"), "drop_id",
+        negate=True)
+
+
 def q_dedup_keep_best(sf_dir):
     """Keep-best dedup: per word-SET duplicate group, keep the single
     best row (longest text, ties to the smallest doc_id) — the
@@ -2146,6 +2172,20 @@ ORACLES["near_dup_components"] = f"""
     SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
 """
 
+ORACLES["near_dup_collapse"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["jaccard_near_dup"]}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc_id = e.v),
+    comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN
+        (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
 ORACLES["dedup_keep_best"] = r"""
     WITH f AS (SELECT doc_id, n_chars,
         md5(array_to_string(list_sort(list_distinct(
@@ -2267,6 +2307,7 @@ QUERIES = {
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
     "near_dup_components": q_near_dup_components,
+    "near_dup_collapse": q_near_dup_collapse,
     "dedup_keep_best": q_dedup_keep_best,
     "vocab_topk": q_vocab_topk,
     "doc_top_terms": q_doc_top_terms,
