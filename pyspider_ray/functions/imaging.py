@@ -208,9 +208,26 @@ def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
 
 def phash64(pixels: np.ndarray) -> int:
     """64-bit mean-hash: 8x8 block means vs their overall mean, row-major
-    MSB-first, returned as signed int64 (Arrow-friendly)."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    blocks = _block_mean_8x8(gray)
+    MSB-first, returned as signed int64 (Arrow-friendly).
+
+    Block means are LINEAR in the channels, so the hot path sums the
+    uint8 planes exactly (int64 reduceat, touching the image bytes
+    once) and applies the gray weights on the 8x8 block sums — the
+    obvious ``gray = pixels @ weights`` first materializes a float64
+    plane 8x the image's bytes, which at multi-MPix page scales made
+    pHash the single largest memory-traffic source in the crawl
+    worker."""
+    w8 = np.array([0.299, 0.587, 0.114])
+    h, w = pixels.shape[:2]
+    if pixels.ndim == 3 and h >= 8 and w >= 8:
+        ys = np.linspace(0, h, 9).astype(int)
+        xs = np.linspace(0, w, 9).astype(int)
+        s = np.add.reduceat(pixels, ys[:-1], axis=0, dtype=np.int64)
+        s = np.add.reduceat(s, xs[:-1], axis=1)
+        blocks = (s @ w8) / np.outer(np.diff(ys), np.diff(xs))
+    else:
+        gray = pixels.astype(np.float64) @ w8
+        blocks = _block_mean_8x8(gray)
     bits = (blocks > blocks.mean()).flatten()
     value = 0
     for bit in bits:
