@@ -137,6 +137,32 @@ class TestImaging:
         xor = (h1 ^ phash64(lossy)) & ((1 << 64) - 1)
         assert bin(xor).count("1") <= 4
 
+    def test_phash_fast_paths_match_float_reference(self):
+        # the staged integer block sums (8-aligned dims) and the
+        # reduceat path (unaligned) must equal the straightforward
+        # float-gray computation bit-for-bit
+        def reference(pixels):
+            gray = pixels.astype(np.float64) @ np.array(
+                [0.299, 0.587, 0.114])
+            h, w = gray.shape
+            ys = np.linspace(0, h, 9).astype(int)
+            xs = np.linspace(0, w, 9).astype(int)
+            sums = np.add.reduceat(
+                np.add.reduceat(gray, ys[:-1], axis=0), xs[:-1], axis=1)
+            blocks = sums / np.outer(np.diff(ys), np.diff(xs))
+            bits = (blocks > blocks.mean()).flatten()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        for i in range(40):
+            dims = (8 * (1 + i % 13), 8 * (1 + i % 7)) if i % 2 \
+                else (51 + i, 37 + 2 * i)        # aligned / unaligned
+            im = np.random.default_rng(i).integers(
+                0, 256, size=(*dims, 3), dtype=np.uint8)
+            assert phash64(im) == reference(im), dims
+
 
 class TestSynthWeb:
     def test_children_deterministic_in_range(self):
