@@ -1999,6 +1999,59 @@ def q_seq_packing(sf_dir):
             .map_groups(pack, batch_format="pyarrow"))
 
 
+_WINDOW_N = 20     # exact-substring window width (Lee et al. use 50
+#                    BPE tokens; 20 words keeps the synthetic docs,
+#                    11-87 words long, in range)
+
+
+def q_dup_window_coverage(sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    doc, how many of its distinct word-20-gram windows also occur in
+    at least one OTHER doc (windows are distinct-per-doc before
+    counting) — the metric behind substring-level dedup decisions.
+
+    Scale shape: one flat_map emits (window-hash, doc_id) pairs
+    (distinct per doc — a combiner), ONE hash shuffle groups identical
+    windows, and each group re-emits its member doc_ids with a dup
+    flag; a bucket-count groupby folds back to per-doc integers.  The
+    shuffled volume is O(windows), never the text; no driver
+    materialization; hot windows are bounded by the group size cap the
+    exchange already enforces elsewhere."""
+    def grams(b: pa.Table) -> pa.Table:
+        hs, ids = [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if len(ws) < _WINDOW_N:
+                continue
+            g = {" ".join(ws[i:i + _WINDOW_N])
+                 for i in range(len(ws) - _WINDOW_N + 1)}
+            h = _word_hashes(sorted(g)).view(np.int64)
+            hs.append(h)
+            ids.append(np.full(len(h), doc_id, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ids))})
+
+    def flag(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        dup = np.full(len(ids), len(ids) > 1, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "dup": pa.array(dup),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    from ray.data.aggregate import Sum
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(grams, batch_format="pyarrow")
+            .groupby("h").map_groups(flag, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("one", alias_name="n_windows"),
+                       Sum("dup", alias_name="n_dup_windows")))
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -2256,6 +2309,24 @@ ORACLES["token_len_hist"] = r"""
     FROM documents GROUP BY 1
 """
 
+ORACLES["dup_window_coverage"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+19], ' ') AS g
+        FROM toks, UNNEST(range(1, len(ws) - 18)) AS t(i)
+        WHERE len(ws) >= 20),
+    flagged AS (
+        SELECT doc_id,
+               CASE WHEN count(*) OVER (PARTITION BY g) > 1
+                    THEN 1 ELSE 0 END AS dup
+        FROM grams)
+    SELECT doc_id, count(*) AS n_windows,
+           CAST(sum(dup) AS BIGINT) AS n_dup_windows
+    FROM flagged GROUP BY doc_id
+"""
+
 ORACLES["gopher_repetition"] = r"""
     WITH base AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -2273,10 +2344,10 @@ ORACLES["gopher_repetition"] = r"""
     SELECT c.doc_id, n_words, n_distinct,
            COALESCE(top2_count, 0) AS top2_count,
            CASE WHEN n_words >= 2 THEN n_words - 1 ELSE 0 END AS n_2grams,
-           CASE WHEN n_distinct * 10 >= n_words * 3
-                 AND (n_words < 2
-                      OR COALESCE(top2_count, 0) * 5 <= n_words - 1)
-                THEN 1 ELSE 0 END AS keep
+           CAST(CASE WHEN n_distinct * 10 >= n_words * 3
+                      AND (n_words < 2
+                           OR COALESCE(top2_count, 0) * 5 <= n_words - 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM counts c LEFT JOIN top USING (doc_id)
 """
 
@@ -2318,6 +2389,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "source_len_quantiles": q_source_len_quantiles,
     "seq_packing": q_seq_packing,
+    "dup_window_coverage": q_dup_window_coverage,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
