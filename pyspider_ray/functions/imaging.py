@@ -221,7 +221,10 @@ def phash64(pixels: np.ndarray) -> int:
     worker."""
     w8 = np.array([0.299, 0.587, 0.114])
     h, w = pixels.shape[:2]
-    if pixels.ndim == 3 and h % 8 == 0 and w % 8 == 0 and h and w:
+    exact_int = pixels.dtype == np.uint8   # integer fast paths assume
+    #                                        non-negative whole values
+    if exact_int and pixels.ndim == 3 and h % 8 == 0 and w % 8 == 0 \
+            and h and w:
         # 8-aligned dims (every synth page): two staged single-axis
         # reductions run at memory speed (a fused multi-axis
         # sum(axis=(1,3)) is ~23x slower — numpy promotes per element)
@@ -229,7 +232,7 @@ def phash64(pixels: np.ndarray) -> int:
             axis=1, dtype=np.uint32)
         s = a.reshape(8, 8, w // 8, 3).sum(axis=2, dtype=np.int64)
         blocks = (s @ w8) / ((h // 8) * (w // 8))
-    elif pixels.ndim == 3 and h >= 8 and w >= 8:
+    elif exact_int and pixels.ndim == 3 and h >= 8 and w >= 8:
         ys = np.linspace(0, h, 9).astype(int)
         xs = np.linspace(0, w, 9).astype(int)
         s = np.add.reduceat(pixels, ys[:-1], axis=0, dtype=np.int64)

@@ -374,8 +374,22 @@ _MASK_CLASS_MAX_CLASSES = 1 << 16
 def _mask_csr_stream(values_ds, col="mask"):
     """Stream (doc_id, <col>) into a class CSR: sorted distinct
     values, member offsets, member doc_ids.  Aborts (returns None) if
-    the doc or class gate trips — driver memory stays bounded either
-    way."""
+    the doc or class gate trips — and the gates are checked in a
+    RETENTION-FREE first pass (a capped distinct set + row counter),
+    so an open-vocabulary corpus that is going to trip never pulls its
+    rows to the driver at all; only a corpus that passes pays the pull
+    in the second pass.  Driver memory stays bounded either way."""
+    values_ds = values_ds.materialize()   # two passes, compute once
+    distinct: set = set()
+    n = 0
+    for b in values_ds.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+        n += len(b)
+        if n > _MASK_CLASS_MAX_DOCS:
+            return None
+        distinct.update(np.unique(b[col].to_numpy()).tolist())
+        if len(distinct) > _MASK_CLASS_MAX_CLASSES:
+            return None
     ids_l, ms_l, n = [], [], 0
     for b in values_ds.iter_batches(batch_format="pyarrow",
                                     batch_size=65536):
@@ -1767,15 +1781,72 @@ _DECON_N = 13      # GPT-3-style decontamination n-gram width
 _DECON_MOD = 50    # doc_id % mod == 0 marks the in-corpus "eval set"
 
 
-def _gram_hashes(text: str) -> np.ndarray:
-    """Distinct word-13-gram md5-64 hashes of one document (uint64,
-    unsorted).  Docs shorter than N words have none."""
-    ws = text.split()
-    if len(ws) < _DECON_N:
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_hashes_of_words(ws: list[str], n: int) -> np.ndarray:
+    """SORTED DISTINCT word-n-gram hashes of one tokenized doc: the
+    per-WORD md5-64 hashes (memoized vocab cache — gram strings never
+    enter the cache, they are near-unique and would thrash it) combine
+    positionally with an odd-multiplier polynomial mod 2^64, one
+    vectorized pass per window offset.  Shared by decontamination
+    (n=13) and dup-window coverage (n=20); both sides of each query
+    hash through this same function, so membership is exact."""
+    if len(ws) < n:
         return np.empty(0, dtype=np.uint64)
-    grams = {" ".join(ws[i:i + _DECON_N])
-             for i in range(len(ws) - _DECON_N + 1)}
-    return _word_hashes(sorted(grams))
+    h = _word_hashes(ws)
+    m = len(h) - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        acc = acc * _GRAM_P + h[k:k + m]
+    return np.unique(acc)
+
+
+def _gram_hashes(text: str) -> np.ndarray:
+    """Distinct word-13-gram hashes of one document (uint64, sorted).
+    Docs shorter than N words have none."""
+    return _gram_hashes_of_words(text.split(), _DECON_N)
+
+
+_DECON_MAX_BENCH = 5_000_000   # broadcast envelope: 8 B/hash => 40 MB
+
+
+def _decontaminate_shuffled(docs):
+    """Distributed decontamination for when the eval gram set outgrows
+    the broadcast envelope: corpus and eval gram hashes co-partition
+    through ONE hash shuffle (eval rows tagged doc_id=-1), each gram
+    group emits its corpus members iff an eval row is present, and a
+    per-doc count folds the hits — shuffled volume O(grams), driver
+    holds nothing."""
+    from ray.data.aggregate import Sum
+
+    def tagged(b: pa.Table) -> pa.Table:
+        hs, ids = [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            g = _gram_hashes(t)
+            if not len(g):
+                continue
+            hs.append(g.view(np.int64))
+            tag = -1 if doc_id % _DECON_MOD == 0 else int(doc_id)
+            ids.append(np.full(len(g), tag, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ids))})
+
+    def hits(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        out = ids[ids != -1] if (ids == -1).any() \
+            else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(out),
+                         "one": pa.array(np.ones(len(out), np.int64))})
+
+    return (docs.map_batches(tagged, batch_format="pyarrow")
+            .groupby("h").map_groups(hits, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("one", alias_name="n_hits")))
 
 
 def q_decontaminate(sf_dir):
@@ -1784,13 +1855,15 @@ def q_decontaminate(sf_dir):
     a held-out benchmark), reporting the count of distinct overlapping
     grams — the GPT-3/PaLM-style train/test-leak filter.
 
-    Scale shape: the eval side is the SMALL side by definition (a
-    benchmark is thousands of docs, the corpus billions), so its
-    distinct gram-hash set is collected through a distributed per-batch
-    distinct + driver union and broadcast once via ray.put; the corpus
-    pass is a single streaming map_batches doing one sorted-array
-    membership test (np.isin) per doc — no shuffle, no corpus
-    materialization."""
+    Scale shape, two paths: a REAL benchmark is small, so its distinct
+    gram hashes are collected through a distributed per-batch distinct
+    + driver union and broadcast once via ray.put; the corpus pass is
+    then one streaming map_batches doing a searchsorted membership
+    test per doc (the bench array is sorted; no per-doc re-sort).  If
+    the eval side outgrows `_DECON_MAX_BENCH` (here it is a fixed 2%
+    of the corpus, so it CAN), the union loop aborts early and the
+    query switches to `_decontaminate_shuffled` — same answer through
+    one hash co-partition, no driver set at all."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def eval_grams(b: pa.Table) -> pa.Table:
@@ -1802,27 +1875,32 @@ def q_decontaminate(sf_dir):
              else np.empty(0, dtype=np.uint64))
         return pa.table({"g": pa.array(u.view(np.int64))})
 
-    parts = []
+    parts, total = [], 0
     for b in (docs.map_batches(eval_grams, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         parts.append(b["g"].to_numpy())
+        total += len(parts[-1])
+        if total > _DECON_MAX_BENCH:
+            return _decontaminate_shuffled(docs)
     bench = (np.unique(np.concatenate(parts)) if parts
              else np.empty(0, dtype=np.int64))
     bench_ref = ray.put(bench)
 
     class _Contaminated:
         def __init__(self, ref):
-            self.bench = ray.get(ref)
+            self.bench = ray.get(ref)   # sorted (np.unique output)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids_out, hits = [], []
             ids = b["doc_id"].to_numpy()
+            nb = len(self.bench)
             for doc_id, t in zip(ids, b["text"].to_pylist()):
-                if doc_id % _DECON_MOD == 0:
+                if doc_id % _DECON_MOD == 0 or not nb:
                     continue
                 h = _gram_hashes(t).view(np.int64)
-                n = int(np.isin(h, self.bench,
-                                assume_unique=True).sum())
+                idx = np.searchsorted(self.bench, h)
+                idx[idx == nb] = 0
+                n = int((self.bench[idx] == h).sum())
                 if n:
                     ids_out.append(int(doc_id))
                     hits.append(n)
@@ -1949,19 +2027,24 @@ _PACK_BUDGET = 512   # tokens per packed training sequence
 
 def pack_greedy(tokens: np.ndarray, budget: int) -> np.ndarray:
     """Greedy sequential first-fit packing: walk docs in order,
-    starting a new bin when the next doc would overflow ``budget``
-    (an oversized doc gets a bin alone).  Returns the bin id per doc.
-    O(bins log n) via searchsorted on the running cumsum — no per-doc
-    Python loop."""
+    starting a new bin when the next doc would overflow ``budget`` —
+    but an EMPTY bin always admits the next doc, so an oversized doc
+    lands alone and zero-token docs never force a bin break (exactly
+    the sequential `if cur > 0 and cur + t > budget` rule).  Returns
+    the bin id per doc.  O(bins log n) via searchsorted on the running
+    cumsum — no per-doc Python loop."""
+    n = len(tokens)
     cum = np.cumsum(tokens.astype(np.int64))
-    bins = np.empty(len(tokens), dtype=np.int64)
+    bins = np.empty(n, dtype=np.int64)
     s = 0
     b = 0
-    while s < len(tokens):
+    while s < n:
         base = cum[s - 1] if s else 0
         j = int(np.searchsorted(cum, base + budget, side="right"))
-        if j <= s:
-            j = s + 1
+        # bin empty so far (only zero-token docs, or nothing fit):
+        # cur == 0 admits one more doc regardless of its size
+        if j < n and (cum[j - 1] if j else 0) == base:
+            j += 1
         bins[s:j] = b
         s, b = j, b + 1
     return bins
@@ -2022,12 +2105,9 @@ def q_dup_window_coverage(sf_dir):
         hs, ids = [], []
         for doc_id, t in zip(b["doc_id"].to_numpy(),
                              b["text"].to_pylist()):
-            ws = t.split()
-            if len(ws) < _WINDOW_N:
+            h = _gram_hashes_of_words(t.split(), _WINDOW_N).view(np.int64)
+            if not len(h):
                 continue
-            g = {" ".join(ws[i:i + _WINDOW_N])
-                 for i in range(len(ws) - _WINDOW_N + 1)}
-            h = _word_hashes(sorted(g)).view(np.int64)
             hs.append(h)
             ids.append(np.full(len(h), doc_id, dtype=np.int64))
         if not hs:

@@ -401,3 +401,18 @@ class TestMaskClassFastPath:
         got = self._run(tmp_path)
         assert got == exp
         assert min(a for a, _ in got) >= (1 << 33)
+
+
+class TestDecontaminatePaths:
+    def test_shuffled_path_equals_broadcast(self, ray_session, sf_dir,
+                                            monkeypatch):
+        """Tripping the broadcast envelope must switch to the hash
+        co-partition path and produce the identical answer."""
+        import pyspider_ray.training_queries as tq
+
+        base = tq.QUERIES["decontaminate"](sf_dir).to_pandas()
+        monkeypatch.setattr(tq, "_DECON_MAX_BENCH", 0)
+        shuffled = tq.QUERIES["decontaminate"](sf_dir).to_pandas()
+        a = base.sort_values("doc_id").reset_index(drop=True)
+        b = shuffled.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b[a.columns])

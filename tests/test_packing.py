@@ -28,6 +28,20 @@ class TestPackGreedy:
             got = pack_greedy(toks, 512)
             assert (got == pack_reference(toks, 512)).all()
 
+    def test_zero_token_docs_never_force_a_bin_break(self):
+        # empty bin admits the next doc regardless of size (cur == 0)
+        for toks in ([0, 600], [0, 0, 600, 100], [0, 100, 600],
+                     [600, 0, 0, 600], [0], [0, 0]):
+            t = np.array(toks)
+            assert (pack_greedy(t, 512) == pack_reference(t, 512)).all(), \
+                toks
+        rng = np.random.default_rng(11)
+        for _ in range(30):
+            toks = rng.integers(0, 700, size=rng.integers(1, 300))
+            toks[rng.integers(0, len(toks), size=len(toks) // 3)] = 0
+            assert (pack_greedy(toks, 512)
+                    == pack_reference(toks, 512)).all()
+
     def test_oversized_doc_gets_own_bin(self):
         toks = np.array([100, 9999, 100, 9999, 50])
         got = pack_greedy(toks, 512)
@@ -50,8 +64,9 @@ class TestSeqPackingQuery:
 
         got = (QUERIES["seq_packing"](sf_dir).to_pandas()
                .sort_values(["source", "bin_id"]).reset_index(drop=True))
-        assert (got["n_tokens"] <= _PACK_BUDGET).all() | \
-               (got["n_docs"] == 1).all()
+        # per-bin invariant: within budget, or a single oversized doc
+        assert ((got["n_tokens"] <= _PACK_BUDGET)
+                | (got["n_docs"] == 1)).all()
 
         docs = duckdb.sql(
             f"SELECT doc_id, source, text FROM "
