@@ -363,6 +363,11 @@ def neardup_scale() -> None:
             f"ray.init(address='local', num_cpus={NUM_CPUS}, "
             "include_dashboard=False, logging_level='ERROR')\n"
             "from pyspider_ray import training_queries as tq\n"
+            # the rehearsal evidences the BANDING EXCHANGE's O(n): pin
+            # both legs to it (the 10x replica table's prefixed vocab
+            # trips the mask-class gate anyway, so leaving the fast
+            # path on only at sf0.1 would compare different machines)
+            "tq._MASK_CLASS_MAX_CLASSES = 0\n"
             "t0 = time.perf_counter()\n"
             f"res = tq.q_{qname}({sf!r})\n"
             "n = res.count()\n"
