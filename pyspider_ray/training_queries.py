@@ -156,6 +156,58 @@ def q_lang_id(sf_dir):
             .map_batches(lid, batch_format="pandas"))
 
 
+# PII-scrub pattern: denylist terms + email + IPv4, one alternation so
+# the whole scrub is ONE RE2 pass per batch.  Both Arrow and DuckDB
+# compile RE2, so the oracle hashes the redacted text bit-exactly.
+_PII_PATTERN = (r"\b(customer|value)\b"
+                r"|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+                r"|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+
+def q_pii_scrub(sf_dir):
+    """PII / denylist scrubbing (the C4 bad-words + Dolma PII stage):
+    replace every match of a combined RE2 alternation (denylist terms,
+    emails, IPv4s) with a redaction token and count redactions per doc.
+    Zero-copy Arrow in/out; the regex runs in Arrow's C++ RE2 kernels
+    (`replace_substring_regex` / `count_substring_regex`) — no Python
+    per row, no pandas conversion.  Reference analogue: pyspider lets
+    handlers rewrite fetched text in on_page; this is that rewrite as a
+    vectorized corpus stage."""
+    def scrub(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "clean_text": pc.replace_substring_regex(
+                b["text"], pattern=_PII_PATTERN, replacement="<PII>"),
+            "n_redactions": pc.cast(
+                pc.count_substring_regex(b["text"], pattern=_PII_PATTERN),
+                pa.int64()),
+        })
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(scrub, batch_format="pyarrow"))
+
+
+def q_text_normalize(sf_dir):
+    """Canonical pre-dedup text normalization (the CCNet/Dolma step
+    that runs before ANY hashing): unicode NFC -> lowercase ->
+    collapse whitespace runs -> trim.  All four are Arrow C++ kernels
+    over the string column (utf8_normalize / utf8_lower /
+    replace_substring_regex / utf8_trim_whitespace) — zero-copy, no
+    Python per row.  Output includes the normalized length so the
+    oracle hash pins both content and accounting."""
+    def norm(b: pa.Table) -> pa.Table:
+        s = pc.utf8_normalize(b["text"], form="NFC")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "norm_text": s,
+            "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+        })
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(norm, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -2144,6 +2196,28 @@ ORACLES: dict[str, str] = {
                    x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop
         FROM documents
     """,
+    "pii_scrub": r"""
+        SELECT doc_id,
+               regexp_replace(text,
+                   '\b(customer|value)\b'
+                   || '|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   || '|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<PII>', 'g') AS clean_text,
+               len(regexp_extract_all(text,
+                   '\b(customer|value)\b'
+                   || '|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   || '|\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   )) AS n_redactions
+        FROM documents
+    """,
+    "text_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)),
+                                   '\s+', ' ', 'g')) AS norm_text,
+               length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                          '\s+', ' ', 'g'))) AS n_chars_norm
+        FROM documents
+    """,
     "dedup_exact": """
         SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
     """,
@@ -2453,6 +2527,8 @@ QUERIES = {
     "stopword_count": q_stopword_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "pii_scrub": q_pii_scrub,
+    "text_normalize": q_text_normalize,
     "dedup_exact": q_dedup_exact,
     "dedup_counts": q_dedup_counts,
     "wordset_dup_groups": q_wordset_dup_groups,
