@@ -156,6 +156,15 @@ def q_lang_id(sf_dir):
             .map_batches(lid, batch_format="pandas"))
 
 
+def _normalize_text(col):
+    """NFC -> lower -> collapse whitespace runs -> trim, all Arrow C++
+    kernels (shared by text_normalize and the curation gate)."""
+    s = pc.utf8_normalize(col, form="NFC")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(s)
+
+
 # PII-scrub pattern: denylist terms + email + IPv4, one alternation so
 # the whole scrub is ONE RE2 pass per batch.  Both Arrow and DuckDB
 # compile RE2, so the oracle hashes the redacted text bit-exactly.
@@ -195,10 +204,7 @@ def q_text_normalize(sf_dir):
     Python per row.  Output includes the normalized length so the
     oracle hash pins both content and accounting."""
     def norm(b: pa.Table) -> pa.Table:
-        s = pc.utf8_normalize(b["text"], form="NFC")
-        s = pc.utf8_lower(s)
-        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
-        s = pc.utf8_trim_whitespace(s)
+        s = _normalize_text(b["text"])
         return pa.table({
             "doc_id": b["doc_id"],
             "norm_text": s,
@@ -1863,6 +1869,32 @@ def _gram_hashes(text: str) -> np.ndarray:
 _DECON_MAX_BENCH = 5_000_000   # broadcast envelope: 8 B/hash => 40 MB
 
 
+def _collect_bench_grams(docs):
+    """Driver-side union of the eval holdout's distinct gram hashes
+    (sorted int64), collected through a distributed per-batch distinct
+    so only already-deduped hash arrays stream back.  Returns ``None``
+    the moment the running total exceeds the broadcast envelope — the
+    caller must switch to the co-partitioned shuffle path."""
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % _DECON_MOD == 0
+        hs = [_gram_hashes(t) for t, k in
+              zip(b["text"].to_pylist(), keep) if k]
+        u = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, dtype=np.uint64))
+        return pa.table({"g": pa.array(u.view(np.int64))})
+
+    parts, total = [], 0
+    for b in (docs.map_batches(eval_grams, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        parts.append(b["g"].to_numpy())
+        total += len(parts[-1])
+        if total > _DECON_MAX_BENCH:
+            return None
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64))
+
+
 def _decontaminate_shuffled(docs):
     """Distributed decontamination for when the eval gram set outgrows
     the broadcast envelope: corpus and eval gram hashes co-partition
@@ -1917,25 +1949,9 @@ def q_decontaminate(sf_dir):
     query switches to `_decontaminate_shuffled` — same answer through
     one hash co-partition, no driver set at all."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def eval_grams(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy()
-        keep = ids % _DECON_MOD == 0
-        hs = [_gram_hashes(t) for t, k in
-              zip(b["text"].to_pylist(), keep) if k]
-        u = (np.unique(np.concatenate(hs)) if hs
-             else np.empty(0, dtype=np.uint64))
-        return pa.table({"g": pa.array(u.view(np.int64))})
-
-    parts, total = [], 0
-    for b in (docs.map_batches(eval_grams, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow", batch_size=None)):
-        parts.append(b["g"].to_numpy())
-        total += len(parts[-1])
-        if total > _DECON_MAX_BENCH:
-            return _decontaminate_shuffled(docs)
-    bench = (np.unique(np.concatenate(parts)) if parts
-             else np.empty(0, dtype=np.int64))
+    bench = _collect_bench_grams(docs)
+    if bench is None:
+        return _decontaminate_shuffled(docs)
     bench_ref = ray.put(bench)
 
     class _Contaminated:
@@ -1962,6 +1978,186 @@ def q_decontaminate(sf_dir):
     return docs.map_batches(_Contaminated,
                             fn_constructor_kwargs={"ref": bench_ref},
                             concurrency=(1, 8), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation — the flagship composition a 100 TB text pipeline runs
+# ---------------------------------------------------------------------------
+
+# Both gates are ONE RE2 alternation each, generated from the same
+# constants as the SQL oracle so the two sides can never drift.
+_CURATE_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+_CURATE_LANG_RE = (r"\b("
+                   + "|".join(sorted(set().union(*_LANG_MARKERS.values())))
+                   + r")\b")
+_CURATE_COLS = ("doc_id", "source", "norm_text", "n_tokens")
+
+
+def _curate_gate(b: pa.Table) -> pa.Table:
+    """normalize + holdout drop + quality gate + language gate in one
+    zero-copy Arrow pass: utf8 kernels for normalization, one RE2
+    count per predicate, numpy for the integer keep rule.  No Python
+    per row anywhere."""
+    s = _normalize_text(b["text"])
+    ids = b["doc_id"].to_numpy()
+    n_tok = pc.add(pc.count_substring(s, " "), 1).to_numpy()
+    n_stop = pc.count_substring_regex(s, pattern=_CURATE_STOP_RE).to_numpy()
+    n_chars = pc.utf8_length(s).to_numpy()
+    n_alpha = pc.count_substring_regex(s, pattern="[a-z]").to_numpy()
+    marker = pc.match_substring_regex(s, pattern=_CURATE_LANG_RE) \
+        .to_numpy(zero_copy_only=False)
+    keep = ((ids % _DECON_MOD != 0)
+            & (n_stop * 10 < n_tok * 9)
+            & (n_alpha * 2 > n_chars)
+            & marker)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "source": b["source"],
+        "norm_text": s,
+        "n_tokens": pa.array(n_tok.astype(np.int64)),
+    }).filter(pa.array(keep))
+
+
+class _DropContaminated:
+    """Streaming contamination filter: per-actor sorted bench-gram
+    array (fetched once from the object store in __init__), one
+    searchsorted per doc."""
+
+    def __init__(self, ref):
+        self.bench = ray.get(ref)   # sorted (np.unique output)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        nb = len(self.bench)
+        if not nb:
+            return b
+        keep = np.ones(len(b), dtype=bool)
+        for i, t in enumerate(b["norm_text"].to_pylist()):
+            h = _gram_hashes(t).view(np.int64)
+            if len(h):
+                idx = np.searchsorted(self.bench, h)
+                idx[idx == nb] = 0
+                if (self.bench[idx] == h).any():
+                    keep[i] = False
+        return b.filter(pa.array(keep))
+
+
+def _drop_ids_copartitioned(rows, drop_ids, n_buckets: int = 64):
+    """Payload-carrying anti-join by id: both sides co-partition on a
+    coarse hash bucket of doc_id (drop side pre-distincted per batch,
+    sentinel payload columns so the union schema matches), and each
+    group drops its members with one vectorized np.isin — per-actor
+    state O(partition), nothing broadcast.  The payload-preserving
+    sibling of queries._membership_filter."""
+    from .neardup import _key_bucket
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return (b.append_column("kind",
+                                pa.array(np.zeros(len(b), np.int8)))
+                .append_column("cb", pa.array(_key_bucket(ids, n_buckets))))
+
+    def tag_drop(b: pa.Table) -> pa.Table:
+        k = np.unique(b["doc_id"].to_numpy().astype(np.int64))
+        n = len(k)
+        return pa.table({
+            "doc_id": pa.array(k),
+            "source": pa.array([""] * n, pa.string()),
+            "norm_text": pa.array([""] * n, pa.string()),
+            "n_tokens": pa.array(np.zeros(n, np.int64)),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "cb": pa.array(_key_bucket(k, n_buckets))})
+
+    def member(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        keep = (kind == 0) & ~np.isin(ids, ids[kind == 1])
+        return g.filter(pa.array(keep)).drop_columns(["kind", "cb"])
+
+    return (rows.map_batches(tag_rows, batch_format="pyarrow")
+            .union(drop_ids.map_batches(tag_drop, batch_format="pyarrow"))
+            .groupby("cb").map_groups(member, batch_format="pyarrow"))
+
+
+def _curate_first_wins(g: pa.Table) -> pa.Table:
+    i = int(np.argmin(g["doc_id"].to_numpy()))
+    return g.slice(i, 1)
+
+
+def q_curate_corpus(sf_dir):
+    """Flagship curation composition — the stages a real training-data
+    job chains over 100 TB, as ONE streaming Dataset pipeline:
+
+      normalize (NFC/lower/collapse/trim)
+      -> holdout drop (doc_id % 50 == 0 is the stand-in benchmark)
+      -> quality gate (stopword ratio + alpha ratio, integer rule)
+      -> language gate (any stopword-marker hit)
+      -> decontaminate (no shared word-13-gram with the holdout)
+      -> exact dedup on normalized text, first doc_id wins
+
+    Every gate is vectorized Arrow (see _curate_gate); contamination
+    uses the broadcast searchsorted path while the holdout's distinct
+    gram set fits `_DECON_MAX_BENCH`, else contaminated ids come from
+    the co-partitioned `_decontaminate_shuffled` exchange and are
+    dropped via the payload-carrying anti-join — both paths
+    implemented, neither materializes the corpus on the driver.  The
+    only all-to-all is the final dedup groupby, which moves already
+    heavily-filtered survivors.  Fully SQL-expressible, so the whole
+    composition is oracle-hash-checked end to end."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    survivors = docs.map_batches(_curate_gate, batch_format="pyarrow")
+
+    bench = _collect_bench_grams(docs)
+    if bench is not None:
+        clean = survivors.map_batches(
+            _DropContaminated, fn_constructor_kwargs={"ref": ray.put(bench)},
+            concurrency=(1, 8), batch_format="pyarrow")
+    else:
+        contaminated = _decontaminate_shuffled(docs)
+        clean = _drop_ids_copartitioned(survivors, contaminated)
+
+    return (clean.groupby("norm_text")
+            .map_groups(_curate_first_wins, batch_format="pyarrow"))
+
+
+def _curate_oracle() -> str:
+    """Generated from the same regex constants as _curate_gate."""
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(lower(nfc_normalize(text)),
+                                   '\s+', ' ', 'g')) AS norm_text
+        FROM documents),
+    tok AS (SELECT doc_id, regexp_split_to_array(norm_text, ' ') AS ws
+            FROM base),
+    grams AS (SELECT doc_id, array_to_string(ws[i:i+{_DECON_N - 1}], ' ')
+                  AS g
+              FROM tok, UNNEST(range(1, len(ws) - {_DECON_N - 2}))
+                  AS t(i)),
+    bench AS (SELECT DISTINCT g FROM grams
+              WHERE doc_id % {_DECON_MOD} = 0),
+    contaminated AS (SELECT DISTINCT doc_id FROM grams
+                     WHERE doc_id % {_DECON_MOD} != 0
+                       AND g IN (SELECT g FROM bench)),
+    feat AS (SELECT doc_id, source, norm_text,
+                    length(norm_text)
+                        - length(replace(norm_text, ' ', '')) + 1 AS n_tok,
+                    len(regexp_extract_all(norm_text,
+                        '{_CURATE_STOP_RE}')) AS n_stop,
+                    length(norm_text) AS n_chars,
+                    len(regexp_extract_all(norm_text, '[a-z]')) AS n_alpha,
+                    regexp_matches(norm_text,
+                        '{_CURATE_LANG_RE}') AS has_marker
+             FROM base),
+    kept AS (SELECT f.* FROM feat f
+             WHERE f.doc_id % {_DECON_MOD} != 0
+               AND f.n_stop * 10 < f.n_tok * 9
+               AND f.n_alpha * 2 > f.n_chars
+               AND f.has_marker
+               AND f.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+           norm_text, min(n_tok) AS n_tokens
+    FROM kept GROUP BY norm_text
+    """
 
 
 def q_token_len_hist(sf_dir):
@@ -2364,6 +2560,7 @@ def _lang_id_oracle() -> str:
 
 
 ORACLES["lang_id"] = _lang_id_oracle()
+ORACLES["curate_corpus"] = _curate_oracle()
 
 # components oracle derives from the SAME jaccard pair SQL (no drift):
 # recursive reachability over the undirected pair graph, min reachable
@@ -2541,6 +2738,7 @@ QUERIES = {
     "sample_per_source": q_sample_per_source,
     "source_token_stats": q_source_token_stats,
     "decontaminate": q_decontaminate,
+    "curate_corpus": q_curate_corpus,
     "token_len_hist": q_token_len_hist,
     "gopher_repetition": q_gopher_repetition,
     "source_len_quantiles": q_source_len_quantiles,

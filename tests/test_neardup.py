@@ -416,3 +416,18 @@ class TestDecontaminatePaths:
         a = base.sort_values("doc_id").reset_index(drop=True)
         b = shuffled.sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b[a.columns])
+
+    def test_curate_fallback_equals_broadcast(self, ray_session, sf_dir,
+                                              monkeypatch):
+        """curate_corpus through the shuffled-decontamination +
+        payload-carrying anti-join path must equal the broadcast
+        searchsorted path row for row."""
+        import pyspider_ray.training_queries as tq
+
+        cols = list(tq._CURATE_COLS)
+        base = tq.QUERIES["curate_corpus"](sf_dir).to_pandas()
+        monkeypatch.setattr(tq, "_DECON_MAX_BENCH", 0)
+        fb = tq.QUERIES["curate_corpus"](sf_dir).to_pandas()
+        a = base[cols].sort_values("doc_id").reset_index(drop=True)
+        b = fb[cols].sort_values("doc_id").reset_index(drop=True)
+        assert len(a) and a.equals(b)
