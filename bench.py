@@ -57,7 +57,10 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "jaccard_near_dup", "embedding_knn",
                # round-2 additions (keep the r1 list above unchanged
                # for cross-round comparability)
-               "simhash_near_dup", "asof_join", "session_windows"]
+               "simhash_near_dup", "asof_join", "session_windows",
+               # round-4 addition: the flagship curation composition
+               # (normalize/quality/lang/decontaminate/exact-dedup)
+               "curate_corpus"]
 
 
 def init_ray():
