@@ -42,19 +42,50 @@ def curated_dataset(sf_dir: str, collapse_near_dups: bool = True,
                     n_parts: int = 16):
     """The full lazy curation pipeline (adds the ``part`` column used
     for the partitioned write)."""
+    from .. import neardup
     from .. import training_queries as tq
 
     curated = tq.q_curate_corpus(sf_dir)
     if collapse_near_dups:
-        comp = tq.q_near_dup_components(sf_dir)
+        # both curated and comp are consumed twice below — pin their
+        # blocks in the object store instead of re-running the lineage
+        curated = curated.materialize()
+        comp = tq.q_near_dup_components(sf_dir).materialize()
+        if comp.count() > 0:
+            # Keep the minimum SURVIVING member of each near-dup
+            # cluster (the raw component representative may itself have
+            # been dropped by the curation gates — dropping every
+            # member != raw-rep would then lose the cluster's content
+            # entirely).  Three small id-table exchanges: label the
+            # survivors that appear in the pair graph with their
+            # component, take the min surviving id per component, and
+            # drop the rest via the payload-carrying anti-join.
+            def ids_only(b: pa.Table) -> pa.Table:
+                return pa.table({"doc_id": b["doc_id"]})
 
-        def losers(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy().astype(np.int64)
-            lab = b["component"].to_numpy().astype(np.int64)
-            return pa.table({"doc_id": pa.array(ids[ids != lab])})
+            labeled = neardup.attach_column(
+                curated.map_batches(ids_only, batch_format="pyarrow"),
+                comp, "component", "doc_id", "component")
+            winners = neardup.min_by_key(labeled, "component", "doc_id")
 
-        curated = tq._drop_ids_copartitioned(
-            curated, comp.map_batches(losers, batch_format="pyarrow"))
+            def as_key(b: pa.Table) -> pa.Table:
+                return pa.table({"doc_id": b["component"],
+                                 "winner": b["doc_id"]})
+
+            labeled_w = neardup.attach_column(
+                labeled,
+                winners.map_batches(as_key, batch_format="pyarrow"),
+                "winner", "component", "winner")
+
+            def losers(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy().astype(np.int64)
+                win = b["winner"].to_numpy().astype(np.int64)
+                return pa.table({"doc_id": pa.array(ids[ids != win])})
+
+            curated = tq._drop_ids_copartitioned(
+                curated,
+                labeled_w.map_batches(losers, batch_format="pyarrow"),
+                payload_schema=tq._CURATE_PAYLOAD)
 
     def with_part(b: pa.Table) -> pa.Table:
         from ..functions.synthweb import mix64
@@ -81,8 +112,15 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
     if resume and os.path.exists(done):
         with open(done) as f:
             manifest = json.load(f)
-        manifest["skipped"] = True
-        return manifest
+        # only skip when the finished output was built with the SAME
+        # parameters — a stale manifest from a different configuration
+        # must not masquerade as this run's result
+        same = (manifest.get("sf_dir") == sf_dir
+                and manifest.get("n_parts") == n_parts
+                and manifest.get("collapse_near_dups") == collapse_near_dups)
+        if same:
+            manifest["skipped"] = True
+            return manifest
 
     import pyarrow.parquet as pq
     t0 = time.perf_counter()
@@ -93,6 +131,7 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
     ds = curated_dataset(sf_dir, collapse_near_dups=collapse_near_dups,
                          n_parts=n_parts)
     ds.write_parquet(out_dir, partition_cols=["part"])
+    os.makedirs(out_dir, exist_ok=True)   # zero-row corpus: no files
 
     manifest = {
         "sf_dir": sf_dir,

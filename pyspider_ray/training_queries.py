@@ -2041,14 +2041,38 @@ class _DropContaminated:
         return b.filter(pa.array(keep))
 
 
-def _drop_ids_copartitioned(rows, drop_ids, n_buckets: int = 64):
+# survivor-row schema of the curation gate (also the sentinel schema
+# for its anti-join side): everything _curate_gate emits except doc_id
+_CURATE_PAYLOAD = pa.schema([
+    pa.field("source", pa.string()),
+    pa.field("norm_text", pa.string()),
+    pa.field("n_tokens", pa.int64()),
+])
+
+
+def _drop_ids_copartitioned(rows, drop_ids, n_buckets: int = 64,
+                            payload_schema: pa.Schema | None = None):
     """Payload-carrying anti-join by id: both sides co-partition on a
     coarse hash bucket of doc_id (drop side pre-distincted per batch,
-    sentinel payload columns so the union schema matches), and each
-    group drops its members with one vectorized np.isin — per-actor
-    state O(partition), nothing broadcast.  The payload-preserving
-    sibling of queries._membership_filter."""
+    null-sentinel payload columns so the union schema matches), and
+    each group drops its members with one vectorized np.isin —
+    per-actor state O(partition), nothing broadcast.  The
+    payload-preserving sibling of queries._membership_filter.
+
+    ``payload_schema`` is ``rows``'s schema minus doc_id, in row-table
+    column order with doc_id first; pass it when known statically
+    (else it is fetched from the dataset, which may execute a block).
+    Sentinel payload values are typed nulls, so the helper works for
+    any row schema; they never escape (the member filter keeps only
+    kind-0 rows)."""
     from .neardup import _key_bucket
+
+    if payload_schema is None:
+        sch = rows.schema()
+        fields = list(zip(sch.names, sch.types))
+    else:
+        fields = [("doc_id", pa.int64())] + \
+            [(f.name, f.type) for f in payload_schema]
 
     def tag_rows(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
@@ -2059,13 +2083,12 @@ def _drop_ids_copartitioned(rows, drop_ids, n_buckets: int = 64):
     def tag_drop(b: pa.Table) -> pa.Table:
         k = np.unique(b["doc_id"].to_numpy().astype(np.int64))
         n = len(k)
-        return pa.table({
-            "doc_id": pa.array(k),
-            "source": pa.array([""] * n, pa.string()),
-            "norm_text": pa.array([""] * n, pa.string()),
-            "n_tokens": pa.array(np.zeros(n, np.int64)),
-            "kind": pa.array(np.ones(n, np.int8)),
-            "cb": pa.array(_key_bucket(k, n_buckets))})
+        cols = {name: (pa.array(k) if name == "doc_id"
+                       else pa.nulls(n, typ))
+                for name, typ in fields}    # rows' exact column order
+        cols["kind"] = pa.array(np.ones(n, np.int8))
+        cols["cb"] = pa.array(_key_bucket(k, n_buckets))
+        return pa.table(cols)
 
     def member(g: pa.Table) -> pa.Table:
         kind = g["kind"].to_numpy()
@@ -2094,26 +2117,45 @@ def q_curate_corpus(sf_dir):
       -> decontaminate (no shared word-13-gram with the holdout)
       -> exact dedup on normalized text, first doc_id wins
 
-    Every gate is vectorized Arrow (see _curate_gate); contamination
-    uses the broadcast searchsorted path while the holdout's distinct
-    gram set fits `_DECON_MAX_BENCH`, else contaminated ids come from
-    the co-partitioned `_decontaminate_shuffled` exchange and are
-    dropped via the payload-carrying anti-join — both paths
-    implemented, neither materializes the corpus on the driver.  The
-    only all-to-all is the final dedup groupby, which moves already
+    Every gate is vectorized Arrow (see _curate_gate).  Contamination
+    is defined on NORMALIZED text on every path (matching the oracle):
+    the holdout stream is normalized once and gram-hashed; while its
+    distinct gram set fits `_DECON_MAX_BENCH` the survivors are probed
+    against the broadcast sorted array, else the holdout rows union
+    the survivors' (already normalized) text through the
+    co-partitioned `_decontaminate_shuffled` exchange — gate REJECTS
+    never enter that shuffle — and the contaminated ids are dropped
+    via the payload-carrying anti-join.  Both paths implemented,
+    neither materializes the corpus on the driver.  The only
+    all-to-all is the final dedup groupby, which moves already
     heavily-filtered survivors.  Fully SQL-expressible, so the whole
     composition is oracle-hash-checked end to end."""
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     survivors = docs.map_batches(_curate_gate, batch_format="pyarrow")
 
-    bench = _collect_bench_grams(docs)
+    def norm_holdout(b: pa.Table) -> pa.Table:
+        keep = b["doc_id"].to_numpy() % _DECON_MOD == 0
+        t = pa.table({"doc_id": b["doc_id"],
+                      "text": _normalize_text(b["text"])})
+        return t.filter(pa.array(keep))
+
+    holdout = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(norm_holdout, batch_format="pyarrow")
+
+    bench = _collect_bench_grams(holdout)
     if bench is not None:
         clean = survivors.map_batches(
             _DropContaminated, fn_constructor_kwargs={"ref": ray.put(bench)},
             concurrency=(1, 8), batch_format="pyarrow")
     else:
-        contaminated = _decontaminate_shuffled(docs)
-        clean = _drop_ids_copartitioned(survivors, contaminated)
+        def surv_text(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"],
+                             "text": b["norm_text"]})
+        gram_input = holdout.union(
+            survivors.map_batches(surv_text, batch_format="pyarrow"))
+        contaminated = _decontaminate_shuffled(gram_input)
+        clean = _drop_ids_copartitioned(survivors, contaminated,
+                                        payload_schema=_CURATE_PAYLOAD)
 
     return (clean.groupby("norm_text")
             .map_groups(_curate_first_wins, batch_format="pyarrow"))

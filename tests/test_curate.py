@@ -27,7 +27,10 @@ class TestCuratePipeline:
 
         cur = set(tq.q_curate_corpus(sf_dir).to_pandas()["doc_id"])
         comp = tq.q_near_dup_components(sf_dir).to_pandas()
-        losers = set(comp.doc_id[comp.doc_id != comp.component])
+        # expected: per cluster, the minimum SURVIVING member stays
+        surv = comp[comp.doc_id.isin(cur)]
+        winners = surv.groupby("component")["doc_id"].min()
+        losers = set(surv.doc_id) - set(winners)
         assert _out_ids(out) == cur - losers
         assert m["rows_out"] == len(cur - losers)
         # partitioned layout: hive dirs, several parts
@@ -54,6 +57,87 @@ class TestCuratePipeline:
         run(sf_dir, out, n_parts=2, collapse_near_dups=False)
         cur = set(tq.q_curate_corpus(sf_dir).to_pandas()["doc_id"])
         assert _out_ids(out) == cur
+
+
+def _write_docs(dirpath, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["t"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t, os.path.join(dirpath, "documents.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateEdgeCases:
+    def test_collapse_keeps_surviving_cluster_member(self, tmp_path):
+        """A near-dup cluster whose raw-graph representative (min
+        doc_id) is dropped by the gates must still contribute its
+        minimum SURVIVING member to the output — not vanish."""
+        from pyspider_ray.pipelines.curate import run
+
+        words = [f"alpha{i}" for i in range(19)] + ["the"]
+        rows = [
+            (100, " ".join(words)),            # holdout (100 % 50 == 0)
+            (101, " ".join(words[::-1])),      # same wordset, reversed
+            (102, "the " + " ".join(f"beta{i}" for i in range(15))),
+        ]
+        _write_docs(tmp_path, rows)
+        out = str(tmp_path / "out")
+        run(str(tmp_path), out, n_parts=2)
+        assert _out_ids(out) == {101, 102}
+
+    def test_contamination_is_normalized_on_all_paths(self, tmp_path,
+                                                      monkeypatch):
+        """Cased/multi-space duplicates of a holdout doc must be
+        decontaminated on the broadcast path, the shuffled fallback,
+        AND the SQL oracle — all three gram the NORMALIZED text."""
+        import duckdb
+
+        from pyspider_ray import training_queries as tq
+
+        text = ("The Quick  Brown Fox Jumps Over The Lazy Dog "
+                "And Keeps Running Far Away Today")
+        rows = [
+            (50, text),                        # holdout, cased + 2 spaces
+            (3, text.lower().replace("  ", " ")),   # same after normalize
+            (7, "the " + " ".join(f"gamma{i}" for i in range(15))),
+        ]
+        _write_docs(tmp_path, rows)
+
+        def ids_of(df):
+            return set(df["doc_id"])
+
+        broadcast = ids_of(tq.q_curate_corpus(str(tmp_path)).to_pandas())
+        assert broadcast == {7}      # 3 contaminated, 50 holdout
+
+        monkeypatch.setattr(tq, "_DECON_MAX_BENCH", 0)
+        fallback = ids_of(tq.q_curate_corpus(str(tmp_path)).to_pandas())
+        assert fallback == broadcast
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = ids_of(con.sql(tq.ORACLES["curate_corpus"]).df())
+        assert oracle == broadcast
+
+    def test_resume_reruns_on_parameter_mismatch(self, tmp_path):
+        from pyspider_ray.pipelines.curate import run
+
+        rows = [(i, "the " + " ".join(f"delta{i}word{j}" for j in range(14)))
+                for i in range(1, 9)]
+        _write_docs(tmp_path, rows)
+        out = str(tmp_path / "out")
+        run(str(tmp_path), out, n_parts=2, collapse_near_dups=False)
+        m = run(str(tmp_path), out, n_parts=4, collapse_near_dups=False,
+                resume=True)
+        assert "skipped" not in m and m["n_parts"] == 4
+        m2 = run(str(tmp_path), out, n_parts=4, collapse_near_dups=False,
+                 resume=True)
+        assert m2.get("skipped")
 
 
 def test_cli_subprocess(tmp_path):
