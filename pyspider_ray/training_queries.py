@@ -2422,6 +2422,205 @@ def q_dup_window_coverage(sf_dir):
                        Sum("dup", alias_name="n_dup_windows")))
 
 
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4)
+# ---------------------------------------------------------------------------
+
+_LINE_N = 16    # words per "line": the corpus carries no newlines, so
+#                 lines are the disjoint 16-word windows of the token
+#                 stream incl. the final partial one — exactly the
+#                 slices the SQL oracle takes
+_LINE_DEDUP_MAX_DISTINCT = 2_000_000   # broadcast-election envelope
+
+
+def _doc_line_strings(ws: list[str]) -> list[str]:
+    return [" ".join(ws[k:k + _LINE_N])
+            for k in range(0, len(ws), _LINE_N)]
+
+
+def _line_hashes(ws: list[str]) -> np.ndarray:
+    """One 64-bit shuffle hash per disjoint line (positional polynomial
+    over the memoized word hashes, zero-padded tail — vectorized, no
+    per-line md5).  Routing/group key ONLY: every consumer re-compares
+    the line STRINGS, so a collision costs work, never correctness."""
+    wh = _word_hashes(ws)
+    pad = (-len(wh)) % _LINE_N
+    if pad:
+        wh = np.concatenate([wh, np.zeros(pad, np.uint64)])
+    m = wh.reshape(-1, _LINE_N)
+    acc = np.zeros(len(m), dtype=np.uint64)
+    for k in range(_LINE_N):
+        acc = acc * _GRAM_P + m[:, k]
+    return acc
+
+
+def _collect_dup_line_winners(docs):
+    """Driver-side duplicate-line election.  Per batch a combiner keeps
+    ONE candidate per distinct line — its minimum (doc_id, line_no)
+    occurrence plus an occurrence count — so what streams back is
+    distinct-lines-per-batch, never occurrences.  The driver folds the
+    partials and returns ``{line: (win_doc, win_no)}`` for lines seen
+    more than once corpus-wide, or ``None`` the moment the distinct
+    stream exceeds the envelope (caller switches to the shuffled
+    path)."""
+    def batch_firsts(b: pa.Table) -> pa.Table:
+        best: dict[str, list] = {}
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            for no, ln in enumerate(_doc_line_strings(ws)):
+                cur = best.get(ln)
+                if cur is None:
+                    best[ln] = [int(doc_id), no, 1]
+                else:
+                    if (int(doc_id), no) < (cur[0], cur[1]):
+                        cur[0], cur[1] = int(doc_id), no
+                    cur[2] += 1
+        return pa.table({
+            "line": pa.array(list(best.keys()), pa.string()),
+            "doc": pa.array([v[0] for v in best.values()], pa.int64()),
+            "no": pa.array([v[1] for v in best.values()], pa.int64()),
+            "cnt": pa.array([v[2] for v in best.values()], pa.int64())})
+
+    best: dict[str, list] = {}
+    for b in (docs.map_batches(batch_firsts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for ln, d, n, c in zip(b["line"].to_pylist(), b["doc"].to_numpy(),
+                               b["no"].to_numpy(), b["cnt"].to_numpy()):
+            cur = best.get(ln)
+            if cur is None:
+                best[ln] = [int(d), int(n), int(c)]
+                if len(best) > _LINE_DEDUP_MAX_DISTINCT:
+                    return None
+            else:
+                if (int(d), int(n)) < (cur[0], cur[1]):
+                    cur[0], cur[1] = int(d), int(n)
+                cur[2] += int(c)
+    return {ln: (v[0], v[1]) for ln, v in best.items() if v[2] > 1}
+
+
+class _LineDedupApply:
+    """Second pass of the broadcast path: the winner dict rides the
+    actor constructor once; each doc re-derives its lines locally and
+    keeps a line iff it is not a corpus-wide duplicate or this
+    occurrence IS the elected first one.  The document never leaves its
+    block — zero text shuffle."""
+
+    def __init__(self, ref):
+        self.winners = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        win = self.winners
+        ids, texts, n_l, n_k = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            lines = _doc_line_strings(ws)
+            kept = [ln for no, ln in enumerate(lines)
+                    if win.get(ln) is None
+                    or win[ln] == (int(doc_id), no)]
+            ids.append(int(doc_id))
+            texts.append(" ".join(kept))
+            n_l.append(len(lines))
+            n_k.append(len(kept))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(texts, pa.string()),
+                         "n_lines": pa.array(n_l, pa.int64()),
+                         "n_lines_kept": pa.array(n_k, pa.int64())})
+
+
+def _line_dedup_shuffled(docs):
+    """Exact fallback for when the distinct-line space outgrows the
+    broadcast envelope: occurrences co-partition by line hash (the sort
+    key is a fixed-width int64; the text rides as payload), each group
+    elects first-wins per distinct STRING with one vectorized lexsort,
+    and a second shuffle folds flagged lines back into documents by
+    doc_id.  Two O(corpus) exchanges, nothing on the driver."""
+    def explode(b: pa.Table) -> pa.Table:
+        ids, nos, hs, lns = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            lines = _doc_line_strings(ws)
+            ids.append(np.full(len(lines), doc_id, dtype=np.int64))
+            nos.append(np.arange(len(lines), dtype=np.int64))
+            hs.append(_line_hashes(ws).view(np.int64))
+            lns.extend(lines)
+        if not ids:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "line_no": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ids)),
+                         "line_no": pa.array(np.concatenate(nos)),
+                         "line": pa.array(lns, pa.string())})
+
+    def flag(g: pa.Table) -> pa.Table:
+        line = np.asarray(g["line"].to_pylist(), dtype=object)
+        d = g["doc_id"].to_numpy()
+        n = g["line_no"].to_numpy()
+        order = np.lexsort((n, d, line))
+        sl = line[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = sl[1:] != sl[:-1]
+        keep = np.zeros(len(order), dtype=np.int64)
+        keep[order[first]] = 1
+        return pa.table({"doc_id": pa.array(d),
+                         "line_no": pa.array(n),
+                         "line": g["line"],
+                         "keep": pa.array(keep)})
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        n = g["line_no"].to_numpy()
+        keep = g["keep"].to_numpy().astype(bool)
+        line = g["line"].to_pylist()
+        order = np.argsort(n)
+        kept = [line[i] for i in order if keep[i]]
+        return pa.table({
+            "doc_id": pa.array([int(g["doc_id"][0].as_py())], pa.int64()),
+            "clean_text": pa.array([" ".join(kept)], pa.string()),
+            "n_lines": pa.array([len(n)], pa.int64()),
+            "n_lines_kept": pa.array([int(keep.sum())], pa.int64())})
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("h").map_groups(flag, batch_format="pyarrow")
+            .groupby("doc_id").map_groups(rebuild, batch_format="pyarrow"))
+
+
+def q_line_dedup(sf_dir):
+    """C4-style cross-corpus exact line dedup (Raffel et al. 2020: any
+    line occurring more than once in the corpus is kept only at its
+    first occurrence): lines are disjoint 16-word windows of the token
+    stream (the corpus has no newlines), first = minimum (doc_id,
+    line_no) — duplicates WITHIN a doc drop too.  Docs that tokenize
+    empty emit no row; a doc whose every line loses emits clean_text
+    ''.
+
+    Scale shape, two paths (the decontaminate pattern): duplicate-line
+    winners are elected through a per-batch distinct combiner + driver
+    fold and broadcast once via ray.put — the rewrite pass then never
+    moves a document (zero text shuffle).  When the distinct-line space
+    outgrows the envelope the query switches to an exact two-exchange
+    form: co-partition occurrences by line hash (first-wins per
+    distinct string via one lexsort per group), then fold back by
+    doc_id."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    winners = _collect_dup_line_winners(docs)
+    if winners is None:
+        return _line_dedup_shuffled(docs)
+    ref = ray.put(winners)
+    return docs.map_batches(_LineDedupApply,
+                            fn_constructor_kwargs={"ref": ref},
+                            concurrency=(1, 8), batch_format="pyarrow")
+
+
 ORACLES: dict[str, str] = {
     "token_count": r"""
         SELECT doc_id,
@@ -2720,6 +2919,29 @@ ORACLES["dup_window_coverage"] = r"""
     FROM flagged GROUP BY doc_id
 """
 
+ORACLES["line_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+               array_to_string(ws[i*16+1 : i*16+16], ' ') AS line
+        FROM toks, UNNEST(range(0, CAST(ceil(len(ws)/16.0) AS BIGINT)))
+             AS t(i)),
+    ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, line_no) AS rk
+        FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN line END, ' '
+                               ORDER BY line_no), '') AS clean_text,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept
+    FROM ranked GROUP BY doc_id
+"""
+
 ORACLES["gopher_repetition"] = r"""
     WITH base AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -2786,6 +3008,7 @@ QUERIES = {
     "source_len_quantiles": q_source_len_quantiles,
     "seq_packing": q_seq_packing,
     "dup_window_coverage": q_dup_window_coverage,
+    "line_dedup": q_line_dedup,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
