@@ -2423,6 +2423,169 @@ def q_dup_window_coverage(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# count-based LM quality scoring (CCNet)
+# ---------------------------------------------------------------------------
+
+_LM_MAX_TRAIN = 5_000_000    # broadcast envelope for the trained counts
+
+
+def _doc_bigram_counts(ws: list[str]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for i in range(len(ws) - 1):
+        g = ws[i] + " " + ws[i + 1]
+        out[g] = out.get(g, 0) + 1
+    return out
+
+
+def _collect_lm_counts(docs):
+    """Distributed bigram-LM training over the holdout split (doc_id %
+    50 == 0 — the same split decontaminate treats as the held-out
+    benchmark): per-batch Counter combiner, driver fold.  Returns
+    ``{bigram: count}`` or ``None`` past the broadcast envelope."""
+    def batch_counts(b: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            if doc_id % _DECON_MOD != 0:
+                continue
+            for g, k in _doc_bigram_counts(t.split()).items():
+                agg[g] = agg.get(g, 0) + k
+        return pa.table({"g": pa.array(list(agg.keys()), pa.string()),
+                         "k": pa.array(list(agg.values()), pa.int64())})
+
+    model: dict[str, int] = {}
+    for b in (docs.map_batches(batch_counts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for g, k in zip(b["g"].to_pylist(), b["k"].to_numpy()):
+            model[g] = model.get(g, 0) + int(k)
+            if len(model) > _LM_MAX_TRAIN:
+                return None
+    return model
+
+
+class _LmScore:
+    """Broadcast scorer: the trained count table rides the actor
+    constructor once; each non-holdout doc folds its bigram positions
+    into (n_bigrams, mass, n_oov) locally — zero shuffle."""
+
+    def __init__(self, ref):
+        self.model = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        model = self.model
+        ids, nb, mass, oov = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            if doc_id % _DECON_MOD == 0:
+                continue
+            ws = t.split()
+            if len(ws) < 2:
+                continue
+            n = m = v = 0
+            for g, k in _doc_bigram_counts(ws).items():
+                c = model.get(g, 0)
+                n += k
+                m += k * c
+                if not c:
+                    v += k
+            ids.append(int(doc_id))
+            nb.append(n)
+            mass.append(m)
+            oov.append(v)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_bigrams": pa.array(nb, pa.int64()),
+                         "mass": pa.array(mass, pa.int64()),
+                         "n_oov": pa.array(oov, pa.int64())})
+
+
+def _lm_score_shuffled(docs):
+    """Exact fallback past the envelope: train rows (doc_id = -1,
+    weight = count) and per-doc scoring rows (weight = in-doc
+    occurrences) co-partition by bigram hash through ONE exchange;
+    each group resolves train mass per distinct bigram STRING and
+    re-emits per-doc partial sums; a doc_id groupby folds the
+    integers.  Shuffled volume O(distinct bigrams per doc), never the
+    text."""
+    from ray.data.aggregate import Sum
+
+    def tagged(b: pa.Table) -> pa.Table:
+        gs, hs, ids, ks = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            counts = _doc_bigram_counts(ws)
+            if not counts:
+                continue
+            tag = -1 if doc_id % _DECON_MOD == 0 else int(doc_id)
+            for g, k in counts.items():
+                gs.append(g)
+                ids.append(tag)
+                ks.append(k)
+        # bigram strings are near-unique — hash them UNCACHED so they
+        # never thrash the memoized word-vocab cache
+        h = np.empty(len(gs), dtype=np.uint64)
+        for i, s in enumerate(gs):
+            h[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                  "big")
+        h = h.view(np.int64)
+        return pa.table({"h": pa.array(h),
+                         "g": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "k": pa.array(ks, pa.int64())})
+
+    def score(grp: pa.Table) -> pa.Table:
+        g = np.asarray(grp["g"].to_pylist(), dtype=object)
+        d = grp["doc_id"].to_numpy()
+        k = grp["k"].to_numpy()
+        ids, nb, mass, oov = [], [], [], []
+        for s in np.unique(g):
+            sel = g == s
+            train_c = int(k[sel & (d == -1)].sum())
+            for doc, kk in zip(d[sel & (d != -1)], k[sel & (d != -1)]):
+                ids.append(int(doc))
+                nb.append(int(kk))
+                mass.append(int(kk) * train_c)
+                oov.append(int(kk) if not train_c else 0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "nb": pa.array(nb, pa.int64()),
+                         "m": pa.array(mass, pa.int64()),
+                         "v": pa.array(oov, pa.int64())})
+
+    return (docs.map_batches(tagged, batch_format="pyarrow")
+            .groupby("h").map_groups(score, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("nb", alias_name="n_bigrams"),
+                       Sum("m", alias_name="mass"),
+                       Sum("v", alias_name="n_oov")))
+
+
+def q_lm_bigram_score(sf_dir):
+    """CCNet-style count-LM quality scoring (Wenzek et al. 2020 score
+    documents with an LM trained on trusted text): train word-bigram
+    counts on the holdout split (doc_id % 50 == 0) and score every
+    other doc.  Output is the LM's INTEGER sufficient statistics —
+    n_bigrams (positions), mass (sum over positions of the trained
+    count of that bigram), n_oov (positions unseen in training) — from
+    which a perplexity-style gate is a deterministic driver-side
+    formula; the integers hash bit-exactly across engines where float
+    log-probs cannot.  Docs shorter than two words emit no row.
+
+    Scale shape, two paths: the trained count table broadcasts via
+    ray.put inside `_LM_MAX_TRAIN` (scoring is then a zero-shuffle
+    streaming pass); past the envelope an exact co-partitioned
+    exchange by bigram hash resolves train mass per distinct bigram
+    string and folds per-doc partials through one groupby."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = _collect_lm_counts(docs)
+    if model is None:
+        return _lm_score_shuffled(docs)
+    ref = ray.put(model)
+    return docs.map_batches(_LmScore,
+                            fn_constructor_kwargs={"ref": ref},
+                            concurrency=(1, 8), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # line-level exact dedup (C4)
 # ---------------------------------------------------------------------------
 
@@ -2919,6 +3082,26 @@ ORACLES["dup_window_coverage"] = r"""
     FROM flagged GROUP BY doc_id
 """
 
+ORACLES["lm_bigram_score"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    grams AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+    train AS (
+        SELECT g, count(*) AS c FROM grams
+        WHERE doc_id % 50 = 0 GROUP BY g),
+    score AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS mass,
+           CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM score LEFT JOIN train USING (g)
+    GROUP BY doc_id
+"""
+
 ORACLES["line_dedup"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -3009,6 +3192,7 @@ QUERIES = {
     "seq_packing": q_seq_packing,
     "dup_window_coverage": q_dup_window_coverage,
     "line_dedup": q_line_dedup,
+    "lm_bigram_score": q_lm_bigram_score,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
