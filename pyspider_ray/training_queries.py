@@ -2423,6 +2423,107 @@ def q_dup_window_coverage(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# image+caption pair filtering (LAION/DataComp)
+# ---------------------------------------------------------------------------
+
+_IMG_GATE_N = 600
+_IMG_MIN_SIDE = 64
+_IMG_ASPECT_MAX = 2          # max(w,h) <= 2 * min(w,h), integer compare
+_IMG_MIN_CAPTION_TOKENS = 5
+
+
+def _image_caption_rows(n: int = _IMG_GATE_N) -> list[dict]:
+    """Deterministic image+caption table in the BASELINE input-hint
+    shape (image_id, bytes, w, h, fmt, caption, phash).  Every id with
+    i % 7 == 3 is re-crawled under a second image_id with the SAME
+    pixels (the exact-duplicate-image case); captions are corrupted
+    deterministically (empty at i % 13 == 0, truncated to 3 tokens at
+    i % 17 == 0) so the caption gate has real work."""
+    from .functions.synthweb import page_payload
+    rows = []
+    for i in range(n):
+        r = page_payload(i)
+        if i % 13 == 0:
+            r["caption"] = ""
+        elif i % 17 == 0:
+            r["caption"] = " ".join(r["caption"].split()[:3])
+        rows.append(r)
+        if i % 7 == 3:
+            dup = dict(r)
+            dup["image_id"] = r["image_id"] + "-b"
+            rows.append(dup)
+    return rows
+
+
+def q_image_caption_gate(sf_dir):
+    """LAION/DataComp-style image-text pair filtering (Schuhmann et
+    al. 2021 filter on image size + caption length before CLIP
+    scoring) over the input-hint table shape — rows-only (the image
+    table is synthetic; DuckDB holds no view of it; pinned by pytest
+    against an independent driver-side mirror).
+
+    One vectorized Arrow/numpy pass computes the metadata gates
+    (min-side >= 64 px, aspect ratio <= 2:1 as an integer compare,
+    caption >= 5 whitespace tokens) and PRUNES the payload bytes;
+    survivors then dedup exact-duplicate IMAGES by phash — the
+    re-crawl case: identical pixels fetched under two URLs — through
+    one groupby keeping the smallest image_id.  Only ~40 B/row of
+    metadata rides the exchange, never the image bytes.  Reason
+    bitmask: 1 too small, 2 extreme aspect, 4 caption too short,
+    8 duplicate image."""
+    rows = _image_caption_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "w": pa.array([r["w"] for r in rows], pa.int32()),
+        "h": pa.array([r["h"] for r in rows], pa.int32()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+        "caption": pa.array([r["caption"] for r in rows], pa.string()),
+        "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+    })
+
+    def gate(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
+        cap = b["caption"]
+        trimmed = pc.utf8_trim_whitespace(cap)
+        nspace = pc.count_substring(trimmed, " ").to_numpy()
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ntok = np.where(empty, 0, nspace + 1).astype(np.int64)
+        lo = np.minimum(w, h)
+        hi = np.maximum(w, h)
+        reason = ((lo < _IMG_MIN_SIDE) * 1
+                  + (hi > _IMG_ASPECT_MAX * lo) * 2
+                  + (ntok < _IMG_MIN_CAPTION_TOKENS) * 4).astype(np.int64)
+        return pa.table({"image_id": b["image_id"],
+                         "w": pa.array(w),
+                         "h": pa.array(h),
+                         "n_caption_tokens": pa.array(ntok),
+                         "phash": b["phash"],
+                         "reason": pa.array(reason)})
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        reason = g["reason"].to_numpy().copy()
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        ok = reason == 0
+        if ok.sum() > 1:
+            order = np.argsort(ids[ok])
+            reason[np.where(ok)[0][order[1:]]] |= 8
+        keep = (reason == 0).astype(np.int64)
+        return pa.table({"image_id": pa.array(list(ids), pa.string()),
+                         "w": g["w"],
+                         "h": g["h"],
+                         "n_caption_tokens": g["n_caption_tokens"],
+                         "keep": pa.array(keep),
+                         "reason": pa.array(reason)})
+
+    return (_rd().from_arrow(t)
+            .map_batches(gate, batch_format="pyarrow")
+            .groupby("phash")
+            .map_groups(dedup_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
 # count-based LM quality scoring (CCNet)
 # ---------------------------------------------------------------------------
 
@@ -3193,6 +3294,7 @@ QUERIES = {
     "dup_window_coverage": q_dup_window_coverage,
     "line_dedup": q_line_dedup,
     "lm_bigram_score": q_lm_bigram_score,
+    "image_caption_gate": q_image_caption_gate,
     "ngram_jaccard_near_dup": q_ngram_jaccard_near_dup,
     "simhash_near_dup": q_simhash_near_dup,
     "embedding_knn": q_embedding_knn,
