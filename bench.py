@@ -60,7 +60,10 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "simhash_near_dup", "asof_join", "session_windows",
                # round-4 addition: the flagship curation composition
                # (normalize/quality/lang/decontaminate/exact-dedup)
-               "curate_corpus"]
+               "curate_corpus",
+               # round-4 addition: C4 line dedup (election broadcast +
+               # zero-text-shuffle rewrite pass)
+               "line_dedup"]
 
 
 def init_ray():
