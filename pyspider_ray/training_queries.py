@@ -1465,19 +1465,15 @@ def q_winnow_fingerprint(sf_dir):
             .map_batches(fp, batch_format="pyarrow"))
 
 
-def q_kmeans_embeddings(sf_dir):
-    """Distributed k-means over the embedding column (rows-only: an
-    iterative algorithm with no SQL equivalent) — the canonical
-    map-reduce Lloyd iteration: each batch computes PARTIAL per-cluster
-    (sum, count) against broadcast centroids; the driver combines the
-    tiny partials and updates centroids; repeat.  Per iteration the
-    corpus streams once; nothing but (k x dim) centroid matrices ever
-    sits on the driver.  Deterministic init: first k vectors by
-    vec_id."""
+def _kmeans_centroids(sf_dir, ds, k: int, iters: int) -> np.ndarray:
+    """Map-reduce Lloyd training shared by q_kmeans_embeddings and
+    q_semdedup: each batch computes PARTIAL per-cluster (sum, count)
+    against broadcast centroids; the driver combines the tiny partials
+    and updates.  Per iteration the corpus streams once; nothing but
+    (k x dim) matrices ever sits on the driver.  Deterministic init:
+    first k vectors by vec_id (pruned pushdown scan, no shuffle)."""
     import functools
-    K, ITERS = 8, 5
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    _, C = _smallest_vec_rows(sf_dir, K)   # deterministic, no shuffle
+    _, C = _smallest_vec_rows(sf_dir, k)
     C = C.copy()
     C /= np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -1495,19 +1491,30 @@ def q_kmeans_embeddings(sf_dir):
                                 pa.list_(pa.float64())),
             "n": pa.array(counts.astype(np.int64))})
 
-    for _ in range(ITERS):
+    for _ in range(iters):
         parts = ds.map_batches(
             functools.partial(partials, centroids=C.tolist()),
             batch_format="pyarrow").take_all()
         sums = np.zeros_like(C)
-        counts = np.zeros(K, dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
         for p in parts:
             sums[p["cluster"]] += np.asarray(p["vec_sum"])
             counts[p["cluster"]] += p["n"]
-        for c in range(K):
+        for c in range(k):
             if counts[c]:
                 v = sums[c] / counts[c]
                 C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def q_kmeans_embeddings(sf_dir):
+    """Distributed k-means over the embedding column (rows-only: an
+    iterative algorithm with no SQL equivalent) — training in
+    `_kmeans_centroids`, then one streaming assignment pass."""
+    import functools
+    K, ITERS = 8, 5
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = _kmeans_centroids(sf_dir, ds, K, ITERS)
 
     def assign_final(b: pa.Table, centroids) -> pa.Table:
         Cm = np.asarray(centroids, dtype=np.float64)
@@ -1521,6 +1528,77 @@ def q_kmeans_embeddings(sf_dir):
     return ds.map_batches(functools.partial(assign_final,
                                             centroids=C.tolist()),
                           batch_format="pyarrow")
+
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.3   # the same cosine near-dup threshold
+#                       embedding_near_dup uses on this synthetic
+#                       geometry (the paper's 0.95 is calibrated to
+#                       real text encoders, where near-dups live in a
+#                       much tighter cone)
+
+
+def _semdedup_group(g: pa.Table, centroids, tau) -> pa.Table:
+    """SemDeDup's within-cluster greedy pass: members ordered by
+    ASCENDING cosine similarity to their centroid (the paper keeps the
+    point farthest from the centroid out of each duplicate set; ties
+    break on vec_id), each member survives iff its max similarity to
+    an already-kept member is <= tau.  O(m^2) vector ops against one
+    (m x dim) matrix — the k-means partition is what keeps m small."""
+    Cm = np.asarray(centroids, dtype=np.float64)
+    ids = g["vec_id"].to_numpy()
+    cluster = int(g["cluster"][0].as_py())
+    E = _embedding_matrix(g)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cen_sim = En @ Cm[cluster]
+    order = np.lexsort((ids, cen_sim))
+    kept = np.zeros((0, En.shape[1]))
+    keep = np.zeros(len(ids), dtype=np.int64)
+    for i in order:
+        if not len(kept) or (kept @ En[i]).max() <= tau:
+            keep[i] = 1
+            kept = np.vstack([kept, En[i]])
+    return pa.table({"vec_id": pa.array(ids),
+                     "cluster": pa.array(
+                         np.full(len(ids), cluster, dtype=np.int64)),
+                     "keep": pa.array(keep)})
+
+
+def q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, then dedup ONLY within clusters — pairs in
+    different clusters are never compared, which is what makes
+    semantic dedup tractable at corpus scale.  Rows-only (iterative +
+    float geometry; pinned by a pure-numpy mirror in pytest).
+
+    Scale shape: Lloyd training streams the corpus k-means-style
+    (driver holds k x dim); assignment is one map_batches against
+    broadcast centroids; the ONLY shuffle co-partitions vectors by
+    cluster id, and each group runs the paper's greedy
+    farthest-from-centroid-first pass against an (m x dim) slab.
+    Skewed clusters bound m — at real scale k scales with N (the
+    paper uses k ~ sqrt(N)) so groups stay near-constant."""
+    import functools
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = _kmeans_centroids(sf_dir, ds, _SEMDEDUP_K, 5)
+
+    def assign(b: pa.Table, centroids) -> pa.Table:
+        Cm = np.asarray(centroids, dtype=np.float64)
+        E = _embedding_matrix(b)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        return b.append_column(
+            "cluster", pa.array(np.argmax(En @ Cm.T, axis=1)
+                                .astype(np.int64)))
+
+    return (ds.map_batches(functools.partial(assign,
+                                             centroids=C.tolist()),
+                           batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(functools.partial(_semdedup_group,
+                                          centroids=C.tolist(),
+                                          tau=_SEMDEDUP_TAU),
+                        batch_format="pyarrow"))
 
 
 def q_crawl_order(sf_dir):
@@ -3310,5 +3388,6 @@ QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup": q_semdedup,
     "crawl_order": q_crawl_order,
 }
