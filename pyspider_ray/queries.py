@@ -231,7 +231,11 @@ def q_hash_join_revenue(sf_dir):
     from ray.data.aggregate import Count, Sum
     return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(_JoinCustomer, fn_constructor_kwargs={"sf_dir": sf_dir},
-                         batch_format="pyarrow", concurrency=2)
+                         batch_format="pyarrow", concurrency=2,
+                         # constructor kwargs live in the object store;
+                         # a restart could never rebuild them (ray#53727)
+                         # -- and it would be logged as an ERROR per run
+                         max_restarts=0)
             .groupby("c_nationkey")
             .aggregate(Count(alias_name="n_orders"),
                        Sum("price_cents", alias_name="revenue_cents")))
@@ -500,7 +504,8 @@ def q_range_join_count(sf_dir):
     return (_read(sf_dir, "events", ["event_id", "value"])
             .map_batches(_RangeJoinCount,
                          fn_constructor_kwargs={"sf_dir": sf_dir},
-                         batch_format="pyarrow", concurrency=2))
+                         batch_format="pyarrow", concurrency=2,
+                         max_restarts=0))
 
 
 def q_sliding_window(sf_dir):

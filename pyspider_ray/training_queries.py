@@ -551,7 +551,10 @@ def _mask_class_near_dup(values_ds, col="mask", mode="jaccard",
                                                 "mode": mode,
                                                 "max_dist": max_dist},
                          concurrency=(1, 16), batch_format="pyarrow",
-                         batch_size=256))
+                         batch_size=256,
+                         # kwargs hold an object-store ref a restart could
+                         # never rebuild (ray#53727): restarts off
+                         max_restarts=0))
 
 
 def q_jaccard_near_dup(sf_dir):
@@ -2055,7 +2058,8 @@ def q_decontaminate(sf_dir):
 
     return docs.map_batches(_Contaminated,
                             fn_constructor_kwargs={"ref": bench_ref},
-                            concurrency=(1, 8), batch_format="pyarrow")
+                            concurrency=(1, 8), batch_format="pyarrow",
+                            max_restarts=0)
 
 
 # ---------------------------------------------------------------------------
@@ -2224,7 +2228,7 @@ def q_curate_corpus(sf_dir):
     if bench is not None:
         clean = survivors.map_batches(
             _DropContaminated, fn_constructor_kwargs={"ref": ray.put(bench)},
-            concurrency=(1, 8), batch_format="pyarrow")
+            concurrency=(1, 8), batch_format="pyarrow", max_restarts=0)
     else:
         def surv_text(b: pa.Table) -> pa.Table:
             return pa.table({"doc_id": b["doc_id"],
@@ -2761,7 +2765,8 @@ def q_lm_bigram_score(sf_dir):
     ref = ray.put(model)
     return docs.map_batches(_LmScore,
                             fn_constructor_kwargs={"ref": ref},
-                            concurrency=(1, 8), batch_format="pyarrow")
+                            concurrency=(1, 8), batch_format="pyarrow",
+                            max_restarts=0)
 
 
 # ---------------------------------------------------------------------------
@@ -2960,7 +2965,8 @@ def q_line_dedup(sf_dir):
     ref = ray.put(winners)
     return docs.map_batches(_LineDedupApply,
                             fn_constructor_kwargs={"ref": ref},
-                            concurrency=(1, 8), batch_format="pyarrow")
+                            concurrency=(1, 8), batch_format="pyarrow",
+                            max_restarts=0)
 
 
 ORACLES: dict[str, str] = {
