@@ -1789,6 +1789,157 @@ def q_vocab_topk(sf_dir):
             .limit(100))
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+_BPE_MAX_VOCAB = 1_000_000    # driver-loop envelope on distinct words
+
+
+def _bpe_word_syms(word: str) -> list[str]:
+    return list(word) + ["</w>"]
+
+
+def _bpe_merges_driver(freq: dict[str, int], k: int) -> list[tuple]:
+    """Textbook BPE merge learning over the word-frequency table:
+    k rounds of (count adjacent symbol pairs weighted by word
+    frequency, merge the heaviest — ties to the lexicographically
+    smallest (left, right) pair).  O(vocab) per round, corpus never
+    touched again."""
+    vocab = [( _bpe_word_syms(w), n) for w, n in freq.items()]
+    out = []
+    for rank in range(k):
+        pc: dict[tuple, int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (left, right), weight = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, left, right, weight))
+        merged = left + right
+        for syms, _ in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i:i + 2] = [merged]
+                else:
+                    i += 1
+    return out
+
+
+def _bpe_merges_distributed(freq_ds, k: int) -> list[tuple]:
+    """Fallback past the vocab envelope: the frequency table stays a
+    Dataset of (syms: list<string>, n).  Each round, per-batch pair
+    Counters (weighted by n) feed one vocabulary-sized groupby-sum;
+    the global argmax is a sort + limit(1) on the tiny pair table
+    (ties via the NUL-joined pair key, whose string order equals the
+    (left, right) tuple order since NUL sorts below every symbol
+    char); the winning merge broadcasts into a rewrite pass and the
+    table re-materializes for the next round.  The corpus itself is
+    read exactly once, before round 0."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        pc: dict[str, int] = {}
+        for syms, n in zip(b["syms"].to_pylist(), b["n"].to_numpy()):
+            for i in range(len(syms) - 1):
+                p = syms[i] + "\x00" + syms[i + 1]
+                pc[p] = pc.get(p, 0) + int(n)
+        return pa.table({"pair": pa.array(list(pc.keys()), pa.string()),
+                         "w": pa.array(list(pc.values()), pa.int64())})
+
+    def apply_merge(b: pa.Table, left, right) -> pa.Table:
+        merged = left + right
+        rows = []
+        for syms in b["syms"].to_pylist():
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i:i + 2] = [merged]
+                else:
+                    i += 1
+            rows.append(syms)
+        return pa.table({"syms": pa.array(rows,
+                                          pa.list_(pa.string())),
+                         "n": b["n"]})
+
+    out = []
+    ds = freq_ds
+    for rank in range(k):
+        top = (ds.map_batches(pair_counts, batch_format="pyarrow")
+               .groupby("pair").aggregate(Sum("w", alias_name="w"))
+               .sort(["w", "pair"], descending=[True, False])
+               .limit(1).take_all())
+        if not top:
+            break
+        left, right = top[0]["pair"].split("\x00")
+        out.append((rank, left, right, int(top[0]["w"])))
+        ds = ds.map_batches(
+            functools.partial(apply_merge, left=left, right=right),
+            batch_format="pyarrow").materialize()
+    return out
+
+
+def q_bpe_train(sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn the first 8 merges of a byte-pair-encoding vocabulary over
+    the corpus.  Rows-only (iterative argmax; pinned by pytest: the
+    distributed fallback must equal the driver loop exactly, plus a
+    hand-traced corpus).
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    combiner + groupby-sum (the vocab_topk pattern — Zipf keeps the
+    output vocabulary-sized).  Under `_BPE_MAX_VOCAB` the merge loop
+    runs driver-side over the tiny frequency table (the textbook
+    algorithm); past it, each round is one vocabulary-sized
+    groupby-sum + sort/limit(1) + broadcast rewrite, the corpus never
+    re-read.  Output: (rank, left, right, weight), identical on both
+    paths."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b["text"].str.strip().str.split(r"\s+")
+              .explode().value_counts())
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n": vc.values.astype("int64")})
+
+    freq_ds = (_read(sf_dir, "documents", ["text"])
+               .map_batches(counts, batch_format="pandas")
+               .groupby("word").aggregate(Sum("n", alias_name="n")))
+
+    if freq_ds.count() <= _BPE_MAX_VOCAB:
+        freq = {r["word"]: int(r["n"])
+                for b in freq_ds.iter_batches(batch_format="pandas",
+                                              batch_size=None)
+                for r in b.to_dict("records")}
+        merges = _bpe_merges_driver(freq, _BPE_MERGES)
+    else:
+        def to_syms(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "syms": pa.array([_bpe_word_syms(w)
+                                  for w in b["word"].to_pylist()],
+                                 pa.list_(pa.string())),
+                "n": b["n"]})
+        merges = _bpe_merges_distributed(
+            freq_ds.map_batches(to_syms, batch_format="pyarrow"),
+            _BPE_MERGES)
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "weight": pa.array([m[3] for m in merges], pa.int64())})
+
+
 def q_doc_top_terms(sf_dir):
     """Per-document top-3 terms by term frequency (ties to the
     alphabetically-first word) with the GLOBAL document frequency
@@ -3366,6 +3517,7 @@ QUERIES = {
     "near_dup_collapse": q_near_dup_collapse,
     "dedup_keep_best": q_dedup_keep_best,
     "vocab_topk": q_vocab_topk,
+    "bpe_train": q_bpe_train,
     "doc_top_terms": q_doc_top_terms,
     "sample_per_source": q_sample_per_source,
     "source_token_stats": q_source_token_stats,
