@@ -1289,16 +1289,15 @@ def _phash_bands(b: pa.Table) -> pa.Table:
         "doc_id": pa.array(np.repeat(ids, c).astype(np.int64))})
 
 
-def q_image_phash_near_dup(sf_dir):
-    """Image near-dup by perceptual-hash Hamming distance <= 10 over
-    the synthetic page corpus + its lossy re-encodes (rows-only —
-    DuckDB can't decode images): the image-payload analogue of SimHash
-    dedup, running the SAME distributed banding pipeline
-    (pyspider_ray.neardup): pHash actor stage → 12-band composite
-    multi-index (zero misses at d<=10) → sort-shuffle pair expansion →
-    distinct → signature join → popcount verify.  Integer doc ids pack
-    (url_id*2 + lossy) so the pair machinery's 32-bit packing applies;
-    labels rehydrate at the end."""
+def _image_phash_name(d: int) -> str:
+    return f"img-{d >> 1:012d}" + (":lossy" if d & 1 else "")
+
+
+def _image_phash_pairs():
+    """Verified pHash Hamming<=10 pair table over the synthetic page
+    corpus + its lossy re-encodes, packed int ids (url_id*2 + lossy) —
+    shared by q_image_phash_near_dup (labels the pairs) and
+    q_image_phash_collapse (components + survivor filter)."""
     from .functions.imaging import fjpg_decode, fjpg_encode, phash64
     from .functions.synthweb import page_pixels
     from .neardup import candidate_pairs, join_signatures
@@ -1323,19 +1322,60 @@ def q_image_phash_near_dup(sf_dir):
     triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
     pairs = candidate_pairs(triples)
     joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
-    verified = joined.map_batches(_hamming_filter(10),
-                                  batch_format="pyarrow")
+    return joined.map_batches(_hamming_filter(10),
+                              batch_format="pyarrow")
 
+
+def q_image_phash_near_dup(sf_dir):
+    """Image near-dup by perceptual-hash Hamming distance <= 10 over
+    the synthetic page corpus + its lossy re-encodes (rows-only —
+    DuckDB can't decode images): the image-payload analogue of SimHash
+    dedup, running the SAME distributed banding pipeline
+    (pyspider_ray.neardup): pHash actor stage → 12-band composite
+    multi-index (zero misses at d<=10) → sort-shuffle pair expansion →
+    distinct → signature join → popcount verify.  Integer doc ids pack
+    (url_id*2 + lossy) so the pair machinery's 32-bit packing applies;
+    labels rehydrate at the end."""
     def label(b: pa.Table) -> pa.Table:
-        def name(d):
-            return f"img-{d >> 1:012d}" + (":lossy" if d & 1 else "")
         return pa.table({
-            "image_a": pa.array([name(d) for d in
+            "image_a": pa.array([_image_phash_name(d) for d in
                                  b["doc_a"].to_pylist()], pa.string()),
-            "image_b": pa.array([name(d) for d in
+            "image_b": pa.array([_image_phash_name(d) for d in
                                  b["doc_b"].to_pylist()], pa.string())})
 
-    return verified.map_batches(label, batch_format="pyarrow")
+    return _image_phash_pairs().map_batches(label,
+                                            batch_format="pyarrow")
+
+
+def q_image_phash_collapse(sf_dir):
+    """Image-corpus dedup end-to-end: pHash pair graph → connected
+    components (the shared min-label engine) → keep one image per
+    visual cluster (min packed id: the clean original beats its lossy
+    re-encode) → losers drop through the co-partitioned membership
+    filter.  The image analogue of near_dup_collapse — what a
+    multimodal training pipeline runs before captioning (rows-only;
+    pinned by pytest: every lossy twin of a clean original must
+    collapse onto it)."""
+    from .queries import _membership_filter
+    comp = _components_from_pairs(_image_phash_pairs())
+
+    def losers(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        lab = b["component"].to_numpy().astype(np.int64)
+        return pa.table({"drop_id": pa.array(ids[ids != lab])})
+
+    universe = _rd().from_arrow(pa.table({
+        "doc_id": pa.array([(i << 1) | v for i in range(100)
+                            for v in (0, 1)], pa.int64())}))
+    survivors = _membership_filter(
+        universe, "doc_id",
+        comp.map_batches(losers, batch_format="pyarrow"), "drop_id",
+        negate=True)
+    return survivors.map_batches(
+        lambda b: pa.table({"image_id": pa.array(
+            [_image_phash_name(d) for d in b["doc_id"].to_pylist()],
+            pa.string())}),
+        batch_format="pyarrow")
 
 
 class _AudioFeatureStage:
@@ -1648,8 +1688,15 @@ def q_near_dup_components(sf_dir):
     Output: (doc_id, component) for every doc in the pair graph,
     component = min doc_id reachable.  Oracle: DuckDB recursive CTE.
     """
+    return _components_from_pairs(q_jaccard_near_dup(sf_dir))
+
+
+def _components_from_pairs(pair_ds):
+    """Min-label propagation over any (doc_a, doc_b) int64 pair table
+    — the components engine behind near_dup_components (Jaccard graph)
+    and image_phash_collapse (pHash Hamming graph)."""
     from .neardup import attach_column, min_by_key
-    pairs = q_jaccard_near_dup(sf_dir).materialize()
+    pairs = pair_ds.materialize()
     _empty = pa.table({"doc_id": pa.array([], pa.int64()),
                        "component": pa.array([], pa.int64())})
     if pairs.count() == 0:                 # no near-dups: empty graph
@@ -3541,6 +3588,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "image_decode": q_image_decode,
     "image_phash_near_dup": q_image_phash_near_dup,
+    "image_phash_collapse": q_image_phash_collapse,
     "audio_features": q_audio_features,
     "video_frame_sample": q_video_frame_sample,
     "token_count_bpe": q_token_count_bpe,
