@@ -1961,7 +1961,9 @@ def q_bpe_train(sf_dir):
 
     freq_ds = (_read(sf_dir, "documents", ["text"])
                .map_batches(counts, batch_format="pandas")
-               .groupby("word").aggregate(Sum("n", alias_name="n")))
+               .groupby("word").aggregate(Sum("n", alias_name="n"))
+               .materialize())     # vocab-sized; count() + the path
+    #                                taken both read it, never recompute
 
     if freq_ds.count() <= _BPE_MAX_VOCAB:
         freq = {r["word"]: int(r["n"])
