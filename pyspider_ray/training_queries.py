@@ -1475,11 +1475,15 @@ def q_token_count_bpe(sf_dir):
 
 
 def q_winnow_fingerprint(sf_dir):
-    """Winnowing document fingerprint (rows-only): Rabin-style rolling
-    hash over word 4-grams, then the minimum hash per sliding window of
-    5 — the classic local-fingerprint scheme for plagiarism/near-dup
-    detection (Schleimer et al., SIGMOD'03).  Emits per-doc fingerprint
-    count + xor-fold digest (order-independent)."""
+    """Winnowing document fingerprint: Rabin-style rolling hash over
+    word 4-grams, then the minimum hash per sliding window of 5 — the
+    classic local-fingerprint scheme for plagiarism/near-dup detection
+    (Schleimer et al., SIGMOD'03).  Emits per-doc fingerprint count +
+    xor-fold digest (order-independent).  ORACLE-CHECKED bit-exactly:
+    the DuckDB side replays the identical uint64 polynomial in HUGEINT
+    with one mod-2^64 fold (mod distributes over the +/* chain, so one
+    fold equals numpy's per-op wraparound) and the same window-min /
+    distinct / bit_xor pipeline via window functions."""
     B = np.uint64(1_000_003)
 
     def fp(b: pa.Table) -> pa.Table:
@@ -3465,6 +3469,47 @@ ORACLES["dup_window_coverage"] = r"""
     SELECT doc_id, count(*) AS n_windows,
            CAST(sum(dup) AS BIGINT) AS n_dup_windows
     FROM flagged GROUP BY doc_id
+"""
+
+ORACLES["winnow_fingerprint"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, len(ws) - 3 AS n_grams,
+               CAST(((((('0x'||substr(md5(ws[i]),1,16))::UBIGINT::HUGEINT
+                         * 1000003
+                       + ('0x'||substr(md5(ws[i+1]),1,16))::UBIGINT)
+                         * 1000003
+                       + ('0x'||substr(md5(ws[i+2]),1,16))::UBIGINT)
+                         * 1000003
+                       + ('0x'||substr(md5(ws[i+3]),1,16))::UBIGINT)
+                      % 18446744073709551616) AS UBIGINT) AS g
+        FROM toks, UNNEST(range(1, len(ws) - 2)) AS t(i)
+        WHERE len(ws) >= 4),
+    windowed AS (
+        SELECT doc_id, pos, n_grams,
+               min(g) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                   AS w5,
+               min(g) OVER (PARTITION BY doc_id) AS wall
+        FROM grams),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN n_grams >= 5 THEN w5 ELSE wall END AS wmin
+        FROM windowed
+        WHERE n_grams < 5 OR pos <= n_grams - 4),
+    agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               bit_xor(wmin) AS dig
+        FROM sel GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+           CAST(coalesce(CASE WHEN a.dig >= 9223372036854775808::UBIGINT
+                              THEN a.dig::HUGEINT - 18446744073709551616
+                              ELSE a.dig::HUGEINT END, 0) AS BIGINT)
+               AS digest
+    FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 ORACLES["lm_bigram_score"] = r"""
