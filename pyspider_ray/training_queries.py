@@ -2773,9 +2773,10 @@ def q_image_caption_gate(sf_dir):
         h = b["h"].to_numpy().astype(np.int64)
         cap = b["caption"]
         trimmed = pc.utf8_trim_whitespace(cap)
-        nspace = pc.count_substring(trimmed, " ").to_numpy()
+        # count whitespace RUNS, not spaces: "a  b" is 2 tokens
+        nruns = pc.count_substring_regex(trimmed, r"\s+").to_numpy()
         empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
-        ntok = np.where(empty, 0, nspace + 1).astype(np.int64)
+        ntok = np.where(empty, 0, nruns + 1).astype(np.int64)
         lo = np.minimum(w, h)
         hi = np.maximum(w, h)
         reason = ((lo < _IMG_MIN_SIDE) * 1
