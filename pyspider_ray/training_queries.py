@@ -3597,6 +3597,154 @@ ORACLES["source_len_quantiles"] = r"""
     FROM w GROUP BY source
 """
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096                 # hashed feature buckets (fixed model size)
+_DSIR_BUCKET_CACHE: dict[str, int] = {}
+
+
+def _dsir_buckets(words: list[str]) -> np.ndarray:
+    """Hashed unigram+bigram feature buckets (Xie et al. 2023 §2.1: the
+    featurization is a bag of hashed n-grams).  Bucket = high-32 md5 of
+    the gram mod ``_DSIR_B`` — chosen because DuckDB replays it
+    bit-exactly (``('0x' || substr(md5(g),1,8))::BIGINT % B``), so the
+    oracle shares the hash function instead of approximating it.
+    Memoized per distinct gram per worker (Zipf: grams repeat)."""
+    cache = _DSIR_BUCKET_CACHE
+    if len(cache) > 2_000_000:
+        cache.clear()
+    grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+    out = np.empty(len(grams), dtype=np.int64)
+    for i, g in enumerate(grams):
+        v = cache.get(g)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(g.encode()).digest()[:4],
+                               "big") % _DSIR_B
+            cache[g] = v
+        out[i] = v
+    return out
+
+
+class _DsirScore:
+    """Scoring pass: the two fixed-size count vectors ride ONE ray.put
+    into each actor's constructor; per doc the masses are two
+    vectorized gathers over the bucket array."""
+
+    def __init__(self, ref):
+        self.tvec, self.rvec, self.tt, self.rt = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, n_g, tm, rm, sel = [], [], [], [], []
+        tt, rt = self.tt, self.rt
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            if doc_id % 50 == 0:
+                continue
+            ws = t.split()
+            if not ws:
+                continue
+            bx = _dsir_buckets(ws)
+            t_mass = int(self.tvec[bx].sum())
+            r_mass = int(self.rvec[bx].sum())
+            ids.append(int(doc_id))
+            n_g.append(len(bx))
+            tm.append(t_mass)
+            rm.append(r_mass)
+            sel.append(t_mass * rt > r_mass * tt)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(n_g, pa.int64()),
+                         "target_mass": pa.array(tm, pa.int64()),
+                         "raw_mass": pa.array(rm, pa.int64()),
+                         "selected": pa.array(sel, pa.bool_())})
+
+
+def q_dsir_select(sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): featurize every doc
+    as a bag of hashed unigram+bigram buckets, fit target (holdout
+    split, doc_id % 50 == 0) and raw bucket-count distributions, and
+    gate each raw doc on its importance evidence.  Output is the
+    INTEGER sufficient statistics — n_grams plus target_mass/raw_mass,
+    the sums over the doc's gram positions of the trained bucket
+    counts — and ``selected``, the cross-multiplied mass-ratio gate
+    ``target_mass * Σraw > raw_mass * Σtarget`` (does the target
+    distribution put above-average mass on this doc's buckets?): the
+    integer-exact surrogate of the paper's float log-ratio sum, chosen
+    so results hash bit-exactly across engines.
+
+    Scale shape: the model is TWO fixed ``_DSIR_B``-length count
+    vectors regardless of corpus size — the entire point of hashed
+    features — so there is no broadcast envelope to fall back from:
+    pass 1 is a per-batch dense-vector combiner folded on the driver
+    (O(B) rows per batch ever cross, never grams), pass 2 a
+    zero-shuffle streaming scoring pass."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        tvec = np.zeros(_DSIR_B, dtype=np.int64)
+        rvec = np.zeros(_DSIR_B, dtype=np.int64)
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            np.add.at(tvec if doc_id % 50 == 0 else rvec,
+                      _dsir_buckets(ws), 1)
+        nz = np.flatnonzero(tvec | rvec)
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "tc": pa.array(tvec[nz], pa.int64()),
+                         "rc": pa.array(rvec[nz], pa.int64())})
+
+    tvec = np.zeros(_DSIR_B, dtype=np.int64)
+    rvec = np.zeros(_DSIR_B, dtype=np.int64)
+    for part in (docs.map_batches(partials, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        bx = part["b"].to_numpy()
+        tvec[bx] += part["tc"].to_numpy()
+        rvec[bx] += part["rc"].to_numpy()
+    ref = ray.put((tvec, rvec, int(tvec.sum()), int(rvec.sum())))
+    return docs.map_batches(_DsirScore,
+                            fn_constructor_kwargs={"ref": ref},
+                            concurrency=(1, 8), batch_format="pyarrow",
+                            max_restarts=0)
+
+
+ORACLES["dsir_select"] = rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    grams AS (
+        SELECT doc_id, ws[i] AS g
+        FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+    bux AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS b
+        FROM grams),
+    tvec AS (SELECT b, count(*) AS tc FROM bux
+             WHERE doc_id % 50 = 0 GROUP BY b),
+    rvec AS (SELECT b, count(*) AS rc FROM bux
+             WHERE doc_id % 50 <> 0 GROUP BY b),
+    tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tvec) AS tt,
+                   (SELECT coalesce(sum(rc), 0) FROM rvec) AS rt),
+    doc AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(coalesce(sum(tc), 0) AS BIGINT) AS target_mass,
+               CAST(coalesce(sum(rc), 0) AS BIGINT) AS raw_mass
+        FROM bux LEFT JOIN tvec USING (b) LEFT JOIN rvec USING (b)
+        WHERE doc_id % 50 <> 0
+        GROUP BY doc_id)
+    SELECT doc_id, n_grams, target_mass, raw_mass,
+           (CAST(target_mass AS HUGEINT) * rt
+              > CAST(raw_mass AS HUGEINT) * tt) AS selected
+    FROM doc, tot
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -3622,6 +3770,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "source_len_quantiles": q_source_len_quantiles,
     "seq_packing": q_seq_packing,
+    "dsir_select": q_dsir_select,
     "dup_window_coverage": q_dup_window_coverage,
     "line_dedup": q_line_dedup,
     "lm_bigram_score": q_lm_bigram_score,
