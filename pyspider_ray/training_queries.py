@@ -1416,6 +1416,82 @@ def q_audio_features(sf_dir):
                          batch_size=32, concurrency=2))
 
 
+class _AudioFpStage:
+    """Actor-pool decode → 64-bit Haitsma-Kalker fingerprint (codec
+    and FFT kernel bind once per actor); emits the signature column
+    the banding exchange consumes."""
+
+    def __init__(self):
+        from .functions.media import audio_decode, audio_fingerprint64
+        self._decode = audio_decode
+        self._fp = audio_fingerprint64
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = []
+        for data in b["bytes"].to_pylist():
+            _, samples = self._decode(data)
+            v = self._fp(samples)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(out, pa.int64())})
+
+
+def _audio_fp_name(d: int) -> str:
+    return f"aud-{d >> 1:06d}" + (":alt" if d & 1 else "")
+
+
+def q_audio_fp_near_dup(sf_dir):
+    """Audio near-dup by Haitsma-Kalker fingerprint Hamming <= 10
+    (rows-only — DuckDB can't FFT): the audio analogue of pHash dedup
+    on the SAME distributed machinery — binary clips → actor-pool
+    decode + fingerprint → 12-band composite multi-index (zero misses
+    at d <= 10) → hash-shuffle pair expansion → distinct → signature
+    join → popcount verify.  Corpus: 100 synthetic clips; every third
+    also ships a perturbed re-master (0.8x gain + 1% noise) that the
+    fingerprint must pair with its original — and nothing else
+    (measured margin: twin distance <= 7, distinct clips >= 15).
+    Packed ids (clip*2 + alt) keep the pair machinery's narrow path."""
+    from .functions.media import (audio_decode, audio_encode,
+                                  perturb_audio, synth_audio)
+    from .neardup import candidate_pairs, join_signatures
+
+    def clips(b: pa.Table) -> pa.Table:
+        payload = []
+        for did in b["doc_id"].to_pylist():
+            clip_id, alt = did >> 1, did & 1
+            data = synth_audio(clip_id)
+            if alt:
+                sr, samples = audio_decode(data)
+                data = audio_encode(perturb_audio(samples, clip_id), sr)
+            payload.append(data)
+        return pa.table({"doc_id": b["doc_id"],
+                         "bytes": pa.array(payload, pa.binary())})
+
+    doc_ids = [d for i in range(100)
+               for d in ([i << 1, (i << 1) | 1] if i % 3 == 0
+                         else [i << 1])]
+    base = _rd().from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64())})).repartition(4)
+    sigs = (base.map_batches(clips, batch_format="pyarrow",
+                             batch_size=32)
+            .map_batches(_AudioFpStage, batch_format="pyarrow",
+                         batch_size=32, concurrency=2).materialize())
+    triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(triples)
+    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
+    verified = joined.map_batches(_hamming_filter(10),
+                                  batch_format="pyarrow")
+
+    def label(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_a": pa.array([_audio_fp_name(d) for d in
+                                b["doc_a"].to_pylist()], pa.string()),
+            "clip_b": pa.array([_audio_fp_name(d) for d in
+                                b["doc_b"].to_pylist()], pa.string())})
+
+    return verified.map_batches(label, batch_format="pyarrow")
+
+
 class _FrameSampleStage:
     """Actor-pool video decode + frame sampling (every 4th frame) +
     per-sampled-frame mean/phash-style stats — the standard pre-filter
@@ -3787,6 +3863,7 @@ QUERIES = {
     "image_phash_near_dup": q_image_phash_near_dup,
     "image_phash_collapse": q_image_phash_collapse,
     "audio_features": q_audio_features,
+    "audio_fp_near_dup": q_audio_fp_near_dup,
     "video_frame_sample": q_video_frame_sample,
     "token_count_bpe": q_token_count_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -32,6 +32,52 @@ class TestAudio:
             audio_decode(b"not audio")
 
 
+class TestAudioFingerprint:
+    """Haitsma-Kalker fingerprint kernel properties + the distributed
+    near-dup query over it."""
+
+    def _ham(self, a, b):
+        return bin(a ^ b).count("1")
+
+    def test_gain_invariant_and_noise_robust(self):
+        from pyspider_ray.functions.media import (audio_fingerprint64,
+                                                  perturb_audio)
+        for seed in range(20):
+            _, s = audio_decode(synth_audio(seed))
+            fp = audio_fingerprint64(s)
+            # pure gain change: energy DIFFERENCES scale -> identical
+            assert audio_fingerprint64(s * 0.5) == fp
+            # re-mastered twin stays within the verify threshold
+            assert self._ham(
+                audio_fingerprint64(perturb_audio(s, seed)), fp) <= 10
+
+    def test_distinct_clips_separate(self):
+        from pyspider_ray.functions.media import audio_fingerprint64
+        fps = []
+        for seed in range(30):
+            _, s = audio_decode(synth_audio(seed))
+            fps.append(audio_fingerprint64(s))
+        dists = [self._ham(fps[i], fps[j])
+                 for i in range(30) for j in range(i + 1, 30)]
+        assert min(dists) > 10
+
+    def test_encode_roundtrip(self):
+        from pyspider_ray.functions.media import audio_encode
+        sr, s = audio_decode(synth_audio(11))
+        sr2, s2 = audio_decode(audio_encode(s, sr))
+        assert sr2 == sr
+        assert np.abs(s2 - s).max() < 1e-4    # int16 quantization only
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_near_dup_query_finds_exactly_the_twins(self, sf_dir):
+        from pyspider_ray import training_queries as tq
+        df = tq.QUERIES["audio_fp_near_dup"](sf_dir).to_pandas()
+        got = sorted(map(tuple, df[["clip_a", "clip_b"]].values))
+        exp = sorted((f"aud-{i:06d}", f"aud-{i:06d}:alt")
+                     for i in range(0, 100, 3))
+        assert got == exp
+
+
 class TestVideo:
     def test_roundtrip_and_sampling(self):
         clip = synth_video(5, w=32, h=24, n_frames=16)
