@@ -63,7 +63,11 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "curate_corpus",
                # round-4 addition: C4 line dedup (election broadcast +
                # zero-text-shuffle rewrite pass)
-               "line_dedup"]
+               "line_dedup",
+               # round-4 additions: DSIR importance selection (two
+               # streaming passes, fixed-size model) and the multimodal
+               # near-dup pair (decode actor pools + banding exchange)
+               "dsir_select", "audio_fp_near_dup", "video_fp_near_dup"]
 
 
 def init_ray():
