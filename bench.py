@@ -401,6 +401,42 @@ def neardup_scale() -> None:
     print(json.dumps(out))
 
 
+def dsir_scale() -> None:
+    """sf0.1-vs-10x dsir_select rehearsal: the model is two fixed
+    4096-bucket vectors regardless of corpus size, so both passes must
+    scale ~O(n) in docs with no shuffle term.  The 10x table's
+    per-replica vocab prefix changes which buckets fill — irrelevant:
+    wall time and row count are the yardsticks (replica shift 10^5 is
+    divisible by 50, so the holdout split replicates exactly and the
+    output must be exactly 10x rows)."""
+    sf1 = _build_sf1_documents()
+    out: dict = {"num_cpus": NUM_CPUS, "legs": []}
+    for sf in (SF_DIR, sf1):
+        probe = fault_probe_fresh()
+        code = (
+            "import json, time, ray\n"
+            f"ray.init(address='local', num_cpus={NUM_CPUS}, "
+            "include_dashboard=False, logging_level='ERROR')\n"
+            "from pyspider_ray import training_queries as tq\n"
+            "t0 = time.perf_counter()\n"
+            f"res = tq.q_dsir_select({sf!r})\n"
+            "n = res.count()\n"
+            "print(json.dumps({'sec': round(time.perf_counter()-t0, 2), "
+            "'rows': n}))\n"
+            "ray.shutdown()\n")
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        leg = json.loads(r.stdout.strip().splitlines()[-1])
+        leg.update({"sf": "sf1(10x)" if sf == sf1 else "sf0.1",
+                    "probe_mb_per_s": probe})
+        out["legs"].append(leg)
+    a, b = out["legs"][0], out["legs"][1]
+    out["wall_ratio_10x"] = round(b["sec"] / a["sec"], 2)
+    out["rows_ratio_10x"] = round(b["rows"] / max(a["rows"], 1), 2)
+    print(json.dumps(out))
+
+
 def frontier_drill() -> None:
     """Resident-frontier scale drill (BASELINE.md evidence): run the
     real Ray crawl until the frontier holds 10^5 then 10^6 queued
@@ -473,5 +509,7 @@ if __name__ == "__main__":
         frontier_drill()
     elif "--neardup-scale" in sys.argv:
         neardup_scale()
+    elif "--dsir-scale" in sys.argv:
+        dsir_scale()
     else:
         main()
