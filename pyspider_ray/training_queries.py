@@ -3892,6 +3892,104 @@ ORACLES["dsir_select"] = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_M_BITS = 6                        # 64 registers (±13% std error)
+_HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000    # alpha_64 as a rational
+
+
+def q_hll_distinct(sf_dir):
+    """HyperLogLog distinct-text estimate (Flajolet et al. 2007) with
+    ALL arithmetic integer-rational, so the sketch — registers AND the
+    final estimate — hashes bit-exactly against a DuckDB replay: the
+    scale path for `dedup_counts`' exact distinct when 100 TB makes an
+    exact count a full shuffle.  h = md5-high64(text); register = top
+    6 bits; rho = leading zeros of the remaining 58 bits + 1; the
+    harmonic sum rides a common denominator 2^59 (``s_scaled``) and
+    the alpha bias constant a rational 709/1000, so the raw estimate
+    is one HUGEINT floor-division both engines compute identically.
+
+    Output rows: one (register, value=rho) per non-empty register,
+    plus sentinel rows register=-1 (the estimate) and -2 (count of
+    empty registers, what a consumer needs for the linear-counting
+    small-range correction — deliberately NOT applied here: it needs
+    a float log, which would break cross-engine hashing).
+
+    Scale shape: per-batch partial registers (<= 64 rows per batch
+    cross the wire, regardless of row count), driver fold of a
+    64-byte state — the textbook mergeable sketch."""
+    docs = _read(sf_dir, "documents", ["text"])
+    m_bits, m = _HLL_M_BITS, 1 << _HLL_M_BITS
+    w_bits = 64 - m_bits
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        h = np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in texts], dtype=np.uint64)
+        reg = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & np.uint64((1 << w_bits) - 1)
+        bl = np.zeros(len(w), dtype=np.int64)     # vectorized bit length
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl[w > 0] += 1
+        rho = (w_bits + 1) - bl                    # w == 0 → w_bits + 1
+        best = np.zeros(m, dtype=np.int64)
+        np.maximum.at(best, reg, rho)
+        nz = np.flatnonzero(best)
+        return pa.table({"register": pa.array(nz, pa.int64()),
+                         "rho": pa.array(best[nz], pa.int64())})
+
+    best = np.zeros(m, dtype=np.int64)
+    for part in (docs.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        np.maximum.at(best, part["register"].to_numpy(),
+                      part["rho"].to_numpy())
+    nz = np.flatnonzero(best)
+    v_zero = m - len(nz)
+    s_scaled = (v_zero << (w_bits + 1)) \
+        + sum(1 << (w_bits + 1 - int(r)) for r in best[nz])
+    est = (_HLL_ALPHA_NUM * m * m * (1 << (w_bits + 1))) \
+        // (_HLL_ALPHA_DEN * s_scaled)
+    return pa.table({
+        "register": pa.array(list(nz) + [-1, -2], pa.int64()),
+        "value": pa.array([int(r) for r in best[nz]] + [est, v_zero],
+                          pa.int64())})
+
+
+ORACLES["hll_distinct"] = r"""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+        FROM documents),
+    reg AS (
+        SELECT CAST(h >> 58 AS BIGINT) AS register,
+               max(59 - CASE
+                       WHEN (h & ((1::UBIGINT << 58) - 1)) = 0 THEN 0
+                       ELSE length(bin(h & ((1::UBIGINT << 58) - 1)))
+                   END) AS rho
+        FROM h GROUP BY 1),
+    s AS (
+        SELECT (SELECT count(*) FROM reg) AS n_present,
+               (SELECT coalesce(sum((1::UBIGINT << (59 - rho))::HUGEINT),
+                                0::HUGEINT) FROM reg) AS s_present),
+    est AS (
+        SELECT (709::HUGEINT * 64 * 64 * (1::UBIGINT << 59)::HUGEINT)
+               // (1000::HUGEINT *
+                   ((64 - n_present)::HUGEINT
+                    * (1::UBIGINT << 59)::HUGEINT + s_present)) AS e,
+               64 - n_present AS vz
+        FROM s)
+    SELECT register, rho AS value FROM reg
+    UNION ALL SELECT -1, CAST(e AS BIGINT) FROM est
+    UNION ALL SELECT -2, CAST(vz AS BIGINT) FROM est
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -3901,6 +3999,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "dedup_exact": q_dedup_exact,
     "dedup_counts": q_dedup_counts,
+    "hll_distinct": q_hll_distinct,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
     "near_dup_components": q_near_dup_components,
