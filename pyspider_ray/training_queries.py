@@ -3893,6 +3893,98 @@ ORACLES["dsir_select"] = rf"""
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+_INCR_BUCKETS = 32
+
+
+def q_dedup_incremental(sf_dir):
+    """Incremental corpus refresh: dedup a NEW document batch
+    (doc_id % 5 == 0) against the HISTORICAL corpus (the rest) plus
+    itself, exact-by-content, first-wins within the batch — the op a
+    recurring crawl runs before appending to the training corpus.
+
+    Scale shape: content digests co-partition by hash bucket; inside
+    each bucket group a cuckoo filter built from the history keys
+    (state/cuckoo.py — the URL-seen machinery reused for content
+    identity) prefilters the new side: a miss PROVES never-seen (no
+    false negatives), so only the ~5% cuckoo-maybe docs pay the exact
+    128-bit digest confirmation (np.isin on the sorted history pairs).
+    At production scale the per-bucket filters and digest tables are
+    the PERSISTED artifact of the previous run (exactly how the crawl
+    frontier checkpoints its shards) and a refresh streams only the
+    new batch; the one-time history build is inlined here so the
+    query is self-contained.  Identity = md5-128, the same exactness
+    contract as `dedup_counts`."""
+    from .state.cuckoo import CuckooFilter
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        h1, h2 = [], []
+        for t in b["text"].to_pylist():
+            d = hashlib.md5(t.encode()).digest()
+            h1.append(int.from_bytes(d[:8], "big", signed=True))
+            h2.append(int.from_bytes(d[8:], "big", signed=True))
+        h1 = np.array(h1, dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "h1": pa.array(h1),
+            "h2": pa.array(h2, pa.int64()),
+            "bucket": pa.array(h1 % _INCR_BUCKETS, pa.int64())})
+
+    def refresh(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        is_new = ids % 5 == 0
+        keys = h1.view(np.uint64)
+        hist_k, new_k = keys[~is_new], keys[is_new]
+        cf = CuckooFilter(max(len(hist_k), 16))
+        cf.add_many(hist_k)
+        pairs = np.rec.fromarrays([h1, h2], names="a,b")
+        hist_p, new_p = pairs[~is_new], pairs[is_new]
+        maybe = cf.contains_many(new_k) if len(new_k) else \
+            np.zeros(0, dtype=bool)
+        dup = np.zeros(len(new_k), dtype=bool)
+        if maybe.any() and len(hist_p):
+            dup[maybe] = np.isin(new_p[maybe], hist_p)
+        new_ids = ids[is_new][~dup]
+        new_pp = new_p[~dup]
+        # first-wins within the batch: min doc_id per content
+        o = np.lexsort((new_ids, new_pp["b"], new_pp["a"]))
+        new_ids, new_pp = new_ids[o], new_pp[o]
+        first = np.ones(len(new_ids), dtype=bool)
+        if len(new_ids) > 1:
+            first[1:] = (np.diff(new_pp["a"]) != 0) \
+                | (np.diff(new_pp["b"]) != 0)
+        keep_h = [(int(a).to_bytes(8, "big", signed=True)
+                   + int(b2).to_bytes(8, "big", signed=True)).hex()
+                  for a, b2 in zip(new_pp["a"][first],
+                                   new_pp["b"][first])]
+        return pa.table({
+            "doc_id": pa.array(new_ids[first].astype(np.int64)),
+            "content_hash": pa.array(keep_h, pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(digest, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(refresh, batch_format="pyarrow"))
+
+
+ORACLES["dedup_incremental"] = r"""
+    WITH hist AS (
+        SELECT text FROM documents WHERE doc_id % 5 <> 0),
+    new AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+    SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+    FROM new
+    WHERE text NOT IN (SELECT text FROM hist)
+    GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 # ---------------------------------------------------------------------------
 
@@ -4000,6 +4092,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_counts": q_dedup_counts,
     "hll_distinct": q_hll_distinct,
+    "dedup_incremental": q_dedup_incremental,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
     "near_dup_components": q_near_dup_components,
