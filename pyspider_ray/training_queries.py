@@ -3893,6 +3893,93 @@ ORACLES["dsir_select"] = rf"""
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch word frequencies
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+_CMS_BUCKET_CACHE: dict[str, np.ndarray] = {}
+
+
+def _cms_buckets(word: str) -> np.ndarray:
+    """One bucket per sketch row: md5-high32 of ``f"{r}:{word}"`` mod
+    width — the hash DuckDB replays bit-exactly (same trick as
+    `_dsir_buckets`).  Memoized per distinct word per worker."""
+    cache = _CMS_BUCKET_CACHE
+    v = cache.get(word)
+    if v is None:
+        if len(cache) > 1_000_000:
+            cache.clear()
+        v = np.array([int.from_bytes(
+            hashlib.md5(f"{r}:{word}".encode()).digest()[:4],
+            "big") % _CMS_WIDTH for r in range(_CMS_DEPTH)],
+            dtype=np.int64)
+        cache[word] = v
+    return v
+
+
+def q_cms_word_counts(sf_dir):
+    """Count-Min sketch word frequencies (Cormode & Muthukrishnan
+    2005): a depth-4 x width-1024 integer counter array summarizes
+    every word occurrence in the corpus; a probe word's estimate is
+    the min over rows of its counters — never an undercount, and with
+    integer counters + the shared md5 row hashes the WHOLE sketch and
+    every estimate replay bit-exactly in DuckDB.  Output: estimated
+    occurrence count for each stopword probe.  The scale story is the
+    sketch's: per-batch partial sketches (32 KB, fixed regardless of
+    corpus size) sum on the driver — the mergeable-counter analogue of
+    `hll_distinct`, for when exact `vocab_topk` would shuffle the full
+    vocabulary."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        counts: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        for w, c in counts.items():
+            sk[np.arange(_CMS_DEPTH), _cms_buckets(w)] += c
+        return pa.table({"sk": pa.array([sk.tobytes()], pa.binary())})
+
+    sk = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+    for part in (docs.map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for blob in part["sk"].to_pylist():
+            sk += np.frombuffer(blob, dtype=np.int64).reshape(
+                _CMS_DEPTH, _CMS_WIDTH)
+    words = sorted(STOPWORDS)
+    ests = [int(sk[np.arange(_CMS_DEPTH), _cms_buckets(w)].min())
+            for w in words]
+    return pa.table({"word": pa.array(words, pa.string()),
+                     "est_count": pa.array(ests, pa.int64())})
+
+
+ORACLES["cms_word_counts"] = r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) <> ''),
+    occ AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    cnt AS (
+        SELECT r,
+               ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 8))
+                   ::BIGINT % 1024 AS b,
+               sum(c) AS v
+        FROM occ, UNNEST([0, 1, 2, 3]) AS t(r)
+        GROUP BY 1, 2),
+    probes AS (
+        SELECT unnest(['the','a','of','to','and','in','is']) AS word),
+    pb AS (
+        SELECT word, r,
+               ('0x' || substr(md5(r::VARCHAR || ':' || word), 1, 8))
+                   ::BIGINT % 1024 AS b
+        FROM probes, UNNEST([0, 1, 2, 3]) AS t(r))
+    SELECT word, CAST(min(coalesce(v, 0)) AS BIGINT) AS est_count
+    FROM pb LEFT JOIN cnt USING (r, b)
+    GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup (new batch vs historical corpus)
 # ---------------------------------------------------------------------------
 
@@ -4093,6 +4180,7 @@ QUERIES = {
     "dedup_counts": q_dedup_counts,
     "hll_distinct": q_hll_distinct,
     "dedup_incremental": q_dedup_incremental,
+    "cms_word_counts": q_cms_word_counts,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
     "near_dup_components": q_near_dup_components,
