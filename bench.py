@@ -314,10 +314,11 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
     }))
 
 
-def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1_v2") -> str:
-    # v2 path: the v1 salt-append table (quadratic, see below) may
-    # still be cached on hosts that ran the old bench — the existence
-    # check must never resurrect it
+def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1_v3") -> str:
+    # v3 path: carries the FULL documents schema (source/lang/n_chars
+    # replicated verbatim) so every documents-table leg can rehearse
+    # on it, not just (doc_id, text) consumers; v2/v1 cached tables on
+    # older hosts must never be resurrected by the existence check
     """Deterministic 10x documents table for the near-dup scale
     rehearsal: replica r of every sf0.1 doc gets doc_id + r*10^5 and
     (for r > 0) every word PREFIXED with ``z{r}q`` — a bijective
@@ -341,6 +342,8 @@ def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1_v2") -> str:
     base = pq.read_table("/root/testdata/sf0.1/documents.parquet")
     ids = base["doc_id"].to_numpy()
     texts = base["text"].to_pylist()
+    extra = {c: base[c] for c in base.column_names
+             if c not in ("doc_id", "text")}
     reps = []
     for r in range(10):
         if r == 0:
@@ -349,9 +352,10 @@ def _build_sf1_documents(out_dir: str = "/tmp/neardup_sf1_v2") -> str:
             p = f"z{r}q"
             rep_texts = [" ".join(p + w for w in t.split())
                          for t in texts]
-        reps.append(pa.table({
-            "doc_id": pa.array(ids + r * 100_000),
-            "text": pa.array(rep_texts, pa.string())}))
+        cols = {"doc_id": pa.array(ids + r * 100_000),
+                "text": pa.array(rep_texts, pa.string())}
+        cols.update(extra)
+        reps.append(pa.table(cols))
     tmp = path + ".tmp"
     pq.write_table(pa.concat_tables(reps), tmp)
     os.replace(tmp, path)
@@ -401,16 +405,17 @@ def neardup_scale() -> None:
     print(json.dumps(out))
 
 
-def dsir_scale() -> None:
-    """sf0.1-vs-10x dsir_select rehearsal: the model is two fixed
-    4096-bucket vectors regardless of corpus size, so both passes must
-    scale ~O(n) in docs with no shuffle term.  The 10x table's
-    per-replica vocab prefix changes which buckets fill — irrelevant:
-    wall time and row count are the yardsticks (replica shift 10^5 is
-    divisible by 50, so the holdout split replicates exactly and the
-    output must be exactly 10x rows)."""
+def op_scale(qname: str) -> None:
+    """sf0.1-vs-10x rehearsal for any documents-table query: run it in
+    two fresh processes on the real sf0.1 table and the 10x replica
+    table, report wall / output rows / probes and the 10x ratios.
+    ``--dsir-scale`` is the canonical use (fixed-size hashed-feature
+    model → both passes pure streaming scans); ``--scale-op NAME``
+    runs any other leg (e.g. curate_corpus, lm_bigram_score).  The
+    replica shift 10^5 is divisible by every split modulus in use
+    (5, 50), so holdout/new-batch splits replicate exactly."""
     sf1 = _build_sf1_documents()
-    out: dict = {"num_cpus": NUM_CPUS, "legs": []}
+    out: dict = {"query": qname, "num_cpus": NUM_CPUS, "legs": []}
     for sf in (SF_DIR, sf1):
         probe = fault_probe_fresh()
         code = (
@@ -419,10 +424,10 @@ def dsir_scale() -> None:
             "include_dashboard=False, logging_level='ERROR')\n"
             "from pyspider_ray import training_queries as tq\n"
             "t0 = time.perf_counter()\n"
-            f"res = tq.q_dsir_select({sf!r})\n"
-            "n = res.count()\n"
+            f"res = tq.QUERIES[{qname!r}]({sf!r})\n"
+            "n = res.count() if hasattr(res, 'iter_batches') else len(res)\n"
             "print(json.dumps({'sec': round(time.perf_counter()-t0, 2), "
-            "'rows': n}))\n"
+            "'rows': int(n)}))\n"
             "ray.shutdown()\n")
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, check=True,
@@ -510,6 +515,8 @@ if __name__ == "__main__":
     elif "--neardup-scale" in sys.argv:
         neardup_scale()
     elif "--dsir-scale" in sys.argv:
-        dsir_scale()
+        op_scale("dsir_select")
+    elif "--scale-op" in sys.argv:
+        op_scale(sys.argv[sys.argv.index("--scale-op") + 1])
     else:
         main()
