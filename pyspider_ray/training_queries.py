@@ -3893,6 +3893,228 @@ ORACLES["dsir_select"] = rf"""
 
 
 # ---------------------------------------------------------------------------
+# exact-substring dedup rewrite (Lee et al. 2022 ExactSubstr)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 20                       # window width, tokens (= _WINDOW_N)
+_SUBSTR_MAX_DISTINCT = 2_000_000     # broadcast-election envelope
+
+
+def _substr_digests(ws: list[str]) -> list[bytes]:
+    """md5-128 digest per overlapping `_SUBSTR_N`-token window — the
+    content IDENTITY (same exactness contract as dedup_counts), so the
+    oracle's string comparison and this digest comparison agree w.h.p.
+    A rolling polynomial would do for ROUTING, but identity must not
+    depend on a 64-bit hash."""
+    return [hashlib.md5(" ".join(ws[i:i + _SUBSTR_N]).encode()).digest()
+            for i in range(len(ws) - _SUBSTR_N + 1)]
+
+
+def _covered_mask(n: int, starts: np.ndarray) -> np.ndarray:
+    """Token-coverage mask from duplicated-window start positions:
+    classic diff-array, one cumsum."""
+    d = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(d, starts, 1)
+    np.add.at(d, np.minimum(starts + _SUBSTR_N, n), -1)
+    return np.cumsum(d[:-1]) > 0
+
+
+def _substr_rebuild_row(doc_id: int, ws: list[str],
+                        starts: np.ndarray) -> tuple:
+    cov = _covered_mask(len(ws), starts)
+    kept = [w for w, c in zip(ws, cov) if not c]
+    return (doc_id, " ".join(kept), len(ws), len(kept))
+
+
+def _collect_dup_windows(docs):
+    """Driver-side duplicated-window election: per batch a combiner
+    keeps digest → occurrence count (saturating at 2 — only ">= 2"
+    matters), so what streams back is distinct-windows-per-batch.
+    Returns the frozenset of duplicated digests, or None past the
+    envelope (caller switches to the exchange path)."""
+    def batch_counts(b: pa.Table) -> pa.Table:
+        cnt: dict[bytes, int] = {}
+        for t in b["text"].to_pylist():
+            ws = t.split()
+            for d in _substr_digests(ws):
+                c = cnt.get(d, 0)
+                if c < 2:
+                    cnt[d] = c + 1
+        return pa.table({
+            "d": pa.array(list(cnt.keys()), pa.binary()),
+            "c": pa.array(list(cnt.values()), pa.int64())})
+
+    cnt: dict[bytes, int] = {}
+    for b in (docs.map_batches(batch_counts, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for d, c in zip(b["d"].to_pylist(), b["c"].to_numpy()):
+            cur = cnt.get(d, 0)
+            if cur < 2:
+                cnt[d] = min(cur + int(c), 2)
+                if len(cnt) > _SUBSTR_MAX_DISTINCT:
+                    return None
+    return frozenset(d for d, c in cnt.items() if c >= 2)
+
+
+class _SubstrRewrite:
+    """Broadcast-path rewrite: the duplicated-digest set rides one
+    ray.put; each doc re-derives its windows locally and drops every
+    token covered by a duplicated window — zero text shuffle."""
+
+    def __init__(self, ref):
+        self.dup = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        dup = self.dup
+        rows = []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            ws = t.split()
+            if not ws:
+                continue
+            starts = np.fromiter(
+                (i for i, d in enumerate(_substr_digests(ws))
+                 if d in dup), dtype=np.int64)
+            rows.append(_substr_rebuild_row(int(doc_id), ws, starts))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "clean_text": pa.array([r[1] for r in rows], pa.string()),
+            "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "n_tokens_kept": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def _substr_dedup_shuffled(docs):
+    """Exact fallback past the election envelope: occurrence rows
+    (h=digest-high64 routing key, full digest, doc, pos) co-partition
+    by h; each group flags digests occurring >= 2 times (exact 128-bit
+    compare) and emits ONLY the duplicated (doc, pos) pairs; the
+    flagged positions then co-partition with the document payloads by
+    doc_id (union-tag, the _drop_ids_copartitioned pattern) and each
+    doc group rebuilds locally.  Two O(occurrences) exchanges, text
+    moves once, nothing on the driver."""
+    def explode(b: pa.Table) -> pa.Table:
+        hs, ds, ids, ps = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].to_numpy(),
+                             b["text"].to_pylist()):
+            for i, d in enumerate(_substr_digests(t.split())):
+                hs.append(int.from_bytes(d[:8], "big", signed=True))
+                ds.append(d)
+                ids.append(int(doc_id))
+                ps.append(i)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "d": pa.array(ds, pa.binary()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(ps, pa.int64())})
+
+    def flag(g: pa.Table) -> pa.Table:
+        d = np.asarray(g["d"].to_pylist(), dtype=object)
+        order = np.argsort(d)
+        sd = d[order]
+        same_prev = np.zeros(len(sd), dtype=bool)
+        same_prev[1:] = sd[1:] == sd[:-1]
+        dup_sorted = same_prev.copy()
+        dup_sorted[:-1] |= same_prev[1:]
+        dup = np.zeros(len(sd), dtype=bool)
+        dup[order] = dup_sorted
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()[dup]),
+            "pos": pa.array(g["pos"].to_numpy()[dup])})
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        pos = g["pos"].to_numpy()
+        texts = g["text"].to_pylist()
+        doc_id = int(g["doc_id"][0].as_py())
+        text = next(t for t, p in zip(texts, pos) if p < 0)
+        starts = np.sort(pos[pos >= 0])
+        r = _substr_rebuild_row(doc_id, text.split(), starts)
+        return pa.table({
+            "doc_id": pa.array([r[0]], pa.int64()),
+            "clean_text": pa.array([r[1]], pa.string()),
+            "n_tokens": pa.array([r[2]], pa.int64()),
+            "n_tokens_kept": pa.array([r[3]], pa.int64())})
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        keep = [bool(t.split()) for t in b["text"].to_pylist()]
+        b = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pos": pa.array(np.full(len(b), -1, dtype=np.int64)),
+            "text": b["text"]})
+
+    dup_pos = (docs.map_batches(explode, batch_format="pyarrow")
+               .groupby("h").map_groups(flag, batch_format="pyarrow")
+               .map_batches(lambda b: pa.table({
+                   "doc_id": b["doc_id"], "pos": b["pos"],
+                   "text": pa.array([None] * len(b), pa.string())}),
+                   batch_format="pyarrow"))
+    tagged_docs = docs.map_batches(tag_docs, batch_format="pyarrow")
+    return (tagged_docs.union(dup_pos)
+            .groupby("doc_id")
+            .map_groups(rebuild, batch_format="pyarrow"))
+
+
+def q_substring_dedup(sf_dir):
+    """Exact-substring dedup rewrite (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): any
+    overlapping `_SUBSTR_N`-token window whose exact content occurs
+    more than once corpus-wide (across docs or within one) marks all
+    the tokens it covers, and EVERY occurrence is removed (the
+    released tool's behavior; first-wins retention is the line_dedup
+    variant).  Docs shorter than the window keep their text whole;
+    docs that tokenize empty emit no row.
+
+    Scale shape, two paths (the line_dedup pattern): duplicated-window
+    digests elected via a per-batch saturating combiner + driver fold,
+    broadcast once by ray.put — the rewrite pass never moves a
+    document; past `_SUBSTR_MAX_DISTINCT` an exact two-exchange form
+    (co-partition occurrences by digest, flag count >= 2 per 128-bit
+    identity, co-partition flagged positions with the doc payloads by
+    doc_id)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    dup = _collect_dup_windows(docs)
+    if dup is None:
+        return _substr_dedup_shuffled(docs)
+    ref = ray.put(dup)
+    return docs.map_batches(_SubstrRewrite,
+                            fn_constructor_kwargs={"ref": ref},
+                            concurrency=(1, 8), batch_format="pyarrow",
+                            max_restarts=0)
+
+
+ORACLES["substring_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[i+1 : i+20], ' ') AS w
+        FROM toks, UNNEST(range(0, len(ws) - 19)) AS t(i)),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS c
+            FROM wins) WHERE c > 1),
+    tok AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS ord, ws[i+1] AS tok,
+               len(ws) AS n_tokens
+        FROM toks, UNNEST(range(0, len(ws))) AS t(i)),
+    cov AS (
+        SELECT DISTINCT t.doc_id, t.ord
+        FROM tok t JOIN dup d
+          ON d.doc_id = t.doc_id
+         AND t.ord BETWEEN d.pos AND d.pos + 19)
+    SELECT t.doc_id,
+           coalesce(string_agg(CASE WHEN c.ord IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.ord), '') AS clean_text,
+           any_value(t.n_tokens) AS n_tokens,
+           CAST(sum(CASE WHEN c.ord IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept
+    FROM tok t LEFT JOIN cov c
+      ON c.doc_id = t.doc_id AND c.ord = t.ord
+    GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch word frequencies
 # ---------------------------------------------------------------------------
 
@@ -4181,6 +4403,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "dedup_incremental": q_dedup_incremental,
     "cms_word_counts": q_cms_word_counts,
+    "substring_dedup": q_substring_dedup,
     "wordset_dup_groups": q_wordset_dup_groups,
     "jaccard_near_dup": q_jaccard_near_dup,
     "near_dup_components": q_near_dup_components,
