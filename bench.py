@@ -67,7 +67,10 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                # round-4 additions: DSIR importance selection (two
                # streaming passes, fixed-size model) and the multimodal
                # near-dup pair (decode actor pools + banding exchange)
-               "dsir_select", "audio_fp_near_dup", "video_fp_near_dup"]
+               "dsir_select", "audio_fp_near_dup", "video_fp_near_dup",
+               # round-4 addition: ExactSubstr rewrite (election
+               # broadcast, zero text shuffle)
+               "substring_dedup"]
 
 
 def init_ray():
