@@ -43,20 +43,10 @@ def entry() -> Any:
     import numpy as np
 
     from pyspider_ray.functions.synthweb import urls_of
-    from pyspider_ray.stages.canonicalize import canonicalize_urls
     rows = events.slice(0, 10).to_pylist()
     seed_ids = np.array([r["event_id"] % total for r in rows], dtype=np.int64)
     urls = urls_of(seed_ids, cfg.n_hosts)
-    cols = canonicalize_urls(urls)
-    pipe._pending_new.extend({
-        "taskid": cols["taskid"][i],
-        "urlhash": int(cols["urlhash"][i]),
-        "project": cfg.project,
-        "url": cols["url"][i],
-        "host": cols["host"][i],
-        "schedule": {"priority": 1},
-        "process": {"callback": "on_page"},
-    } for i in range(len(urls)))
+    pipe.enqueue([{"url": u, "schedule": {"priority": 1}} for u in urls])
     pipe.run(max_rounds=60)
     return pipe.results_dataset()
 

@@ -80,7 +80,10 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
     → one uint64, ready for the simhash/pHash banding machinery."""
     n_frames, n_bands = 9, 9
     frame = len(samples) // n_frames
-    if frame == 0:
+    # degenerate clips: no full frame, or a single-bin rfft spectrum
+    # (frame == 1 gives one bin; every linspace band edge floors to 1
+    # and reduceat would index out of bounds)
+    if frame == 0 or frame // 2 + 1 < 2:
         return 0
     m = samples[:n_frames * frame].reshape(n_frames, frame)
     spec = np.abs(np.fft.rfft(m, axis=1)) ** 2

@@ -353,6 +353,52 @@ def _nd_split_by_key(col: str, P: int, *blocks) -> tuple:
 
 
 @ray.remote
+def _nd_group_apply(key_col: str, fn, schema: pa.Schema,
+                    *parts) -> pa.Table:
+    """Reduce side of group_apply: one stable argsort per partition,
+    then ``fn`` applied to each contiguous same-key run.  The key hash
+    pins every key to exactly one partition, so runs are whole
+    groups."""
+    prefault_arena()
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables(parts)
+    k = t[key_col].to_numpy().astype(np.int64)
+    order = np.argsort(k, kind="stable")
+    t = t.take(pa.array(order)).combine_chunks()
+    ks = k[order]
+    bounds = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(ks)]))
+    outs = [fn(t.slice(int(s), int(e - s)))
+            for s, e in zip(starts, ends)]
+    return pa.concat_tables(outs) if outs else schema.empty_table()
+
+
+def group_apply(ds, key_col: str, fn, schema: pa.Schema,
+                n_buckets: int = 32):
+    """Sort-free distributed map_groups over an int64 key with a
+    DECLARED output schema: two-stage hash exchange (split each block
+    by key hash, one reduce per partition applies ``fn`` to every
+    whole group).  Unlike Dataset.groupby().map_groups() this never
+    range-sorts the dataset and never emits schema-less empty blocks
+    (Ray's sort shuffle produces those whenever partitions outnumber
+    distinct keys, tripping the RefBundle schema warning)."""
+    import ray.data as rd
+    P = max(2, n_buckets)
+    groups = _grouped_block_refs(ds)
+    if not groups:
+        return rd.from_arrow(schema.empty_table())
+    splits = [_nd_split_by_key.options(num_returns=P)
+              .remote(key_col, P, *g) for g in groups]
+    outs = [_nd_group_apply.remote(key_col, fn, schema,
+                                   *(s[p] for s in splits))
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
+@ray.remote
 def _nd_min_by_key(key_col: str, val_col: str, *parts) -> pa.Table:
     """Reduce side of a groupby-min exchange: per distinct key, the
     minimum value — one lexsort + adjacent-diff per partition, no

@@ -440,6 +440,30 @@ class CrawlPipeline:
             "process": {"callback": "on_page"},
         } for i in range(len(urls))]
 
+    def enqueue(self, tasks: list[dict]) -> int:
+        """Public seeding/injection API: queue task dicts for the next
+        round's new-task merge (the same path `seed()` and follows
+        use).  Each task needs at least ``url``; ``taskid`` /
+        ``urlhash`` / ``host`` / ``project`` are derived when absent
+        (md5-of-canonical-url identity, reference
+        base_handler.get_taskid parity).  Returns the number queued."""
+        urls = [t.get("url", "") for t in tasks]
+        cols = canonicalize_urls(urls)
+        queued = 0
+        for i, t in enumerate(tasks):
+            if not urls[i]:
+                continue
+            row = dict(t)
+            row.setdefault("taskid", cols["taskid"][i])
+            row.setdefault("urlhash", int(cols["urlhash"][i]))
+            row.setdefault("host", cols["host"][i])
+            row.setdefault("project", self.cfg.project)
+            row.setdefault("schedule", {"priority": self.cfg.seed_priority})
+            row.setdefault("process", {"callback": "on_page"})
+            self._pending_new.append(row)
+            queued += 1
+        return queued
+
     def seed(self) -> None:
         if self.cfg.handler_cls is not None:
             # handler projects start from their on_start callback

@@ -89,14 +89,28 @@ def q_token_count(sf_dir):
             .map_batches(counts, batch_format="pandas"))
 
 
+def _stopword_counts(texts: "pd.Series") -> np.ndarray:
+    """Vectorized exact-token stopword membership count: explode the
+    whitespace-split tokens, one hash-table isin over the exploded
+    column, bincount back by row — no Python per token.  Exact-token
+    semantics (NOT regex word-boundary: 'the,' is not a stopword),
+    matching the DuckDB list_filter oracle."""
+    words = texts.str.strip().str.split(r"\s+")
+    ex = words.explode()
+    hits = ex.isin(STOPWORDS).to_numpy()
+    # explode emits >=1 entry per row (''.split keeps ['']), so every
+    # original row index appears; bincount over positional row ids
+    row = np.repeat(np.arange(len(texts)),
+                    words.str.len().to_numpy().astype(np.int64))
+    return np.bincount(row, weights=hits,
+                       minlength=len(texts)).astype(np.int64)
+
+
 def q_stopword_count(sf_dir):
     import pandas as pd
-    stop = set(STOPWORDS)
     def counts(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["text"].str.strip().str.split(r"\s+") \
-            .map(lambda ws: sum(w in stop for w in ws))
         return pd.DataFrame({"doc_id": b["doc_id"],
-                             "n_stop": n.astype("int64")})
+                             "n_stop": _stopword_counts(b["text"])})
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(counts, batch_format="pandas"))
 
@@ -108,15 +122,11 @@ def q_quality_score(sf_dir):
     hashes exactly (no float round-trip hazards): keep = stopwords*10 <
     tokens*9 AND alpha_chars*2 > chars."""
     import pandas as pd
-    stop = set(STOPWORDS)
-    word_re = re.compile(r"\s+")
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         texts = b["text"].str.strip()
-        words = texts.str.split(word_re)
-        n_tok = words.str.len().astype("int64")
-        n_stop = words.map(lambda ws: sum(w in stop for w in ws)) \
-            .astype("int64")
+        n_tok = texts.str.split(r"\s+").str.len().astype("int64")
+        n_stop = pd.Series(_stopword_counts(b["text"]), index=b.index)
         n_chars = texts.str.len().astype("int64")
         n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
         keep = ((n_stop * 10 < n_tok * 9) &
@@ -218,11 +228,46 @@ def q_text_normalize(sf_dir):
 # dedup
 # ---------------------------------------------------------------------------
 
+def _first_wins_by_digest(ds, text_col: str, n_buckets: int = 64):
+    """Exact-dedup first-wins keyed on the md5-128 digest of
+    ``text_col`` instead of the text itself: the all-to-all exchange
+    then sorts 64 coarse int64 buckets, never full document text (a
+    text-keyed groupby's sort key IS the document at 100 TB).  Within
+    a bucket one lexsort keeps the min-doc_id row per 128-bit digest;
+    md5 collisions are treated as impossible (same convention as
+    q_dedup_counts / substring_dedup)."""
+    def digest(b: pa.Table) -> pa.Table:
+        h1 = np.empty(len(b), np.int64)
+        h2 = np.empty(len(b), np.int64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            d = hashlib.md5(t.encode()).digest()
+            h1[i] = int.from_bytes(d[:8], "big", signed=True)
+            h2[i] = int.from_bytes(d[8:], "big", signed=True)
+        return (b.append_column("_h1", pa.array(h1))
+                .append_column("_h2", pa.array(h2))
+                .append_column("_cb", pa.array(h1 % n_buckets)))
+
+    def first_wins(g: pa.Table) -> pa.Table:
+        h1 = g["_h1"].to_numpy()
+        h2 = g["_h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, h2, h1))
+        k1, k2 = h1[order], h2[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        return (g.take(pa.array(order[first]))
+                .drop_columns(["_h1", "_h2", "_cb"]))
+
+    return (ds.map_batches(digest, batch_format="pyarrow")
+            .groupby("_cb").map_groups(first_wins, batch_format="pyarrow"))
+
+
 def q_dedup_exact(sf_dir):
-    """Exact dedup, first-wins: hash-partition by content, keep min id."""
-    from ray.data.aggregate import Min
-    return (_read(sf_dir, "documents", ["doc_id", "text"])
-            .groupby("text").aggregate(Min("doc_id", alias_name="doc_id")))
+    """Exact dedup, first-wins: hash-partition by a coarse bucket of
+    the md5-128 content digest (text rides as payload, never as the
+    shuffle sort key), keep min doc_id per distinct content."""
+    return _first_wins_by_digest(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text")
 
 
 def q_dedup_counts(sf_dir):
@@ -264,11 +309,20 @@ def q_wordset_dup_groups(sf_dir):
     """Near-dup at J=1.0: identical distinct-word sets, grouped by a
     canonical set fingerprint."""
     from ray.data.aggregate import Count, Min
+
     def fp(b: pa.Table) -> pa.Table:
-        fps = []
-        for t in b["text"].to_pylist():
-            key = " ".join(sorted(set(t.split())))
-            fps.append(hashlib.md5(key.encode()).hexdigest())
+        import pandas as pd
+        # vectorized canonical set key: explode tokens, dedup (row,
+        # word) pairs, codepoint-sort, join back per row — the only
+        # per-row Python left is the md5 call itself
+        texts = pd.Series(b["text"].to_pylist())
+        ex = texts.str.split().explode().dropna()   # [] rows -> no pairs
+        pairs = (pd.DataFrame({"i": ex.index, "w": ex})
+                 .drop_duplicates()
+                 .sort_values(["i", "w"], kind="stable"))
+        keys = pairs.groupby("i", sort=True)["w"].agg(" ".join) \
+            .reindex(range(len(texts)), fill_value="")
+        fps = [hashlib.md5(k.encode()).hexdigest() for k in keys]
         return pa.table({"doc_id": b["doc_id"],
                          "set_fp": pa.array(fps, pa.string())})
     return (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -1785,14 +1839,19 @@ def q_semdedup(sf_dir):
             "cluster", pa.array(np.argmax(En @ Cm.T, axis=1)
                                 .astype(np.int64)))
 
-    return (ds.map_batches(functools.partial(assign,
-                                             centroids=C.tolist()),
-                           batch_format="pyarrow")
-            .groupby("cluster")
-            .map_groups(functools.partial(_semdedup_group,
-                                          centroids=C.tolist(),
-                                          tau=_SEMDEDUP_TAU),
-                        batch_format="pyarrow"))
+    from .neardup import group_apply
+    assigned = ds.map_batches(functools.partial(assign,
+                                                centroids=C.tolist()),
+                              batch_format="pyarrow")
+    # sort-free hash exchange with a declared schema: k clusters is
+    # far below Ray's sort partition count, and sort-based map_groups
+    # emits schema-less empty blocks for the surplus partitions
+    return group_apply(
+        assigned, "cluster",
+        functools.partial(_semdedup_group, centroids=C.tolist(),
+                          tau=_SEMDEDUP_TAU),
+        pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                   ("keep", pa.int64())]))
 
 
 def q_crawl_order(sf_dir):
@@ -2534,11 +2593,6 @@ def _drop_ids_copartitioned(rows, drop_ids, n_buckets: int = 64,
             .groupby("cb").map_groups(member, batch_format="pyarrow"))
 
 
-def _curate_first_wins(g: pa.Table) -> pa.Table:
-    i = int(np.argmin(g["doc_id"].to_numpy()))
-    return g.slice(i, 1)
-
-
 def q_curate_corpus(sf_dir):
     """Flagship curation composition — the stages a real training-data
     job chains over 100 TB, as ONE streaming Dataset pipeline:
@@ -2590,8 +2644,7 @@ def q_curate_corpus(sf_dir):
         clean = _drop_ids_copartitioned(survivors, contaminated,
                                         payload_schema=_CURATE_PAYLOAD)
 
-    return (clean.groupby("norm_text")
-            .map_groups(_curate_first_wins, batch_format="pyarrow"))
+    return _first_wins_by_digest(clean, "norm_text")
 
 
 def _curate_oracle() -> str:

@@ -49,16 +49,13 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
-            df = res if isinstance(res, pd.DataFrame) else (
-                res.to_pandas() if hasattr(res, "to_pandas")
-                else res.to_pandas())
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         except Exception as exc:                       # noqa: BLE001
             print(f"FAIL  {name}: {exc}")
             n_fail += 1
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
-            ok = len(df) >= 0
             n_rows_only += 1
             print(f"rows  {name}: {len(df)} rows ({dt:.1f}s)")
             continue
