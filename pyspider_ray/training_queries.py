@@ -2143,22 +2143,11 @@ def _bpe_merges_distributed(freq_ds, k: int) -> list[tuple]:
     return out
 
 
-def q_bpe_train(sf_dir):
-    """Distributed BPE tokenizer training (Sennrich et al. 2016,
-    "Neural Machine Translation of Rare Words with Subword Units"):
-    learn the first 8 merges of a byte-pair-encoding vocabulary over
-    the corpus.  Rows-only (iterative argmax; pinned by pytest: the
-    distributed fallback must equal the driver loop exactly, plus a
-    hand-traced corpus).
-
-    Scale shape: the ONLY corpus-sized work is the word-frequency
-    combiner + groupby-sum (the vocab_topk pattern — Zipf keeps the
-    output vocabulary-sized).  Under `_BPE_MAX_VOCAB` the merge loop
-    runs driver-side over the tiny frequency table (the textbook
-    algorithm); past it, each round is one vocabulary-sized
-    groupby-sum + sort/limit(1) + broadcast rewrite, the corpus never
-    re-read.  Output: (rank, left, right, weight), identical on both
-    paths."""
+def _bpe_train_merges(sf_dir) -> list[tuple]:
+    """Shared trainer behind q_bpe_train / q_bpe_encode: one
+    corpus-sized word-frequency groupby-sum, then the merge loop over
+    the vocabulary-sized table (driver under `_BPE_MAX_VOCAB`, the
+    distributed rewrite rounds past it)."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -2180,18 +2169,152 @@ def q_bpe_train(sf_dir):
                 for b in freq_ds.iter_batches(batch_format="pandas",
                                               batch_size=None)
                 for r in b.to_dict("records")}
-        merges = _bpe_merges_driver(freq, _BPE_MERGES)
-    else:
-        def to_syms(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "syms": pa.array([_bpe_word_syms(w)
-                                  for w in b["word"].to_pylist()],
-                                 pa.list_(pa.string())),
-                "n": b["n"]})
-        merges = _bpe_merges_distributed(
-            freq_ds.map_batches(to_syms, batch_format="pyarrow"),
-            _BPE_MERGES)
+        return _bpe_merges_driver(freq, _BPE_MERGES)
 
+    def to_syms(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([_bpe_word_syms(w)
+                              for w in b["word"].to_pylist()],
+                             pa.list_(pa.string())),
+            "n": b["n"]})
+    return _bpe_merges_distributed(
+        freq_ds.map_batches(to_syms, batch_format="pyarrow"),
+        _BPE_MERGES)
+
+
+def _bpe_apply_merges(word: str, merges: list[tuple]) -> list[str]:
+    """Encode one word with a learned merge table: replay the merges
+    in rank order with the trainer's exact rewrite rule (exhaustive
+    left-to-right with re-examination at the merge site), so
+    encode(word) equals the symbol state the training vocab would hold
+    after those merges."""
+    syms = _bpe_word_syms(word)
+    for _rank, left, right, *_ in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == left and syms[i + 1] == right:
+                syms[i:i + 2] = [left + right]
+            else:
+                i += 1
+    return syms
+
+
+class _BpeEncode:
+    """Actor-pool encode stage: the merge table is tiny (k rows) and
+    rides the constructor; a per-actor word->token-count cache makes
+    the per-batch cost one encode per DISTINCT word (Zipf: the cache
+    hit rate approaches 1 fast), everything else vectorized pandas."""
+
+    def __init__(self, merges: list[tuple]):
+        self.merges = [tuple(m) for m in merges]
+        self.cache: dict[str, int] = {}
+
+    def _n_tokens(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(_bpe_apply_merges(word, self.merges))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, b: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        words = b["text"].str.strip().str.split(r"\s+")
+        ex = words.explode()
+        uniq = pd.unique(ex.dropna())
+        lut = {w: self._n_tokens(w) for w in uniq}
+        per_tok = ex.map(lut).fillna(0).astype("int64")
+        row = np.repeat(np.arange(len(b)),
+                        words.str.len().to_numpy().astype(np.int64))
+        n_bpe = np.bincount(row, weights=per_tok.to_numpy(),
+                            minlength=len(b)).astype(np.int64)
+        # initial symbols per word = chars + </w>; merges applied =
+        # initial - final (each merge removes exactly one symbol)
+        per_init = (ex.str.len().fillna(0) + 1).to_numpy()
+        n_init = np.bincount(row, weights=per_init,
+                             minlength=len(b)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens_bpe": n_bpe,
+            "n_merges_applied": n_init - n_bpe})
+
+
+def q_bpe_encode(sf_dir):
+    """BPE tokenization apply — the encode pass every training
+    pipeline actually runs after `bpe_train`: learn the merge table
+    once (vocabulary-sized work), broadcast it, and stream the corpus
+    through an actor-pool encode stage emitting per-doc BPE token
+    counts.  Rows-only (the token stream depends on the learned
+    merges; pinned by pytest: distributed == an independent
+    sequential encoder over the same corpus, plus the exact
+    symbol-conservation invariant n_tokens_bpe = initial_symbols -
+    n_merges_applied).
+
+    Scale shape: training is q_bpe_train's one groupby-sum; encode is
+    ONE streaming map_batches pass with per-actor distinct-word
+    caching — no shuffle, merges ride the constructor once per
+    actor."""
+    merges = _bpe_train_merges(sf_dir)
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_BpeEncode, fn_constructor_kwargs={
+                             "merges": merges},
+                         concurrency=(1, 8), batch_format="pandas",
+                         max_restarts=0))
+
+
+def q_bpe_token_counts(sf_dir):
+    """Corpus BPE token frequencies — the vocabulary histogram the
+    tokenizer ships with (subword-nmt's get_vocab over the ENCODED
+    corpus).  Rows-only (merge-table dependent; pinned by pytest
+    against a sequential mirror + sum(n) == sum(n_tokens_bpe)).
+
+    Scale shape: per-batch token Counters over the word-frequency
+    TABLE (vocabulary-sized, not corpus-sized — each distinct word is
+    encoded once, weighted by its count), one vocabulary-sized
+    groupby-sum."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    merges = _bpe_train_merges(sf_dir)
+
+    def word_freq(b: pd.DataFrame) -> pd.DataFrame:
+        vc = (b["text"].str.strip().str.split(r"\s+")
+              .explode().value_counts())
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "n": vc.values.astype("int64")})
+
+    def encode_words(b: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for w, n in zip(b["word"].to_pylist(), b["n"].to_numpy()):
+            for t in _bpe_apply_merges(w, merges):
+                toks[t] = toks.get(t, 0) + int(n)
+        return pa.table({"token": pa.array(list(toks), pa.string()),
+                         "n": pa.array(list(toks.values()), pa.int64())})
+
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(word_freq, batch_format="pandas")
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .map_batches(encode_words, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+
+def q_bpe_train(sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn the first 8 merges of a byte-pair-encoding vocabulary over
+    the corpus.  Rows-only (iterative argmax; pinned by pytest: the
+    distributed fallback must equal the driver loop exactly, plus a
+    hand-traced corpus).
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    combiner + groupby-sum (the vocab_topk pattern — Zipf keeps the
+    output vocabulary-sized).  Under `_BPE_MAX_VOCAB` the merge loop
+    runs driver-side over the tiny frequency table (the textbook
+    algorithm); past it, each round is one vocabulary-sized
+    groupby-sum + sort/limit(1) + broadcast rewrite, the corpus never
+    re-read.  Output: (rank, left, right, weight), identical on both
+    paths."""
+    merges = _bpe_train_merges(sf_dir)
     return pa.table({
         "rank": pa.array([m[0] for m in merges], pa.int64()),
         "left": pa.array([m[1] for m in merges], pa.string()),
@@ -4464,6 +4587,8 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "vocab_topk": q_vocab_topk,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
+    "bpe_token_counts": q_bpe_token_counts,
     "doc_top_terms": q_doc_top_terms,
     "sample_per_source": q_sample_per_source,
     "source_token_stats": q_source_token_stats,
