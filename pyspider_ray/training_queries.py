@@ -4469,6 +4469,43 @@ ORACLES["dedup_incremental"] = r"""
 """
 
 
+def q_dedup_incremental_artifact(sf_dir):
+    """The PERSISTED-artifact path of dedup_incremental
+    (pipelines/dedup_store end to end): build the per-bucket
+    cuckoo/digest artifact from the HISTORY split (doc_id % 5 != 0),
+    then refresh the NEW split against it — history text is never
+    re-read during the refresh.  Same oracle as dedup_incremental:
+    the inlined and persisted paths must agree bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from .pipelines import dedup_store
+
+    art = tempfile.mkdtemp(prefix="pyspider_ray_dedup_art_")
+    try:
+        def hist(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 5 != 0))
+
+        def new(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 5 == 0))
+
+        dedup_store.build(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(hist, batch_format="pyarrow"), art)
+        survivors, _m = dedup_store.refresh(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(new, batch_format="pyarrow"),
+            art, update=False)
+        # refresh materialized the exchange output; the lazy column
+        # drop reads object-store blocks, never the artifact dir
+        return survivors.materialize()
+    finally:
+        shutil.rmtree(art, ignore_errors=True)
+
+
+ORACLES["dedup_incremental_artifact"] = ORACLES["dedup_incremental"]
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch
 # ---------------------------------------------------------------------------
@@ -4578,6 +4615,7 @@ QUERIES = {
     "dedup_counts": q_dedup_counts,
     "hll_distinct": q_hll_distinct,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_artifact": q_dedup_incremental_artifact,
     "cms_word_counts": q_cms_word_counts,
     "substring_dedup": q_substring_dedup,
     "wordset_dup_groups": q_wordset_dup_groups,
