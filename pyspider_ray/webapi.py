@@ -1,10 +1,17 @@
-"""Read-only results/metrics HTTP API — the data surface of the
+"""Results/metrics HTTP API + browser UI — the data surface of the
 reference's webui (result browser ``webui/result.py:20-54``, the
 dashboard's counter/active-task feeds ``webui/index.py``) on stdlib
-``http.server``; no templates, JSON in/out.
+``http.server``; JSON in/out, plus two self-contained HTML pages
+(webui_pages.py) over the same JSON endpoints.
 
 Endpoints
 ---------
+- ``GET /``                dashboard page (webui/index.py +
+  templates/index.html parity: project rows w/ pause/rate controls,
+  counters, queue sizes, recent rounds, active tasks, result preview)
+- ``GET /debug``           script editor/debugger page (webui/debug.py
+  + templates/debug.html parity: edit → run one task → save/hot-swap)
+- ``GET /debug/script``    the editor's initial script content
 - ``GET /results?project=&offset=&limit=``   paged result rows + count
   (resultdb.select semantics: offset/limit paging over saved results)
 - ``GET /results/dump/<project>.json|.txt|.csv?offset=&limit=``
@@ -185,6 +192,17 @@ class PipelineProvider:
                     return t
         return None
 
+    def get_script(self) -> dict:
+        """The debug editor's initial content: the crawl's registered
+        script file when the crawl is script-driven, else the sample
+        scaffold (webui/index.py 'create' semantics)."""
+        path = getattr(self.pipe.cfg, "script_path", None)
+        if path:
+            with open(path) as f:
+                return {"script": f.read(), "path": path}
+        from .webui_pages import SAMPLE_SCRIPT
+        return {"script": SAMPLE_SCRIPT, "path": None}
+
     def save_script(self, script: str) -> dict:
         """The script editor's save (webui/debug.py save → projectdb
         update): validate the script BUILDS, write it atomically to the
@@ -274,12 +292,28 @@ class _Handler(BaseHTTPRequestHandler):
         flush()
         self.wfile.write(b"0\r\n\r\n")
 
+    def _html(self, body: str) -> None:
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def do_GET(self):   # noqa: C901 — a dispatch table in if-form
         p = self.provider
         u = urlsplit(self.path)
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
         try:
-            if u.path == "/results":
+            if u.path in ("/", "/index.html"):
+                from .webui_pages import INDEX_HTML
+                self._html(INDEX_HTML)
+            elif u.path == "/debug":
+                from .webui_pages import DEBUG_HTML
+                self._html(DEBUG_HTML)
+            elif u.path == "/debug/script":
+                self._json(p.get_script())
+            elif u.path == "/results":
                 project = q.get("project")
                 offset = int(q.get("offset", 0))
                 limit = min(int(q.get("limit", 20)), 1000)
@@ -331,6 +365,8 @@ class _Handler(BaseHTTPRequestHandler):
                            200 if task is not None else 404)
             else:
                 self._json({"error": "not found", "endpoints": [
+                    "/ (dashboard)", "/debug (script editor)",
+                    "/debug/script",
                     "/results", "/results/dump/<project>.<fmt>",
                     "/counters", "/active_tasks", "/metrics",
                     "/projects", "/queues", "/task",
