@@ -37,6 +37,16 @@ boundary, the loop-polled semantics of the reference:
   one-shot fetch + callback through the handler harness
   (webui/debug.py parity) — returns follows/result/logs/exception
 
+WebDAV script mount (webdav.py here; reference ``webui/webdav.py``):
+``/dav/`` lists the crawl's scripts as ``<name>.py``; GET reads, PUT
+saves (registered script → validated save + hot-swap), PROPFIND/LOCK
+for editor mounts.
+
+Auth (reference ``webui/login.py`` before_request): ``serve(...,
+username=, password=, need_auth=True)`` requires HTTP Basic
+credentials on EVERY endpoint — JSON, pages, and DAV alike; failures
+get the reference's 401 ``need auth.`` challenge.
+
 The server reads parquet result partitions fragment-by-fragment for
 paging, so a page request never loads the whole result set; at
 cluster scale this endpoint fronts the same partitioned store every
@@ -51,6 +61,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
+from . import webdav
 from .functions.export import dump_as_csv, dump_as_json, dump_as_txt
 
 
@@ -227,10 +238,38 @@ class PipelineProvider:
 
 class _Handler(BaseHTTPRequestHandler):
     provider: PipelineProvider = None   # set by serve()
+    dav = None                          # ScriptDav | None, set by serve()
+    auth: tuple | None = None           # (username, password) when need_auth
     protocol_version = "HTTP/1.1"       # chunked transfer for dumps
 
     def log_message(self, *a):   # quiet
         pass
+
+    def _gate(self) -> bool:
+        """HTTP Basic gate (webui/login.py:56-77): True = proceed.
+        Applied to every verb when the server was started with
+        ``need_auth`` credentials."""
+        if self.auth is None:
+            return True
+        header = self.headers.get("Authorization") or ""
+        if header.startswith("Basic "):
+            import base64
+            try:
+                user, _, pw = base64.b64decode(
+                    header[len("Basic "):]).decode("utf-8").partition(":")
+                if (user, pw) == self.auth:
+                    return True
+            except Exception:
+                pass
+        body = b"need auth."
+        self.send_response(401)
+        self.send_header("WWW-Authenticate",
+                         'Basic realm="Login Required"')
+        self.send_header("Content-Type", "text/plain; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return False
 
     def _json(self, obj, code: int = 200) -> None:
         body = json.dumps(obj, ensure_ascii=False, default=str).encode()
@@ -301,11 +340,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):   # noqa: C901 — a dispatch table in if-form
+        if not self._gate():
+            return
         p = self.provider
         u = urlsplit(self.path)
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
         try:
-            if u.path in ("/", "/index.html"):
+            if self.dav is not None and webdav.handle_get(self, self.dav):
+                pass
+            elif u.path in ("/", "/index.html"):
                 from .webui_pages import INDEX_HTML
                 self._html(INDEX_HTML)
             elif u.path == "/debug":
@@ -372,7 +415,8 @@ class _Handler(BaseHTTPRequestHandler):
                     "/projects", "/queues", "/task",
                     "POST /projects/<name>/pause|unpause|rate|script",
                     "POST /newtask", "POST /messages",
-                    "POST /debug"]}, 404)
+                    "POST /debug",
+                    "/dav/ (WebDAV script mount)"]}, 404)
         except BrokenPipeError:
             pass
         except Exception as exc:   # read-only surface: surface, don't die
@@ -390,9 +434,73 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("JSON object body required")
         return body
 
+    # -- WebDAV verbs (webdav.py; reference webui/webdav.py) ------------------
+    def _dav_or_404(self):
+        """The ScriptDav when the path is under the mount, else None
+        (after answering 404/405)."""
+        is_dav = self.path.split("?", 1)[0].rstrip("/") == webdav.MOUNT \
+            or self.path.startswith(webdav.MOUNT + "/")
+        if self.dav is None or not is_dav:
+            self._json({"error": "not found"}, 404)
+            return None
+        return self.dav
+
+    def do_OPTIONS(self):
+        if not self._gate():
+            return
+        webdav.handle_options(self)
+
+    def do_HEAD(self):
+        if not self._gate():
+            return
+        if self.dav is None or not webdav.handle_get(self, self.dav,
+                                                     head=True):
+            self._json({"error": "not found"}, 404)
+
+    def do_PROPFIND(self):
+        if not self._gate():
+            return
+        dav = self._dav_or_404()
+        if dav is not None:
+            webdav.handle_propfind(self, dav)
+
+    def do_PUT(self):
+        if not self._gate():
+            return
+        dav = self._dav_or_404()
+        if dav is not None:
+            try:
+                webdav.handle_put(self, dav)
+            except BrokenPipeError:
+                pass
+            except Exception as exc:
+                self._json({"error": str(exc)}, 500)
+
+    def do_LOCK(self):
+        if not self._gate():
+            return
+        if self._dav_or_404() is not None:
+            webdav.handle_lock(self)
+
+    def do_UNLOCK(self):
+        if not self._gate():
+            return
+        if self._dav_or_404() is not None:
+            webdav.handle_unlock(self)
+
+    def do_DELETE(self):
+        if not self._gate():
+            return
+        if self._dav_or_404() is not None:
+            webdav.handle_forbidden(self)
+
+    do_MKCOL = do_MOVE = do_COPY = do_PROPPATCH = do_DELETE
+
     def do_POST(self):
         """Runtime control (the reference scheduler's xmlrpc verbs) +
         the single-task debugger (webui/debug.py)."""
+        if not self._gate():
+            return
         p = self.provider
         u = urlsplit(self.path)
         try:
@@ -454,11 +562,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._json({"error": str(exc)}, 500)
 
 
-def serve(pipe, host: str = "127.0.0.1", port: int = 0):
+def serve(pipe, host: str = "127.0.0.1", port: int = 0,
+          username: str | None = None, password: str | None = None,
+          need_auth: bool = False, dav_root: str | None = None):
     """Start the API on a daemon thread; returns the HTTPServer (its
-    ``server_address`` carries the bound port; ``shutdown()`` stops it)."""
-    handler = type("_BoundHandler", (_Handler,),
-                   {"provider": PipelineProvider(pipe)})
+    ``server_address`` carries the bound port; ``shutdown()`` stops it).
+
+    ``need_auth`` + ``username``/``password``: HTTP Basic on every
+    endpoint (webui/login.py parity).  ``dav_root``: directory for the
+    ``/dav`` script mount; defaults to the registered script's
+    directory when the crawl is script-driven, else the mount is off.
+    """
+    provider = PipelineProvider(pipe)
+    dav = webdav.ScriptDav(provider, dav_root)
+    handler = type("_BoundHandler", (_Handler,), {
+        "provider": provider,
+        "dav": dav if dav.enabled else None,
+        "auth": (username or "", password or "") if need_auth else None,
+    })
     srv = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
