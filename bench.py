@@ -408,18 +408,70 @@ def neardup_scale() -> None:
     print(json.dumps(out))
 
 
+def _build_sf1_embeddings(out_dir: str = "/tmp/ann_sf1_v1") -> str:
+    """Deterministic 10x embeddings table for the ANN scale
+    rehearsal: replica r of every sf0.1 vector gets vec_id + r*10^5
+    and its embedding cyclically rotated by r dimensions.  A rotation
+    preserves the norm and each replica's INTERNAL geometry exactly
+    (rotation is orthogonal → every within-replica cosine is
+    unchanged), while cross-replica dot products sit at chance level —
+    no replica's vectors preferentially land in another replica's LSH
+    buckets, so bucket candidates grow linearly with the corpus, not
+    quadratically.  The query set (the 20 smallest vec_ids) stays
+    replica 0's, i.e. fixed queries vs a 10x corpus — the realistic
+    scale shape."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = base["vec_id"].to_numpy()
+    E = np.array(base["embedding"].to_pylist(), dtype=np.float32)
+    reps = []
+    for r in range(10):
+        reps.append(pa.table({
+            "vec_id": pa.array(ids + r * 10**5, pa.int64()),
+            "embedding": pa.array(list(np.roll(E, r, axis=1)),
+                                  pa.list_(pa.float32())),
+            "label": base["label"]}))
+    pq.write_table(pa.concat_tables(reps), path)
+    return out_dir
+
+
+# legs whose input isn't the documents table: how --scale-op gets
+# their 10x variant
+_EMBEDDING_SCALE_OPS = {"ann_lsh_bucketed", "ann_lsh", "ann_ivf",
+                        "embedding_knn", "embedding_near_dup"}
+_MEDIA_SCALE_OPS = {"audio_fp_near_dup", "video_fp_near_dup"}
+
+
 def op_scale(qname: str) -> None:
-    """sf0.1-vs-10x rehearsal for any documents-table query: run it in
-    two fresh processes on the real sf0.1 table and the 10x replica
-    table, report wall / output rows / probes and the 10x ratios.
-    ``--dsir-scale`` is the canonical use (fixed-size hashed-feature
-    model → both passes pure streaming scans); ``--scale-op NAME``
-    runs any other leg (e.g. curate_corpus, lm_bigram_score).  The
-    replica shift 10^5 is divisible by every split modulus in use
-    (5, 50), so holdout/new-batch splits replicate exactly."""
-    sf1 = _build_sf1_documents()
+    """sf0.1-vs-10x rehearsal for any query: run it in two fresh
+    processes on the base input and a 10x variant, report wall /
+    output rows / probes and the 10x ratios.  ``--dsir-scale`` is the
+    canonical use (fixed-size hashed-feature model → both passes pure
+    streaming scans); ``--scale-op NAME`` runs any other leg (e.g.
+    curate_corpus, lm_bigram_score).  The 10x variant by input table:
+    documents legs read the replica table (replica shift 10^5 is
+    divisible by every split modulus in use — 5, 50 — so holdout/
+    new-batch splits replicate exactly); embeddings legs read the
+    rotated-replica embeddings table (fixed query set, 10x corpus);
+    the synthetic-corpus media legs raise GRAFT_MEDIA_CLIPS 100→1000
+    (planted twin pairs scale exactly linearly)."""
     out: dict = {"query": qname, "num_cpus": NUM_CPUS, "legs": []}
-    for sf in (SF_DIR, sf1):
+    if qname in _MEDIA_SCALE_OPS:
+        legs = [(SF_DIR, "100", "100 clips"),
+                (SF_DIR, "1000", "1000 clips (10x)")]
+    elif qname in _EMBEDDING_SCALE_OPS:
+        legs = [(SF_DIR, None, "sf0.1"),
+                (_build_sf1_embeddings(), None, "sf1(10x)")]
+    else:
+        legs = [(SF_DIR, None, "sf0.1"),
+                (_build_sf1_documents(), None, "sf1(10x)")]
+    for sf, clips, tag in legs:
         probe = fault_probe_fresh()
         code = (
             "import json, time, ray\n"
@@ -432,12 +484,15 @@ def op_scale(qname: str) -> None:
             "print(json.dumps({'sec': round(time.perf_counter()-t0, 2), "
             "'rows': int(n)}))\n"
             "ray.shutdown()\n")
+        env = dict(os.environ)
+        if clips is not None:
+            env["GRAFT_MEDIA_CLIPS"] = clips
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, check=True,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           env=env)
         leg = json.loads(r.stdout.strip().splitlines()[-1])
-        leg.update({"sf": "sf1(10x)" if sf == sf1 else "sf0.1",
-                    "probe_mb_per_s": probe})
+        leg.update({"sf": tag, "probe_mb_per_s": probe})
         out["legs"].append(leg)
     a, b = out["legs"][0], out["legs"][1]
     out["wall_ratio_10x"] = round(b["sec"] / a["sec"], 2)

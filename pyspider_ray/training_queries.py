@@ -19,6 +19,7 @@ ride actor constructors / task args by design.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -1502,6 +1503,15 @@ def _audio_fp_name(d: int) -> str:
     return f"aud-{d >> 1:06d}" + (":alt" if d & 1 else "")
 
 
+def _media_clip_count() -> int:
+    """Clip-corpus size for the audio/video near-dup legs — 100 by
+    default; the 10x scale rehearsal (bench.py --scale-op) raises it
+    via GRAFT_MEDIA_CLIPS so the fingerprint exchange can be measured
+    at 10x clips with the same every-third-has-a-twin structure
+    (planted pairs scale exactly linearly)."""
+    return int(os.environ.get("GRAFT_MEDIA_CLIPS", "100"))
+
+
 def q_audio_fp_near_dup(sf_dir):
     """Audio near-dup by Haitsma-Kalker fingerprint Hamming <= 10
     (rows-only — DuckDB can't FFT): the audio analogue of pHash dedup
@@ -1528,7 +1538,7 @@ def q_audio_fp_near_dup(sf_dir):
         return pa.table({"doc_id": b["doc_id"],
                          "bytes": pa.array(payload, pa.binary())})
 
-    doc_ids = [d for i in range(100)
+    doc_ids = [d for i in range(_media_clip_count())
                for d in ([i << 1, (i << 1) | 1] if i % 3 == 0
                          else [i << 1])]
     base = _rd().from_arrow(pa.table({
@@ -1596,7 +1606,7 @@ def q_video_fp_near_dup(sf_dir):
         return pa.table({"doc_id": b["doc_id"],
                          "bytes": pa.array(payload, pa.binary())})
 
-    doc_ids = [d for i in range(100)
+    doc_ids = [d for i in range(_media_clip_count())
                for d in ([i << 1, (i << 1) | 1] if i % 3 == 0
                          else [i << 1])]
     base = _rd().from_arrow(pa.table({
