@@ -68,6 +68,17 @@ class TestAudioFingerprint:
         assert sr2 == sr
         assert np.abs(s2 - s).max() < 1e-4    # int16 quantization only
 
+    def test_degenerate_clip_lengths_return_zero(self):
+        # lengths 9-17 give frame == 1 -> single-bin rfft spectrum;
+        # the guard must return 0 rather than crash in reduceat
+        from pyspider_ray.functions.media import audio_fingerprint64
+        for n in [0, 1, 5, 8, 9, 12, 17]:
+            s = np.sin(np.arange(n, dtype=np.float64))
+            assert audio_fingerprint64(s) == 0
+        # first non-degenerate length still produces a real fingerprint
+        assert audio_fingerprint64(
+            np.sin(np.arange(100, dtype=np.float64))) != 0
+
     @pytest.mark.usefixtures("ray_session")
     def test_near_dup_query_finds_exactly_the_twins(self, sf_dir):
         from pyspider_ray import training_queries as tq
