@@ -4614,6 +4614,252 @@ ORACLES["hll_distinct"] = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# FineWeb composed pre-filter, hash split, aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+_FW_MIN_TOKENS = 20          # Gopher's 50..100k word window rescaled to
+_FW_MAX_TOKENS = 90          # this corpus's 10..99-token synthetic docs
+
+
+def q_fineweb_filter(sf_dir):
+    """FineWeb-style composed quality gate (Penedo et al. 2024 §3.1 run
+    language-ID, quality heuristics and Gopher repetition as one
+    sequential filter chain): the four cheap gates evaluated in ONE
+    streaming pass per doc, emitting an integer reason bitmask
+    (1 quality, 2 language != en, 4 repetition, 8 token-length window)
+    — the composed pre-filter a training pipeline runs before anything
+    expensive, sharing a single tokenization across gates instead of
+    four scans of the corpus.
+
+    Every signal is the SAME integer expression as its standalone
+    oracle-green query (quality_score / lang_id / gopher_repetition),
+    so the composition stays hash-exact; the oracle below is generated
+    from the same constants.
+
+    Scale shape: zero shuffle — one map_batches with the vectorized
+    stopword/alpha kernels and the memoized word-hash cache; at 100 TB
+    this is the hot gate, and it reads each byte exactly once."""
+    import pandas as pd
+
+    def gates(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"]
+        trimmed = texts.str.strip()
+        # quality_score's exact integer predicate
+        n_tok = trimmed.str.split(r"\s+").str.len().astype("int64")
+        n_stop = pd.Series(_stopword_counts(texts), index=b.index)
+        n_chars = trimmed.str.len().astype("int64")
+        n_alpha = trimmed.str.count(r"[A-Za-z]").astype("int64")
+        q_ok = (n_stop * 10 < n_tok * 9) & (n_alpha * 2 > n_chars)
+        # lang_id's marker vote + gopher_repetition's signals share the
+        # python-split token list (one pass over the words per doc)
+        l_ok, g_ok = [], []
+        for t in texts:
+            ws = t.split()
+            wset = set(ws)
+            best = max(sorted(_LANG_MARKERS),
+                       key=lambda l: (len(wset & _LANG_MARKERS[l]), ))
+            l_ok.append(bool(wset & _LANG_MARKERS[best]) and best == "en")
+            h = _word_hashes(ws)
+            nd = len(np.unique(h))
+            if len(h) >= 2:
+                g = h[:-1] * np.uint64(0x9E3779B97F4A7C15) + h[1:]
+                _, c = np.unique(g, return_counts=True)
+                top, n2 = int(c.max()), len(g)
+            else:
+                top, n2 = 0, 0
+            g_ok.append(nd * 10 >= len(ws) * 3
+                        and (n2 == 0 or top * 5 <= n2))
+        reason = ((~q_ok.to_numpy()) * 1
+                  + (~np.array(l_ok)) * 2
+                  + (~np.array(g_ok)) * 4
+                  + ((n_tok < _FW_MIN_TOKENS)
+                     | (n_tok > _FW_MAX_TOKENS)).to_numpy() * 8
+                  ).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"], "n_tokens": n_tok,
+            "reason": reason,
+            "keep": (reason == 0).astype("int64")})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(gates, batch_format="pandas"))
+
+
+def _fineweb_oracle() -> str:
+    """Generated from STOPWORDS / _LANG_MARKERS / the window constants
+    so the four gate expressions can never drift from the Ray pass."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    markers = ", ".join(f"('{lang}', '{w}')"
+                        for lang in sorted(_LANG_MARKERS)
+                        for w in sorted(_LANG_MARKERS[lang]))
+    return rf"""
+        WITH s AS (
+            SELECT doc_id, trim(text) AS t,
+                   regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+        q AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   CASE WHEN len(list_filter(ws, x -> x IN ({stop}))) * 10
+                             < len(ws) * 9
+                         AND len(regexp_extract_all(t, '[A-Za-z]')) * 2
+                             > len(t)
+                        THEN 0 ELSE 1 END AS q_bit
+            FROM s),
+        w AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM s),
+        m(lang, word) AS (VALUES {markers}),
+        hits AS (SELECT w.doc_id, m.lang, count(*) AS c
+                 FROM w JOIN m ON w.word = m.word GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang,
+                        row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang) AS rn
+                 FROM hits),
+        lng AS (SELECT s.doc_id,
+                       CASE WHEN coalesce(b.lang, 'unk') = 'en'
+                            THEN 0 ELSE 2 END AS l_bit
+                FROM s LEFT JOIN best b
+                     ON b.doc_id = s.doc_id AND b.rn = 1),
+        counts AS (SELECT doc_id, len(ws) AS n_words,
+                          len(list_distinct(ws)) AS n_distinct, ws
+                   FROM s),
+        grams AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+                  FROM counts, UNNEST(range(1, len(ws))) AS t(i)),
+        top AS (SELECT doc_id, max(c) AS top2_count FROM (
+                    SELECT doc_id, g, count(*) AS c FROM grams
+                    GROUP BY doc_id, g) GROUP BY doc_id),
+        rep AS (SELECT c.doc_id,
+                       CASE WHEN n_distinct * 10 >= n_words * 3
+                             AND (n_words < 2
+                                  OR coalesce(top2_count, 0) * 5
+                                     <= n_words - 1)
+                            THEN 0 ELSE 4 END AS g_bit
+                FROM counts c LEFT JOIN top USING (doc_id))
+        SELECT q.doc_id, q.n_tokens,
+               CAST(q.q_bit + lng.l_bit + rep.g_bit
+                 + CASE WHEN q.n_tokens BETWEEN {_FW_MIN_TOKENS}
+                                            AND {_FW_MAX_TOKENS}
+                        THEN 0 ELSE 8 END AS BIGINT) AS reason,
+               CAST(CASE WHEN q.q_bit + lng.l_bit + rep.g_bit = 0
+                          AND q.n_tokens BETWEEN {_FW_MIN_TOKENS}
+                                             AND {_FW_MAX_TOKENS}
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM q JOIN lng ON lng.doc_id = q.doc_id
+               JOIN rep ON rep.doc_id = q.doc_id
+    """
+
+
+ORACLES["fineweb_filter"] = _fineweb_oracle()
+
+
+_SPLIT_BUCKETS = 100          # 98/1/1 train/valid/test
+
+
+def q_dataset_split(sf_dir):
+    """Deterministic content-keyed train/valid/test split: bucket =
+    md5-high32 of the document TEXT mod 100 (buckets 0-97 train, 98
+    valid, 99 test).  Keying on content, not doc_id, means a
+    re-crawled byte-identical duplicate always lands in the same split
+    — the split can never leak a duplicate across the train/eval
+    boundary, which is the property that matters at 100 TB.
+
+    Scale shape: one streaming pass, zero shuffle; the md5 is the
+    repo's shared digest convention (md5-high-hex -> BIGINT) that
+    DuckDB replays bit-exactly, and it runs once per doc — the same
+    per-row cost every dedup pass here already pays."""
+    def assign(b: pa.Table) -> pa.Table:
+        buckets = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             % _SPLIT_BUCKETS
+             for t in b["text"].to_pylist()], dtype=np.int64)
+        split = np.where(buckets >= _SPLIT_BUCKETS - 1, 2,
+                         np.where(buckets >= _SPLIT_BUCKETS - 2, 1, 0)
+                         ).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "bucket": pa.array(buckets),
+                         "split": pa.array(split)})
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+ORACLES["dataset_split"] = rf"""
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT
+               % {_SPLIT_BUCKETS} AS bucket,
+           CAST(CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT
+                     % {_SPLIT_BUCKETS} >= {_SPLIT_BUCKETS - 1} THEN 2
+                WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT
+                     % {_SPLIT_BUCKETS} >= {_SPLIT_BUCKETS - 2} THEN 1
+                ELSE 0 END AS BIGINT) AS split
+    FROM documents
+"""
+
+
+# SDXL-style aspect buckets at this corpus's 64-px scale: (w, h)
+# targets a trainer would pad/resize into.  _ASPECT_LCM is the lcm of
+# the bucket heights so the nearest-aspect argmin runs in EXACT
+# integer arithmetic: |w/h - wb/hb| ranks identically to
+# |w*hb - h*wb| * (LCM/hb) because h and LCM are shared factors.
+_ASPECT_BUCKETS = ((64, 64), (80, 56), (56, 80), (96, 48), (48, 96),
+                   (72, 56), (56, 72))
+_ASPECT_LCM = 20160
+_ASPECT_BATCH = 16
+
+
+def q_image_aspect_buckets(sf_dir):
+    """Aspect-ratio bucketed batch construction (the SDXL / NovelAI
+    bucketing trick: group images by nearest target aspect so every
+    training batch shares one shape and padding waste ~ 0): assign
+    each image the bucket minimizing the exact integer aspect cost
+    (ties -> lowest bucket index), then pack each bucket's images into
+    fixed batches of {B} in image_id order and report per-image
+    (bucket, batch_idx, slot) — rows-only (synthetic image table, no
+    DuckDB view; pinned by a pure-Python Fraction mirror in pytest).
+
+    Scale shape: the assignment pass is one vectorized (n x K) integer
+    matmul-shaped argmin that PRUNES payload bytes immediately; only
+    ~32 B/row of metadata rides the single groupby exchange, and each
+    bucket group packs with one argsort — no Python per image."""
+    rows = _image_caption_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "w": pa.array([r["w"] for r in rows], pa.int32()),
+        "h": pa.array([r["h"] for r in rows], pa.int32()),
+    })
+    wb = np.array([b[0] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    hb = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    scale = _ASPECT_LCM // hb
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
+        cost = np.abs(w[:, None] * hb[None, :]
+                      - h[:, None] * wb[None, :]) * scale[None, :]
+        bucket = np.argmin(cost, axis=1).astype(np.int64)  # ties -> low k
+        return pa.table({"image_id": b["image_id"],
+                         "w": pa.array(w), "h": pa.array(h),
+                         "bucket": pa.array(bucket)})
+
+    def pack(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        order = np.argsort(ids)
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = np.arange(len(ids))
+        return pa.table({"image_id": g["image_id"],
+                         "w": g["w"], "h": g["h"],
+                         "bucket": g["bucket"],
+                         "batch_idx": pa.array(pos // _ASPECT_BATCH),
+                         "slot": pa.array(pos % _ASPECT_BATCH)})
+
+    return (_rd().from_arrow(t)
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pack, batch_format="pyarrow"))
+
+
+q_image_aspect_buckets.__doc__ = q_image_aspect_buckets.__doc__.replace(
+    "{B}", str(_ASPECT_BATCH))
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -4671,4 +4917,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
     "crawl_order": q_crawl_order,
+    "fineweb_filter": q_fineweb_filter,
+    "dataset_split": q_dataset_split,
+    "image_aspect_buckets": q_image_aspect_buckets,
 }
