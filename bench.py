@@ -70,7 +70,11 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                "dsir_select", "audio_fp_near_dup", "video_fp_near_dup",
                # round-4 addition: ExactSubstr rewrite (election
                # broadcast, zero text shuffle)
-               "substring_dedup"]
+               "substring_dedup",
+               # round-5 addition: the composed FineWeb gate — the
+               # hottest (cheapest, most-run) pass of a 100 TB text
+               # pipeline, four gates in one corpus read
+               "fineweb_filter"]
 
 
 def init_ray():

@@ -4793,6 +4793,82 @@ ORACLES["dataset_split"] = rf"""
 """
 
 
+def q_ccnet_buckets(sf_dir):
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020 §3.3: order documents by LM quality and cut the corpus into
+    three equal-mass buckets; trainers then sample head-heavy): score
+    every non-holdout doc with the count-LM's integer statistics
+    (lm_bigram_score), reduce to ONE integer score per doc
+    (milli-mass-per-position = mass*1000 // n_bigrams — floor division,
+    engine-exact), take exact tertile thresholds off a value-domain
+    histogram (the source_len_quantiles rule: smallest v with
+    cum*100 >= q*n), and bucket 0=head (score > t66, most in-domain) /
+    1=middle / 2=tail.
+
+    Scale shape: the score table is ~24 B/doc metadata (0.01% of
+    corpus bytes), so it materializes once and is read twice — the
+    standard two-pass quantile trick; the histogram exchange is
+    O(distinct scores), not O(docs), and the two thresholds broadcast
+    as plain ints."""
+    scored = q_lm_bigram_score(sf_dir)
+
+    def to_score(b: pa.Table) -> pa.Table:
+        mass = b["mass"].to_numpy()
+        n = b["n_bigrams"].to_numpy()
+        return pa.table({"doc_id": b["doc_id"],
+                         "score": pa.array(mass * 1000 // n, pa.int64())})
+
+    sc = scored.map_batches(to_score, batch_format="pyarrow").materialize()
+    hist = (sc.groupby("score").count().to_pandas()
+            .sort_values("score"))
+    cum = hist["count()"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = hist["score"].to_numpy()
+    t33 = int(vals[int(np.searchsorted(cum * 100, 33 * n))])
+    t66 = int(vals[int(np.searchsorted(cum * 100, 66 * n))])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        s = b["score"].to_numpy()
+        bk = np.where(s > t66, 0, np.where(s > t33, 1, 2)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "score": b["score"],
+                         "bucket": pa.array(bk)})
+
+    return sc.map_batches(bucket, batch_format="pyarrow")
+
+
+ORACLES["ccnet_buckets"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    grams AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+    train AS (
+        SELECT g, count(*) AS c FROM grams
+        WHERE doc_id % 50 = 0 GROUP BY g),
+    stats AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               coalesce(sum(c), 0) AS mass
+        FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) s
+        LEFT JOIN train USING (g) GROUP BY doc_id),
+    sc AS (
+        SELECT doc_id,
+               CAST(mass * 1000 // n_bigrams AS BIGINT) AS score
+        FROM stats),
+    h AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+    w AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+                 sum(c) OVER () AS n FROM h),
+    t AS (SELECT min(CASE WHEN cum * 100 >= 33 * n THEN score END) AS t33,
+                 min(CASE WHEN cum * 100 >= 66 * n THEN score END) AS t66
+          FROM w)
+    SELECT doc_id, score,
+           CAST(CASE WHEN score > t66 THEN 0
+                     WHEN score > t33 THEN 1
+                     ELSE 2 END AS BIGINT) AS bucket
+    FROM sc, t
+"""
+
+
 # SDXL-style aspect buckets at this corpus's 64-px scale: (w, h)
 # targets a trainer would pad/resize into.  _ASPECT_LCM is the lcm of
 # the bucket heights so the nearest-aspect argmin runs in EXACT
@@ -4920,4 +4996,5 @@ QUERIES = {
     "fineweb_filter": q_fineweb_filter,
     "dataset_split": q_dataset_split,
     "image_aspect_buckets": q_image_aspect_buckets,
+    "ccnet_buckets": q_ccnet_buckets,
 }
