@@ -4793,6 +4793,94 @@ ORACLES["dataset_split"] = rf"""
 """
 
 
+_IMGQ_N = 300
+_IMGQ_DARK_MAX = 180     # sum-of-3-channels luma means (0..765):
+_IMGQ_BRIGHT_MIN = 570   # < 60/channel too dark, > 190/channel too
+_IMGQ_SPREAD_MIN = 60    # bright, luma range < 60 too flat
+
+
+def _image_quality_rows(n: int = _IMGQ_N) -> list[dict]:
+    """Deterministic image corpus with planted degenerate exposures:
+    every id with i % 11 == 5 is crushed toward black, i % 13 == 7
+    toward white, i % 17 == 9 flattened to its mean color — the
+    near-black / blown-out / solid-color junk a web image crawl is
+    full of (LAION's brightness/uniformity prefilters)."""
+    from .functions.imaging import decode_image, encode_image
+    from .functions.synthweb import page_payload
+    rows = []
+    for i in range(n):
+        r = page_payload(i)
+        px = decode_image(r["bytes"])
+        if i % 11 == 5:
+            px = px // 4
+        elif i % 13 == 7:
+            px = 255 - (255 - px) // 4
+        elif i % 17 == 9:
+            px = np.full_like(px, px.mean(axis=(0, 1)).astype(np.uint8))
+        else:
+            rows.append(r)
+            continue
+        rows.append({**r, "bytes": encode_image(px, "png"),
+                     "fmt": "png"})
+    return rows
+
+
+class _ImageQualityStage:
+    """Actor-pool decode + integer exposure statistics: per image the
+    3-channel luma sum (0..765) gives mean (floor division — engine
+    exact) and range; flags are integer-threshold compares.  Decode
+    state built once per actor; payload bytes never leave the stage."""
+
+    def __init__(self):
+        from .functions.imaging import decode_image
+        self._decode = decode_image
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, lum, spread, reason = [], [], [], []
+        for img_id, data in zip(b["image_id"].to_pylist(),
+                                b["bytes"].to_pylist()):
+            px = self._decode(data).astype(np.int64)
+            l3 = px.sum(axis=2)
+            m = int(l3.sum()) // l3.size
+            s = int(l3.max() - l3.min())
+            r = ((m < _IMGQ_DARK_MAX) * 1
+                 + (m > _IMGQ_BRIGHT_MIN) * 2
+                 + (s < _IMGQ_SPREAD_MIN) * 4)
+            ids.append(img_id)
+            lum.append(m)
+            spread.append(s)
+            reason.append(r)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "lum_mean3": pa.array(lum, pa.int64()),
+            "lum_spread3": pa.array(spread, pa.int64()),
+            "reason": pa.array(reason, pa.int64()),
+            "keep": pa.array([int(r == 0) for r in reason], pa.int64())})
+
+
+def q_image_quality_stats(sf_dir):
+    """Image exposure/uniformity quality gate (the LAION-style
+    brightness + solid-color prefilter a web image pipeline runs
+    before any model scoring): actor-pool decode → integer luma
+    statistics → reason bitmask (1 too dark, 2 blown out, 4 flat) —
+    rows-only (synthetic image table; pinned by a driver-side kernel
+    mirror + planted-degenerate accounting in pytest).
+
+    Scale shape: the only pass over payload bytes is the decode stage
+    itself (small batches — payloads are the wide column); what leaves
+    is ~32 B/row of integers, and there is NO exchange at all — this
+    is a pure streaming gate like fineweb_filter."""
+    rows = _image_quality_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+    })
+    return (_rd().from_arrow(t)
+            .map_batches(_ImageQualityStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2,
+                         max_restarts=0))
+
+
 def q_ccnet_buckets(sf_dir):
     """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
     2020 §3.3: order documents by LM quality and cut the corpus into
@@ -4997,4 +5085,5 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "image_aspect_buckets": q_image_aspect_buckets,
     "ccnet_buckets": q_ccnet_buckets,
+    "image_quality_stats": q_image_quality_stats,
 }
