@@ -475,6 +475,9 @@ def _build_sf1_embeddings(out_dir: str = "/tmp/ann_sf1_v1") -> str:
 _EMBEDDING_SCALE_OPS = {"ann_lsh_bucketed", "ann_lsh", "ann_ivf",
                         "embedding_knn", "embedding_near_dup"}
 _MEDIA_SCALE_OPS = {"audio_fp_near_dup", "video_fp_near_dup"}
+# synthetic image-table legs: 10x via the corpus-size env knob
+_IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
+                  "image_quality_stats": 300}
 
 
 def op_scale(qname: str) -> None:
@@ -492,15 +495,21 @@ def op_scale(qname: str) -> None:
     (planted twin pairs scale exactly linearly)."""
     out: dict = {"query": qname, "num_cpus": NUM_CPUS, "legs": []}
     if qname in _MEDIA_SCALE_OPS:
-        legs = [(SF_DIR, "100", "100 clips"),
-                (SF_DIR, "1000", "1000 clips (10x)")]
+        legs = [(SF_DIR, {"GRAFT_MEDIA_CLIPS": "100"}, "100 clips"),
+                (SF_DIR, {"GRAFT_MEDIA_CLIPS": "1000"},
+                 "1000 clips (10x)")]
+    elif qname in _IMG_SCALE_OPS:
+        base = _IMG_SCALE_OPS[qname]
+        legs = [(SF_DIR, {"GRAFT_IMG_ROWS": str(base)}, f"{base} images"),
+                (SF_DIR, {"GRAFT_IMG_ROWS": str(base * 10)},
+                 f"{base * 10} images (10x)")]
     elif qname in _EMBEDDING_SCALE_OPS:
         legs = [(SF_DIR, None, "sf0.1"),
                 (_build_sf1_embeddings(), None, "sf1(10x)")]
     else:
         legs = [(SF_DIR, None, "sf0.1"),
                 (_build_sf1_documents(), None, "sf1(10x)")]
-    for sf, clips, tag in legs:
+    for sf, extra_env, tag in legs:
         probe = fault_probe_fresh()
         code = (
             "import json, time, ray\n"
@@ -514,8 +523,8 @@ def op_scale(qname: str) -> None:
             "'rows': int(n)}))\n"
             "ray.shutdown()\n")
         env = dict(os.environ)
-        if clips is not None:
-            env["GRAFT_MEDIA_CLIPS"] = clips
+        if extra_env:
+            env.update(extra_env)
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)),

@@ -3045,13 +3045,26 @@ def q_dup_window_coverage(sf_dir):
 # image+caption pair filtering (LAION/DataComp)
 # ---------------------------------------------------------------------------
 
+def _img_rows_env(default: int) -> int:
+    """Image-table corpus size, overridable for 10x scale rehearsals
+    (bench.py --scale-op; the GRAFT_MEDIA_CLIPS pattern)."""
+    v = os.environ.get("GRAFT_IMG_ROWS")
+    return int(v) if v else default
+
+
 _IMG_GATE_N = 600
 _IMG_MIN_SIDE = 64
 _IMG_ASPECT_MAX = 2          # max(w,h) <= 2 * min(w,h), integer compare
 _IMG_MIN_CAPTION_TOKENS = 5
 
 
-def _image_caption_rows(n: int = _IMG_GATE_N) -> list[dict]:
+def _image_caption_rows(n: int | None = None) -> list[dict]:
+    if n is None:
+        n = _img_rows_env(_IMG_GATE_N)
+    return _image_caption_rows_n(n)
+
+
+def _image_caption_rows_n(n: int) -> list[dict]:
     """Deterministic image+caption table in the BASELINE input-hint
     shape (image_id, bytes, w, h, fmt, caption, phash).  Every id with
     i % 7 == 3 is re-crawled under a second image_id with the SAME
@@ -4799,12 +4812,14 @@ _IMGQ_BRIGHT_MIN = 570   # < 60/channel too dark, > 190/channel too
 _IMGQ_SPREAD_MIN = 60    # bright, luma range < 60 too flat
 
 
-def _image_quality_rows(n: int = _IMGQ_N) -> list[dict]:
+def _image_quality_rows(n: int | None = None) -> list[dict]:
     """Deterministic image corpus with planted degenerate exposures:
     every id with i % 11 == 5 is crushed toward black, i % 13 == 7
     toward white, i % 17 == 9 flattened to its mean color — the
     near-black / blown-out / solid-color junk a web image crawl is
     full of (LAION's brightness/uniformity prefilters)."""
+    if n is None:
+        n = _img_rows_env(_IMGQ_N)
     from .functions.imaging import decode_image, encode_image
     from .functions.synthweb import page_payload
     rows = []
