@@ -5039,6 +5039,175 @@ q_image_aspect_buckets.__doc__ = q_image_aspect_buckets.__doc__.replace(
     "{B}", str(_ASPECT_BATCH))
 
 
+# ---------------------------------------------------------------------------
+# token-budget corpus mixing (LLaMA/GPT-3-style per-source quotas)
+# ---------------------------------------------------------------------------
+
+_MIX_BUCKETS = 4096     # histogram resolution; boundary bucket ~ N/4096 docs
+_MIX_DEN = 3            # corpus budget = total chars // 3
+_MIX_W_MOD = 5          # source weight = md5(source) % 5 + 1
+
+
+def _mix_hv(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 60-bit placement hash per doc_id — md5 of the
+    decimal string, so the DuckDB oracle replays it bit-exactly
+    (``('0x'||substr(md5(x),1,15))::BIGINT`` convention)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+         for i in ids), dtype=np.int64, count=len(ids))
+
+
+def q_token_budget_mix(sf_dir):
+    """Token-budget corpus mixing: give each source a char quota
+    proportional to its weight (LLaMA-style data mixing: a global
+    budget of ``total_chars // 3`` split ``budget * w_s // Σw``,
+    with the weight derived deterministically from the source name),
+    then fill each quota with the maximal prefix of that source's
+    docs in placement-hash order — selected iff the running char sum
+    stays ≤ quota.  Deterministic, integer-exact, restart-stable.
+
+    Scale shape — exact ordered-prefix selection WITHOUT a global
+    sort: pass 1 streams a per-(source, hash-bucket) char histogram
+    (≤ sources x 4096 rows per batch ever cross; folded on the
+    driver), the driver picks each source's cutoff bucket, and pass 2
+    is a zero-shuffle filter: buckets strictly below the cutoff are
+    selected wholesale, and only the ONE boundary bucket per source
+    (expected N_s/4096 docs) enters a per-source exchange where it is
+    locally sorted to fill the remainder exactly.  Reads only
+    (doc_id, source, n_chars) — document text never leaves storage.
+    At deeper scale the boundary bucket recurses on the next 12 hash
+    bits; one level suffices here."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        hv = _mix_hv(b["doc_id"].to_numpy())
+        bx = (hv >> 48).astype(np.int64)
+        nch = b["n_chars"].to_numpy()
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        out_s: list[str] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for k, s in enumerate(uniq):
+            vec = np.zeros(_MIX_BUCKETS, dtype=np.int64)
+            ii = np.flatnonzero(inv == k)
+            np.add.at(vec, bx[ii], nch[ii])
+            nz = np.flatnonzero(vec)
+            out_s.extend([str(s)] * len(nz))
+            out_b.append(nz)
+            out_c.append(vec[nz])
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "b": pa.array(np.concatenate(out_b) if out_b
+                          else np.empty(0, np.int64), pa.int64()),
+            "chars": pa.array(np.concatenate(out_c) if out_c
+                              else np.empty(0, np.int64), pa.int64())})
+
+    vecs: dict[str, np.ndarray] = {}
+    for part in (docs.map_batches(hist, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        bs_ = part["b"].to_numpy()
+        cs_ = part["chars"].to_numpy()
+        for s, bb, cc in zip(part["source"].to_pylist(), bs_, cs_):
+            vecs.setdefault(s, np.zeros(_MIX_BUCKETS, np.int64))[bb] += cc
+
+    budget = sum(int(v.sum()) for v in vecs.values()) // _MIX_DEN
+    wts = {s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+           % _MIX_W_MOD + 1 for s in vecs}
+    wsum = sum(wts.values())
+    # cut[source] = (first bucket whose cumulative sum exceeds the
+    # quota, chars still unfilled when that bucket starts)
+    cut: dict[str, tuple[int, int]] = {}
+    for s, v in vecs.items():
+        quota = budget * wts[s] // wsum if wsum else 0
+        cum = np.cumsum(v)
+        bstar = int(np.searchsorted(cum, quota, side="right"))
+        base = int(cum[bstar - 1]) if bstar > 0 else 0
+        cut[s] = (bstar, quota - base)
+
+    def _cuts_of(src: list[str]) -> np.ndarray:
+        uniq, inv = np.unique(np.asarray(src, dtype=object),
+                              return_inverse=True)
+        return np.array([cut.get(str(s), (0, 0))[0] for s in uniq],
+                        np.int64)[inv]
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        hv = _mix_hv(b["doc_id"].to_numpy())
+        mask = (hv >> 48) < _cuts_of(b["source"].to_pylist())
+        return (b.select(["doc_id", "source", "n_chars"])
+                .filter(pa.array(mask)))
+
+    def keep_boundary(b: pa.Table) -> pa.Table:
+        hv = _mix_hv(b["doc_id"].to_numpy())
+        src = b["source"].to_pylist()
+        mask = (hv >> 48) == _cuts_of(src)
+        skey = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in src), dtype=np.int64, count=len(src))
+        t = (b.select(["doc_id", "source", "n_chars"])
+             .filter(pa.array(mask)))
+        return (t.append_column("hv", pa.array(hv[mask]))
+                .append_column("skey", pa.array(skey[mask])))
+
+    def fill(g: pa.Table) -> pa.Table:
+        outs = []
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        for s in np.unique(src):      # skey is a hash: split exactly
+            ii = np.flatnonzero(src == s)
+            rem = cut[str(s)][1]
+            hv = g["hv"].to_numpy()[ii]
+            ids = g["doc_id"].to_numpy()[ii]
+            nch = g["n_chars"].to_numpy()[ii]
+            order = np.lexsort((ids, hv))
+            k = int(np.searchsorted(np.cumsum(nch[order]), rem,
+                                    side="right"))
+            sel = order[:k]
+            outs.append(pa.table({
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "source": pa.array([str(s)] * k, pa.string()),
+                "n_chars": pa.array(nch[sel], pa.int64())}))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "source": pa.array([], pa.string()),
+             "n_chars": pa.array([], pa.int64())})
+
+    from .neardup import group_apply
+    boundary = group_apply(
+        docs.map_batches(keep_boundary, batch_format="pyarrow"),
+        "skey", fill,
+        pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                   ("n_chars", pa.int64())]))
+    return (docs.map_batches(keep_full, batch_format="pyarrow")
+            .union(boundary))
+
+
+ORACLES["token_budget_mix"] = rf"""
+    WITH w AS (
+        SELECT source,
+               ('0x' || substr(md5(source), 1, 8))::BIGINT
+                   % {_MIX_W_MOD} + 1 AS wt,
+               sum(n_chars) AS src_chars
+        FROM documents GROUP BY source),
+    tot AS (
+        SELECT sum(src_chars) // {_MIX_DEN} AS budget,
+               sum(wt) AS wsum FROM w),
+    q AS (
+        SELECT source, CAST(tot.budget AS HUGEINT) * wt // wsum AS quota
+        FROM w, tot),
+    c AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15))::BIGINT,
+                            doc_id) AS cum
+        FROM documents)
+    SELECT c.doc_id, c.source, c.n_chars
+    FROM c JOIN q USING (source)
+    WHERE c.cum <= q.quota
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -5101,4 +5270,5 @@ QUERIES = {
     "image_aspect_buckets": q_image_aspect_buckets,
     "ccnet_buckets": q_ccnet_buckets,
     "image_quality_stats": q_image_quality_stats,
+    "token_budget_mix": q_token_budget_mix,
 }
