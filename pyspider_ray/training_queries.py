@@ -5208,6 +5208,212 @@ ORACLES["token_budget_mix"] = rf"""
 """
 
 
+# ---------------------------------------------------------------------------
+# character-class quality signals (RedPajama-Data/Dolma "signals" pass)
+# ---------------------------------------------------------------------------
+
+def q_char_class_stats(sf_dir):
+    """Character-class quality signals — the RedPajama-Data/Dolma
+    per-document "signals" table (fraction of digits / uppercase /
+    punctuation / whitespace) every rule-based curation recipe
+    thresholds on.  All five counters are Arrow C++ RE2 kernels
+    (`count_substring_regex` over single-char classes) plus
+    `utf8_length` — zero-copy, no Python per row, no pandas; keep is
+    the integer-arithmetic gate digit*5 <= chars AND upper*4 <= chars
+    AND punct*5 <= chars (no float ratios, so the DuckDB oracle hashes
+    exactly).  Purely per-batch: zero exchange, the ideal 100-TB shape.
+    Character classes are ASCII POSIX ([[:punct:]] etc.) in BOTH
+    engines (RE2 on both sides), so the counts agree by construction."""
+    def stats(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        def cnt(pat: str) -> pa.Array:
+            return pc.cast(pc.count_substring_regex(t, pattern=pat),
+                           pa.int64())
+        n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+        n_digit = cnt("[0-9]")
+        n_upper = cnt("[A-Z]")
+        n_punct = cnt("[[:punct:]]")
+        n_space = cnt("[ \t\n\r]")
+        keep = pc.cast(
+            pc.and_(pc.and_(
+                pc.less_equal(pc.multiply(n_digit, 5), n_chars),
+                pc.less_equal(pc.multiply(n_upper, 4), n_chars)),
+                pc.less_equal(pc.multiply(n_punct, 5), n_chars)),
+            pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_chars_obs": n_chars,
+                         "n_digit": n_digit, "n_upper": n_upper,
+                         "n_punct": n_punct, "n_space": n_space,
+                         "keep": keep})
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(stats, batch_format="pyarrow"))
+
+
+ORACLES["char_class_stats"] = r"""
+    WITH c AS (
+        SELECT doc_id,
+               length(text) AS n_chars_obs,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+               len(regexp_extract_all(text, '[ \t\n\r]')) AS n_space
+        FROM documents)
+    SELECT doc_id, n_chars_obs,
+           CAST(n_digit AS BIGINT) AS n_digit,
+           CAST(n_upper AS BIGINT) AS n_upper,
+           CAST(n_punct AS BIGINT) AS n_punct,
+           CAST(n_space AS BIGINT) AS n_space,
+           CAST(CASE WHEN n_digit * 5 <= n_chars_obs
+                      AND n_upper * 4 <= n_chars_obs
+                      AND n_punct * 5 <= n_chars_obs
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# within-document repeated-line removal (Dolma/Gopher intra-doc step)
+# ---------------------------------------------------------------------------
+
+def q_intra_doc_line_dedup(sf_dir):
+    """Within-document repeated-line removal — the Dolma/Gopher
+    intra-document dedup that runs BEFORE any corpus-level pass: a line
+    repeated inside one document keeps only its first occurrence there
+    (boilerplate headers/footers duplicated by a template).  Lines are
+    the same disjoint 16-word windows as ``line_dedup`` (the corpus has
+    no newlines).  Unlike line_dedup this needs NO corpus-wide state:
+    the whole operator is one per-batch pass — the document never
+    leaves its block, zero exchange, zero driver state — the ideal
+    100-TB shape.  Duplicate detection inside the batch is a single
+    vectorized pandas hash-table ``duplicated()`` over the exploded
+    (row, line) pairs; only the per-document reassembly join touches
+    Python, O(docs) not O(tokens).  Docs that tokenize empty emit no
+    row (same convention as line_dedup)."""
+    import pandas as pd
+
+    def dedup(b: pa.Table) -> pa.Table:
+        docs = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        rows, lines, doc_of = [], [], []
+        for i, t in enumerate(texts):
+            ws = t.split()
+            if not ws:
+                continue
+            ls = _doc_line_strings(ws)
+            rows.append(np.full(len(ls), len(doc_of), dtype=np.int64))
+            lines.extend(ls)
+            doc_of.append(int(docs[i]))
+        if not rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_lines_kept": pa.array([], pa.int64())})
+        row = np.concatenate(rows)
+        first = ~pd.DataFrame({"r": row, "l": lines}).duplicated(
+            keep="first").to_numpy()
+        arr = np.asarray(lines, dtype=object)
+        bounds = np.flatnonzero(row[1:] != row[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(row)]])
+        ids, texts_out, n_l, n_k = [], [], [], []
+        for s, e in zip(starts, ends):
+            m = first[s:e]
+            ids.append(doc_of[int(row[s])])
+            texts_out.append(" ".join(arr[s:e][m]))
+            n_l.append(int(e - s))
+            n_k.append(int(m.sum()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(texts_out, pa.string()),
+                         "n_lines": pa.array(n_l, pa.int64()),
+                         "n_lines_kept": pa.array(n_k, pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(dedup, batch_format="pyarrow"))
+
+
+ORACLES["intra_doc_line_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE trim(text) <> ''),
+    lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+               array_to_string(ws[i*16+1 : i*16+16], ' ') AS line
+        FROM toks, UNNEST(range(0, CAST(ceil(len(ws)/16.0) AS BIGINT)))
+             AS t(i)),
+    ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY doc_id, line
+                                  ORDER BY line_no) AS rk
+        FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN line END, ' '
+                               ORDER BY line_no), '') AS clean_text,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lines_kept
+    FROM ranked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact-bytes image dedup (LAION re-crawl collapse)
+# ---------------------------------------------------------------------------
+
+def q_image_exact_dedup(sf_dir):
+    """Exact-bytes image dedup — the FIRST pass of every multimodal
+    curation pipeline (LAION: the same image fetched under two URLs is
+    byte-identical; collapse before any decode or pHash work).  Runs
+    over the input-hint image+caption table (`_image_caption_rows`,
+    which plants a byte-identical "-b" re-crawl for every i % 7 == 3).
+
+    Scale shape: the md5-128 digest is computed per batch WHERE THE
+    BYTES ALREADY ARE; the payload is pruned in the same stage, so only
+    (image_id, digest_hi, digest_lo) — ~40 B/row — enters the one
+    groupby.  Routing key is the int64 digest-high half; within each
+    group the low half is compared too, so correctness is full
+    128-bit-exact while the exchange key stays fixed-width.  Keep =
+    minimum image_id per digest; losers emit keep=0 with the winner
+    attached (the lineage a re-crawl audit wants).  rows-only (DuckDB
+    holds no view of the synthetic image table); pinned by pytest:
+    every planted "-b" re-crawl collapses onto its original and no two
+    distinct-pixel images share a digest."""
+    rows = _image_caption_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+    })
+
+    def digest(b: pa.Table) -> pa.Table:
+        his, los = [], []
+        for data in b["bytes"].to_pylist():
+            d = hashlib.md5(data).digest()
+            hi = int.from_bytes(d[:8], "big")
+            lo = int.from_bytes(d[8:], "big")
+            his.append(hi - (1 << 64) if hi >= (1 << 63) else hi)
+            los.append(lo - (1 << 64) if lo >= (1 << 63) else lo)
+        return pa.table({"image_id": b["image_id"],
+                         "d_hi": pa.array(his, pa.int64()),
+                         "d_lo": pa.array(los, pa.int64())})
+
+    def collapse(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        lo = g["d_lo"].to_numpy()
+        keep = np.zeros(len(ids), dtype=np.int64)
+        winner = np.empty(len(ids), dtype=object)
+        for v in np.unique(lo):
+            m = np.flatnonzero(lo == v)
+            w = m[np.argsort(ids[m])[0]]
+            keep[w] = 1
+            winner[m] = ids[w]
+        return pa.table({"image_id": pa.array(list(ids), pa.string()),
+                         "keep": pa.array(keep),
+                         "kept_as": pa.array(list(winner), pa.string())})
+
+    return (_rd().from_arrow(t)
+            .map_batches(digest, batch_format="pyarrow", batch_size=64)
+            .groupby("d_hi")
+            .map_groups(collapse, batch_format="pyarrow"))
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -5271,4 +5477,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "image_quality_stats": q_image_quality_stats,
     "token_budget_mix": q_token_budget_mix,
+    "char_class_stats": q_char_class_stats,
+    "intra_doc_line_dedup": q_intra_doc_line_dedup,
+    "image_exact_dedup": q_image_exact_dedup,
 }
