@@ -5355,6 +5355,91 @@ ORACLES["intra_doc_line_dedup"] = r"""
 
 
 # ---------------------------------------------------------------------------
+# CLIP-score image-text alignment gate (DataComp) — stub encoders
+# ---------------------------------------------------------------------------
+
+_CLIP_DIM = 16
+_CLIP_THRESH_PPM = 120_000     # cos^2 >= 0.12, i.e. cos >= ~0.35
+
+
+class _ClipStubScore:
+    """DataComp-style CLIP-score filtering stage with STUB encoders
+    (the image/text towers are deterministic fakes — a real CLIP would
+    load here in __init__ outside this sandbox; the Ray-side plumbing
+    — actor pool, batched encode, integer gate — is real and tested).
+
+    Image tower: decode -> integer luma -> 16-bin histogram quantized
+    to permille of the pixel count (resolution-independent, bounded
+    <= 1000 per dim).  Text tower: whitespace tokens -> md5-low64 %% 16
+    bucket counts, vectorized across the batch with one explode +
+    bincount (the `_stopword_counts` pattern).  Alignment is the exact
+    integer cosine-squared in ppm: score_ppm = dot^2 * 10^6 //
+    (|a|^2 * |b|^2) — every intermediate fits int64 by the permille
+    bound, so an independent mirror reproduces it bit-for-bit.  Empty
+    captions score 0 and always drop."""
+
+    def __init__(self):
+        from .functions.imaging import decode_image
+        self._decode = decode_image
+        self._w = np.array([299, 587, 114], dtype=np.int64)
+
+    def _image_emb(self, data: bytes) -> np.ndarray:
+        px = self._decode(data)
+        luma = (px.astype(np.int64) * self._w).sum(axis=2) // 1000
+        h = np.bincount(luma.ravel() * _CLIP_DIM // 256,
+                        minlength=_CLIP_DIM)[:_CLIP_DIM]
+        return h * 1000 // int(h.sum())
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        a = np.stack([self._image_emb(d) for d in
+                      b["bytes"].to_pylist()]).astype(np.int64)
+        caps = [c.split() for c in b["caption"].to_pylist()]
+        n_tok = np.array([len(t) for t in caps], dtype=np.int64)
+        flat = [w for t in caps for w in t]
+        t_emb = np.zeros((len(caps), _CLIP_DIM), dtype=np.int64)
+        if flat:
+            buck = (_word_hashes(flat) % _CLIP_DIM).astype(np.int64)
+            row = np.repeat(np.arange(len(caps)), n_tok)
+            np.add.at(t_emb, (row, buck), 1)
+        dot = (a * t_emb).sum(axis=1)
+        na = (a * a).sum(axis=1)
+        nb = (t_emb * t_emb).sum(axis=1)
+        denom = np.maximum(na * nb, 1)
+        ppm = dot * dot * 1_000_000 // denom
+        ppm[nb == 0] = 0
+        keep = (ppm >= _CLIP_THRESH_PPM).astype(np.int64)
+        return pa.table({"image_id": b["image_id"],
+                         "n_caption_tokens": pa.array(n_tok),
+                         "score_ppm": pa.array(ppm.astype(np.int64)),
+                         "keep": pa.array(keep)})
+
+
+def q_clip_score_gate(sf_dir):
+    """Image-text alignment filtering (the DataComp/LAION CLIP-score
+    gate — keep pairs whose image embedding and caption embedding are
+    cosine-close) over the input-hint image+caption table.  Encoders
+    are deterministic stubs (see `_ClipStubScore`); everything a real
+    deployment needs from the ENGINE is exercised: stateful actor-pool
+    stage (model binds once per actor in __init__), small batches
+    because payloads are wide, per-row score with ZERO exchange —
+    payload bytes never leave the scoring stage, the output is ~32
+    B/row of metadata.  rows-only (DuckDB holds no view of the image
+    table); pinned by pytest against an independent per-row integer
+    mirror (bit-exact by the integer-cosine construction) plus the
+    planted-corruption invariants: every empty caption drops, the gate
+    is non-vacuous in both directions."""
+    rows = _image_caption_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "caption": pa.array([r["caption"] for r in rows], pa.string()),
+    })
+    return (_rd().from_arrow(t)
+            .map_batches(_ClipStubScore, batch_format="pyarrow",
+                         batch_size=64, concurrency=2))
+
+
+# ---------------------------------------------------------------------------
 # exact-bytes image dedup (LAION re-crawl collapse)
 # ---------------------------------------------------------------------------
 
@@ -5480,4 +5565,5 @@ QUERIES = {
     "char_class_stats": q_char_class_stats,
     "intra_doc_line_dedup": q_intra_doc_line_dedup,
     "image_exact_dedup": q_image_exact_dedup,
+    "clip_score_gate": q_clip_score_gate,
 }

@@ -109,6 +109,59 @@ class TestIntraDocLineDedup:
         assert got[5][1] == boiler             # cross-doc untouched
 
 
+class TestClipScoreGate:
+    def test_integer_mirror_and_planted_corruptions(self, ray_session):
+        import hashlib
+
+        import numpy as np
+
+        from pyspider_ray.functions.imaging import decode_image
+        from pyspider_ray.training_queries import (_CLIP_DIM,
+                                                   _CLIP_THRESH_PPM,
+                                                   _image_caption_rows,
+                                                   q_clip_score_gate)
+
+        def mirror(r):
+            """Independent per-row reimplementation of the documented
+            integer-cosine spec (Python ints, no shared vector code)."""
+            px = decode_image(r["bytes"])
+            a = [0] * _CLIP_DIM
+            for row in px.reshape(-1, 3).tolist():
+                luma = (row[0] * 299 + row[1] * 587 + row[2] * 114) // 1000
+                a[luma * _CLIP_DIM // 256] += 1
+            npx = sum(a)
+            a = [c * 1000 // npx for c in a]
+            b = [0] * _CLIP_DIM
+            toks = r["caption"].split()
+            for w in toks:
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big")
+                b[h % _CLIP_DIM] += 1
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a)
+            nb = sum(y * y for y in b)
+            ppm = 0 if nb == 0 or na == 0 else dot * dot * 10**6 // (na * nb)
+            return (len(toks), ppm, int(ppm >= _CLIP_THRESH_PPM))
+
+        rows = _image_caption_rows(60)
+        got = {r["image_id"]: (r["n_caption_tokens"], r["score_ppm"],
+                               r["keep"])
+               for r in q_clip_score_gate("unused").take_all()}
+        checked = kept = dropped = 0
+        for r in rows:
+            if r["image_id"] not in got:
+                continue    # corpus in the query may be larger
+            exp = mirror(r)
+            assert got[r["image_id"]] == exp, r["image_id"]
+            checked += 1
+            kept += exp[2]
+            dropped += 1 - exp[2]
+            if not r["caption"]:
+                assert exp[2] == 0      # empty caption always drops
+        assert checked == len(rows)
+        assert kept > 0 and dropped > 0     # gate is non-vacuous
+
+
 class TestImageExactDedup:
     def test_recrawl_collapse(self, ray_session):
         from pyspider_ray.training_queries import (_image_caption_rows,
