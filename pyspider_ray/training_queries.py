@@ -5355,6 +5355,83 @@ ORACLES["intra_doc_line_dedup"] = r"""
 
 
 # ---------------------------------------------------------------------------
+# deterministic multi-epoch shuffle (training data ordering)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_EPOCH_SHARDS = 64
+
+
+def q_epoch_shuffle(sf_dir):
+    """Deterministic multi-epoch training-data ordering — the
+    Megatron/T5-style shuffle an LLM training loader needs WITHOUT a
+    `random_shuffle`: for each epoch, every document gets a
+    content-independent pseudo-random key (md5-high60 of
+    "doc_id:epoch", the repo's hex->BIGINT convention), its shard is
+    key %% 64, and its position is the dense rank of (key, doc_id)
+    within the (epoch, shard).  Different epochs yield different
+    permutations; re-running yields the same one — resumable training
+    needs exactly this reproducibility.
+
+    Scale shape: one map fans each doc_id out to EPOCHS tiny rows
+    (~24 B — the TEXT NEVER MOVES; the loader later joins by doc_id
+    co-partitioned), one hash exchange on the int group key, and a
+    per-shard argsort bounded by corpus/(EPOCHS*SHARDS).  No global
+    sort, no random_shuffle's full materialized permutation; shard
+    count scales with the cluster."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        es, out_ids, ks = [], [], []
+        for e in range(_EPOCHS):
+            es.append(np.full(len(ids), e, dtype=np.int64))
+            out_ids.append(ids.astype(np.int64))
+            ks.append(np.fromiter(
+                (int(hashlib.md5(f"{i}:{e}".encode()).hexdigest()[:15],
+                     16) for i in ids),
+                dtype=np.int64, count=len(ids)))
+        e_arr = np.concatenate(es)
+        k_arr = np.concatenate(ks)
+        return pa.table({
+            "epoch": pa.array(e_arr),
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "key": pa.array(k_arr),
+            "g": pa.array(e_arr * _EPOCH_SHARDS
+                          + k_arr % _EPOCH_SHARDS)})
+
+    def rank(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, key))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order), dtype=np.int64)
+        return pa.table({"epoch": g["epoch"],
+                         "doc_id": g["doc_id"],
+                         "shard": pa.array(key % _EPOCH_SHARDS),
+                         "pos": pa.array(pos)})
+
+    return (docs.map_batches(keys, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(rank, batch_format="pyarrow"))
+
+
+ORACLES["epoch_shuffle"] = rf"""
+    WITH k AS (
+        SELECT e.epoch, d.doc_id,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                   CAST(e.epoch AS VARCHAR)),
+                               1, 15))::BIGINT AS key
+        FROM documents d,
+             (SELECT UNNEST(range(0, {_EPOCHS})) AS epoch) e)
+    SELECT epoch, doc_id, key % {_EPOCH_SHARDS} AS shard,
+           row_number() OVER (PARTITION BY epoch, key % {_EPOCH_SHARDS}
+                              ORDER BY key, doc_id) - 1 AS pos
+    FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
 # CLIP-score image-text alignment gate (DataComp) — stub encoders
 # ---------------------------------------------------------------------------
 
@@ -5566,4 +5643,5 @@ QUERIES = {
     "intra_doc_line_dedup": q_intra_doc_line_dedup,
     "image_exact_dedup": q_image_exact_dedup,
     "clip_score_gate": q_clip_score_gate,
+    "epoch_shuffle": q_epoch_shuffle,
 }

@@ -109,6 +109,40 @@ class TestIntraDocLineDedup:
         assert got[5][1] == boiler             # cross-doc untouched
 
 
+class TestEpochShuffle:
+    def test_permutation_invariants(self, ray_session, sf_dir):
+        from pyspider_ray.training_queries import (_EPOCH_SHARDS, _EPOCHS,
+                                                   q_epoch_shuffle)
+        rows = q_epoch_shuffle(sf_dir).take_all()
+        by_epoch = {}
+        for r in rows:
+            by_epoch.setdefault(r["epoch"], []).append(r)
+        assert set(by_epoch) == set(range(_EPOCHS))
+        n_docs = len(by_epoch[0])
+        orders = []
+        for e, rs in sorted(by_epoch.items()):
+            # every epoch is a permutation of the same doc set
+            assert len(rs) == n_docs
+            assert len({r["doc_id"] for r in rs}) == n_docs
+            # dense 0..n-1 positions within every shard
+            shards = {}
+            for r in rs:
+                assert 0 <= r["shard"] < _EPOCH_SHARDS
+                shards.setdefault(r["shard"], []).append(r["pos"])
+            for ps in shards.values():
+                assert sorted(ps) == list(range(len(ps)))
+            orders.append(tuple(r["doc_id"] for r in
+                                sorted(rs, key=lambda r: (r["shard"],
+                                                          r["pos"]))))
+        # different epochs really are different permutations
+        assert orders[0] != orders[1] != orders[2]
+        # and re-running is bit-identical (resumable training)
+        again = {(r["epoch"], r["doc_id"]): (r["shard"], r["pos"])
+                 for r in q_epoch_shuffle(sf_dir).take_all()}
+        assert all(again[(r["epoch"], r["doc_id"])] ==
+                   (r["shard"], r["pos"]) for r in rows)
+
+
 class TestClipScoreGate:
     def test_integer_mirror_and_planted_corruptions(self, ray_session):
         import hashlib
