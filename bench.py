@@ -473,7 +473,8 @@ def _build_sf1_embeddings(out_dir: str = "/tmp/ann_sf1_v1") -> str:
 # legs whose input isn't the documents table: how --scale-op gets
 # their 10x variant
 _EMBEDDING_SCALE_OPS = {"ann_lsh_bucketed", "ann_lsh", "ann_ivf",
-                        "embedding_knn", "embedding_near_dup"}
+                        "embedding_knn", "embedding_near_dup",
+                        "embedding_quantize"}
 _MEDIA_SCALE_OPS = {"audio_fp_near_dup", "video_fp_near_dup"}
 # synthetic image-table legs: 10x via the corpus-size env knob
 _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,

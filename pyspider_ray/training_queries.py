@@ -5355,6 +5355,81 @@ ORACLES["intra_doc_line_dedup"] = r"""
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding column (ANN scale path)
+# ---------------------------------------------------------------------------
+
+def _collect_dim_absmax(ds) -> np.ndarray:
+    """Pass 1 of scalar quantization: per-dimension max |x| over the
+    corpus.  Per-batch partial (one 1 x dim float row per batch — a
+    classic tree-reducible partial), driver fold.  What streams back is
+    batches-many tiny rows, never vectors."""
+    def partial(b: pa.Table) -> pa.Table:
+        E = _embedding_matrix(b)
+        return pa.table({"m": pa.array(
+            [np.abs(E).max(axis=0).astype(np.float32)],
+            pa.list_(pa.float32()))})
+    m = None
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        for row in b["m"].to_pylist():
+            v = np.asarray(row, dtype=np.float32)
+            m = v if m is None else np.maximum(m, v)
+    return np.maximum(m, np.float32(1e-12))
+
+
+class _Int8Quantize:
+    """Pass 2: symmetric per-dimension int8 quantization.  The scale
+    vector rides the actor constructor once (ray.put broadcast);
+    codes = rint(x * 127 / scale) clipped to [-127, 127].  Per-vector
+    audit integers: max_abs_code and err_ppm = max_d |x - dequant| /
+    scale_d in ppm — the reconstruction-error bound an ANN recall
+    budget is set from.  float32 arithmetic throughout, so an
+    independent numpy mirror reproduces the codes bit-for-bit."""
+
+    def __init__(self, ref):
+        scale = ray.get(ref)
+        self._scale = scale
+        self._inv = (np.float32(127.0) / scale).astype(np.float32)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        E = _embedding_matrix(b).astype(np.float32)
+        codes = np.clip(np.rint(E * self._inv), -127, 127
+                        ).astype(np.int8)
+        deq = codes.astype(np.float32) * (self._scale / np.float32(127.0))
+        err = np.abs(E - deq) / self._scale
+        err_ppm = np.floor(err.max(axis=1).astype(np.float64)
+                           * 1_000_000).astype(np.int64)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "codes": pa.array(list(codes), pa.list_(pa.int8())),
+            "max_abs_code": pa.array(
+                np.abs(codes.astype(np.int64)).max(axis=1)),
+            "err_ppm": pa.array(err_ppm)})
+
+
+def q_embedding_quantize(sf_dir):
+    """Int8 scalar quantization of the embedding column — the memory
+    compression every 100-TB ANN index runs first (4x smaller than
+    float32; int8 matmul kernels downstream).  Two streaming passes,
+    zero shuffle: pass 1 folds per-batch per-dimension |x| maxima into
+    the scale vector on the driver (dim-sized, tiny); the vector
+    broadcasts once via ray.put into an actor pool whose pass 2 emits
+    codes + integer reconstruction-error audit columns.  rows-only
+    (float-derived codes have no SQL oracle); pinned by pytest: an
+    independent numpy mirror reproduces every code byte, err_ppm <=
+    ~3,937 (the 1/254 half-step bound, + float32 slack), and the
+    float-space top-1 cosine neighbor lands in the int8-space top-5
+    shortlist for >= 95% of probes (the quantized-scan + float-re-rank
+    recall an ANN pipeline budgets for)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ref = ray.put(_collect_dim_absmax(ds))
+    return ds.map_batches(_Int8Quantize,
+                          fn_constructor_kwargs={"ref": ref},
+                          concurrency=(1, 8), batch_format="pyarrow",
+                          max_restarts=0)
+
+
+# ---------------------------------------------------------------------------
 # deterministic multi-epoch shuffle (training data ordering)
 # ---------------------------------------------------------------------------
 
@@ -5644,4 +5719,5 @@ QUERIES = {
     "image_exact_dedup": q_image_exact_dedup,
     "clip_score_gate": q_clip_score_gate,
     "epoch_shuffle": q_epoch_shuffle,
+    "embedding_quantize": q_embedding_quantize,
 }

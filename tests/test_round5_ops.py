@@ -109,6 +109,53 @@ class TestIntraDocLineDedup:
         assert got[5][1] == boiler             # cross-doc untouched
 
 
+class TestEmbeddingQuantize:
+    def test_mirror_error_bound_and_recall(self, ray_session, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pyspider_ray.training_queries import q_embedding_quantize
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        E = np.stack(t["embedding"].to_pylist()).astype(np.float32)
+        # independent mirror of the documented spec
+        scale = np.maximum(np.abs(E).max(axis=0),
+                           np.float32(1e-12)).astype(np.float32)
+        inv = (np.float32(127.0) / scale).astype(np.float32)
+        exp_codes = np.clip(np.rint(E * inv), -127, 127).astype(np.int8)
+
+        out = q_embedding_quantize(sf_dir).take_all()
+        assert len(out) == len(ids)
+        got = {r["vec_id"]: r for r in out}
+        order = {int(v): i for i, v in enumerate(ids)}
+        for vid, r in got.items():
+            i = order[vid]
+            assert np.array_equal(np.asarray(r["codes"], dtype=np.int8),
+                                  exp_codes[i]), vid
+            assert r["max_abs_code"] <= 127
+            # half-step bound 1/254 = 3937 ppm (+ float32 slack)
+            assert r["err_ppm"] <= 4000, (vid, r["err_ppm"])
+        # shortlist recall — the property an ANN pipeline actually
+        # relies on: the float-space top-1 neighbor appears in the
+        # int8-space top-5 shortlist (quantized scan + float re-rank)
+        # for >= 95% of probes
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        C = exp_codes.astype(np.float32)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                            1e-12)
+        probe = np.arange(0, len(E), max(1, len(E) // 50))
+        hits = 0
+        for i in probe:
+            sf = En @ En[i]
+            sq = Cn @ Cn[i]
+            sf[i] = sq[i] = -2.0
+            top5_q = np.argpartition(sq, -5)[-5:]
+            hits += int(np.argmax(sf) in top5_q)
+        assert hits >= int(0.95 * len(probe)), (hits, len(probe))
+
+
 class TestEpochShuffle:
     def test_permutation_invariants(self, ray_session, sf_dir):
         from pyspider_ray.training_queries import (_EPOCH_SHARDS, _EPOCHS,
