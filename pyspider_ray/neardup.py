@@ -376,6 +376,40 @@ def _nd_group_apply(key_col: str, fn, schema: pa.Schema,
     return pa.concat_tables(outs) if outs else schema.empty_table()
 
 
+@ray.remote
+def _nd_partition_apply(fn, schema: pa.Schema, *parts) -> pa.Table:
+    """Reduce side of partition_apply: ``fn`` applied ONCE to the
+    whole concatenated partition (fn must itself handle a mix of keys
+    — e.g. a per-key pandas merge/groupby inside).  The key hash pins
+    every key to exactly one partition, so partition-local per-key
+    results are global."""
+    prefault_arena()
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return schema.empty_table()
+    out = fn(pa.concat_tables(parts))
+    return out if len(out) else schema.empty_table()
+
+
+def partition_apply(ds, key_col: str, fn, schema: pa.Schema,
+                    n_buckets: int = 32):
+    """Like group_apply, but ``fn`` runs once per hash PARTITION, not
+    once per key group — for vectorized fns that already group
+    internally (pandas merge / groupby).  High-cardinality keys (a
+    vocabulary) pay 1 fn call per partition instead of 1 per key."""
+    import ray.data as rd
+    P = max(2, n_buckets)
+    groups = _grouped_block_refs(ds)
+    if not groups:
+        return rd.from_arrow(schema.empty_table())
+    splits = [_nd_split_by_key.options(num_returns=P)
+              .remote(key_col, P, *g) for g in groups]
+    outs = [_nd_partition_apply.remote(fn, schema,
+                                       *(s[p] for s in splits))
+            for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
 def group_apply(ds, key_col: str, fn, schema: pa.Schema,
                 n_buckets: int = 32):
     """Sort-free distributed map_groups over an int64 key with a

@@ -5355,6 +5355,77 @@ ORACLES["intra_doc_line_dedup"] = r"""
 
 
 # ---------------------------------------------------------------------------
+# source vocabulary-overlap matrix (corpus audit for mixture design)
+# ---------------------------------------------------------------------------
+
+def q_source_vocab_overlap(sf_dir):
+    """Source-pair vocabulary overlap — the corpus-audit matrix a
+    mixture designer reads before weighting sources (domain similarity
+    by shared distinct vocabulary): for every unordered source pair
+    (a < b), |V_a ∩ V_b| where V_s is the set of distinct whitespace
+    tokens of source s.
+
+    Scale shape: a per-batch pandas `drop_duplicates` combiner shrinks
+    the stream to distinct (source, word) per batch BEFORE the one
+    hash exchange, so what shuffles is O(vocab x sources) (Zipf: far
+    below token count), routed by an int64 word hash with the word
+    string carried as payload for exact in-partition comparison (hash
+    collisions cost work, never correctness).  The reduce is
+    `partition_apply` — ONE vectorized pandas self-merge per hash
+    partition (not one Python call per word) emitting each word's
+    C(sources, 2) pairs pre-summed per partition; a final tiny groupby
+    folds the ≤ P·sources² partial rows — output is sources²-bounded,
+    independent of corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .neardup import partition_apply
+
+    def explode(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pandas()
+        words = b["text"].to_pandas().str.strip().str.split(r"\s+")
+        df = pd.DataFrame({"source": src.repeat(words.str.len()),
+                           "word": words.explode()})
+        df = df[df["word"] != ""].drop_duplicates()
+        wh = _word_hashes(df["word"].tolist()).view(np.int64)
+        return pa.table({"h": pa.array(wh),
+                         "source": pa.array(df["source"], pa.string()),
+                         "word": pa.array(df["word"], pa.string())})
+
+    def pairs(part: pa.Table) -> pa.Table:
+        df = (part.select(["word", "source"]).to_pandas()
+              .drop_duplicates())
+        m = df.merge(df, on="word")
+        m = m[m["source_x"] < m["source_y"]]
+        agg = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().reset_index(name="one"))
+        return pa.table({"source_a": pa.array(agg["source_x"], pa.string()),
+                         "source_b": pa.array(agg["source_y"], pa.string()),
+                         "one": pa.array(agg["one"].to_numpy(np.int64))})
+
+    schema = pa.schema([("source_a", pa.string()),
+                        ("source_b", pa.string()), ("one", pa.int64())])
+    exploded = (_read(sf_dir, "documents", ["source", "text"])
+                .map_batches(explode, batch_format="pyarrow"))
+    return (partition_apply(exploded, "h", pairs, schema)
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("one", alias_name="n_shared")))
+
+
+ORACLES["source_vocab_overlap"] = r"""
+    WITH w AS (
+        SELECT DISTINCT source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE trim(text) <> ''),
+    j AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM w a JOIN w b USING (word) WHERE a.source < b.source)
+    SELECT source_a, source_b, count(*) AS n_shared
+    FROM j GROUP BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization of the embedding column (ANN scale path)
 # ---------------------------------------------------------------------------
 
@@ -5720,4 +5791,5 @@ QUERIES = {
     "clip_score_gate": q_clip_score_gate,
     "epoch_shuffle": q_epoch_shuffle,
     "embedding_quantize": q_embedding_quantize,
+    "source_vocab_overlap": q_source_vocab_overlap,
 }

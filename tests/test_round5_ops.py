@@ -262,3 +262,50 @@ class TestImageExactDedup:
                 assert r["kept_as"] == iid
         assert n_dups > 0 and n_dups == n_rows - len(
             [i for i in by_id if not i.endswith("-b")])
+
+
+def _write_sourced_docs(dirpath, rows):
+    """rows: (doc_id, source, text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64())})
+    pq.write_table(t, os.path.join(dirpath, "documents.parquet"))
+
+
+class TestSourceVocabOverlap:
+    def test_pairwise_set_mirror(self, ray_session, tmp_path):
+        rows = [
+            (1, "web",  "the cat sat on the mat"),
+            (2, "web",  "cat videos online"),
+            (3, "book", "the dog sat quietly"),
+            (4, "book", "a dog and a cat"),
+            (5, "wiki", "the mat exhibit"),
+            (6, "wiki", "   "),                    # whitespace-only doc
+            (7, "code", "def main(): return 0"),   # disjoint vocabulary
+        ]
+        _write_sourced_docs(tmp_path, rows)
+        from pyspider_ray.training_queries import q_source_vocab_overlap
+        got = {(r["source_a"], r["source_b"]): r["n_shared"]
+               for r in q_source_vocab_overlap(str(tmp_path)).take_all()}
+        # independent mirror: plain Python sets
+        vocab = {}
+        for _, src, text in rows:
+            vocab.setdefault(src, set()).update(text.split())
+        srcs = sorted(vocab)
+        exp = {}
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                n = len(vocab[srcs[i]] & vocab[srcs[j]])
+                if n:
+                    exp[(srcs[i], srcs[j])] = n
+        assert got == exp
+        # the planted semantics actually bite:
+        assert got[("book", "web")] == len({"the", "cat", "sat"})
+        assert got[("web", "wiki")] == len({"the", "mat"})
+        assert ("code", "web") not in got          # disjoint pair absent
+        assert all(a < b for a, b in got)          # unordered, a < b
