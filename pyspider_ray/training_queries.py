@@ -5426,6 +5426,105 @@ ORACLES["source_vocab_overlap"] = r"""
 
 
 # ---------------------------------------------------------------------------
+# WebDataset shard plan (deterministic size-bounded shard assignment)
+# ---------------------------------------------------------------------------
+
+_WDS_SHARD_CHARS = 4096          # shard byte budget (chars stand in)
+_WDS_KEY_BITS = 60               # md5-high60 hex->BIGINT convention
+_WDS_BUCKETS = 1024              # ordered key-range buckets (top 10 bits)
+
+
+def _wds_keys(ids: np.ndarray) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+         for i in ids), dtype=np.int64, count=len(ids))
+
+
+def q_wds_shard_plan(sf_dir):
+    """WebDataset-style shard packing plan: assign every document to a
+    size-bounded output shard (`shard_id = exclusive-prefix-sum of
+    n_chars in deterministic md5-key order // SHARD_CHARS`) — the
+    manifest a tar-shard writer consumes, with the deterministic
+    pseudo-random global order training loaders want (wds shuffles at
+    the shard level; the key order IS the shuffle).
+
+    Scale shape: a DISTRIBUTED PREFIX SUM, no global sort.  The md5
+    key's top 10 bits define 1024 ordered key-range buckets; pass 1
+    streams per-batch per-bucket byte subtotals (driver folds a
+    1024-long vector — fixed size, corpus-independent) into exclusive
+    bucket offsets; pass 2 hash-exchanges only (doc_id, key, n_chars)
+    rows by bucket and each partition lexsorts its own buckets locally
+    (bounded by corpus/1024) adding the bucket offset.  The text never
+    moves — the plan reads only (doc_id, n_chars); the shard writer
+    later joins it back co-partitioned by doc_id."""
+    from .neardup import partition_apply
+
+    shift = _WDS_KEY_BITS - 10
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        key = _wds_keys(ids)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "key": pa.array(key),
+            "bucket": pa.array(key >> shift),
+            "nbytes": pa.array(b["n_chars"].to_numpy().astype(np.int64))})
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        sums = np.bincount(b["bucket"].to_numpy(),
+                           weights=b["nbytes"].to_numpy(),
+                           minlength=_WDS_BUCKETS).astype(np.int64)
+        nz = np.flatnonzero(sums)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "nbytes": pa.array(sums[nz])})
+
+    keyed_ds = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+                .map_batches(keyed, batch_format="pyarrow"))
+
+    # pass 1: fixed-size per-bucket totals -> exclusive offsets
+    totals = np.zeros(_WDS_BUCKETS, dtype=np.int64)
+    for part in (keyed_ds.map_batches(bucket_partials,
+                                      batch_format="pyarrow")
+                 .take_all()):
+        totals[part["bucket"]] += part["nbytes"]
+    offsets = np.concatenate(([0], np.cumsum(totals)))[:-1]
+
+    def assign(part: pa.Table) -> pa.Table:
+        b = part["bucket"].to_numpy()
+        k = part["key"].to_numpy()
+        ids = part["doc_id"].to_numpy()
+        n = part["nbytes"].to_numpy()
+        order = np.lexsort((ids, k, b))
+        b, ids, n = b[order], ids[order], n[order]
+        cum = np.cumsum(n)
+        excl = cum - n
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        runs = np.diff(np.r_[starts, len(b)])
+        local = excl - np.repeat(excl[starts], runs)
+        shard = (offsets[b] + local) // _WDS_SHARD_CHARS
+        return pa.table({"doc_id": pa.array(ids),
+                         "shard_id": pa.array(shard)})
+
+    schema = pa.schema([("doc_id", pa.int64()), ("shard_id", pa.int64())])
+    return partition_apply(keyed_ds, "bucket", assign, schema)
+
+
+ORACLES["wds_shard_plan"] = rf"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT AS key
+        FROM documents)
+    SELECT doc_id,
+           CAST(COALESCE(sum(n_chars) OVER (
+                    ORDER BY key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {_WDS_SHARD_CHARS} AS BIGINT) AS shard_id
+    FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization of the embedding column (ANN scale path)
 # ---------------------------------------------------------------------------
 
@@ -5792,4 +5891,5 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "embedding_quantize": q_embedding_quantize,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "wds_shard_plan": q_wds_shard_plan,
 }

@@ -309,3 +309,31 @@ class TestSourceVocabOverlap:
         assert got[("web", "wiki")] == len({"the", "mat"})
         assert ("code", "web") not in got          # disjoint pair absent
         assert all(a < b for a, b in got)          # unordered, a < b
+
+
+class TestWdsShardPlan:
+    def test_prefix_sum_mirror(self, ray_session, tmp_path):
+        import hashlib
+        # planted: zero-char docs, a giant doc (>2 shard budgets, so the
+        # following doc's shard_id jumps — the plan must mirror that gap)
+        rows = [(i, "x" * n) for i, n in
+                [(1, 100), (2, 0), (3, 9000), (4, 250), (5, 0),
+                 (6, 4095), (7, 1), (8, 4096), (9, 777), (10, 3333)]]
+        _write_docs(tmp_path, rows)
+        from pyspider_ray.training_queries import (_WDS_SHARD_CHARS,
+                                                   q_wds_shard_plan)
+        got = {r["doc_id"]: r["shard_id"]
+               for r in q_wds_shard_plan(str(tmp_path)).take_all()}
+        # independent mirror: sort by (md5 key, doc_id), running sum
+        key = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+               for i, _ in rows}
+        order = sorted(rows, key=lambda r: (key[r[0]], r[0]))
+        exp, before = {}, 0
+        for i, text in order:
+            exp[i] = before // _WDS_SHARD_CHARS
+            before += len(text)
+        assert got == exp
+        # the giant doc really straddles: total 21652 chars -> >1 shard
+        assert len(set(got.values())) > 1
+        # every doc planned exactly once
+        assert sorted(got) == [r[0] for r in rows]
