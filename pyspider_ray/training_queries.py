@@ -5509,6 +5509,43 @@ def q_wds_shard_plan(sf_dir):
     return partition_apply(keyed_ds, "bucket", assign, schema)
 
 
+def q_wds_write_pack(sf_dir):
+    """End-to-end shard PACKER (pipelines/wds_write): the plan math of
+    `wds_shard_plan` driven through the resumable range-partitioned
+    writer — pack the corpus into sorted `part=NNNN/` directories
+    under a tempdir, read the published files back, and return every
+    (doc_id, shard_id).  Same oracle as the plan: what lands on disk
+    must equal the pure SQL manifest bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from .pipelines import wds_write
+
+    out = tempfile.mkdtemp(prefix="pyspider_ray_wds_")
+    try:
+        wds_write.run(sf_dir, out, n_parts=8)
+        return (_rd().read_parquet(out)
+                .select_columns(["doc_id", "shard_id"])
+                .materialize())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLES["wds_write_pack"] = rf"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT AS key
+        FROM documents)
+    SELECT doc_id,
+           CAST(COALESCE(sum(n_chars) OVER (
+                    ORDER BY key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {_WDS_SHARD_CHARS} AS BIGINT) AS shard_id
+    FROM k
+"""
+
+
 ORACLES["wds_shard_plan"] = rf"""
     WITH k AS (
         SELECT doc_id, n_chars,
@@ -5892,4 +5929,5 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "source_vocab_overlap": q_source_vocab_overlap,
     "wds_shard_plan": q_wds_shard_plan,
+    "wds_write_pack": q_wds_write_pack,
 }

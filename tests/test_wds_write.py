@@ -1,0 +1,117 @@
+"""Resumable shard packer (pipelines/wds_write): the published
+partitioned output must equal the pure-Python packing mirror, a killed
+run must re-execute ONLY partitions missing their marker (finished
+files untouched byte-for-byte), and a stale plan (different
+parameters) must force a full rebuild instead of masquerading as this
+run's output."""
+
+import hashlib
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(dirpath, rows):
+    import pyarrow as pa
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s0"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64())})
+    pq.write_table(t, os.path.join(dirpath, "documents.parquet"))
+
+
+def _mirror(rows, shard_chars):
+    key = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+           for i, _ in rows}
+    order = sorted(rows, key=lambda r: (key[r[0]], r[0]))
+    exp, before = {}, 0
+    for i, text in order:
+        exp[i] = before // shard_chars
+        before += len(text)
+    return key, exp
+
+
+def _read_back(out):
+    parts = sorted(d for d in os.listdir(out) if d.startswith("part="))
+    tables = [pq.read_table(os.path.join(out, d, "data.parquet"))
+              for d in parts]
+    return parts, tables
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rows = [(i, "x" * ((i * 137) % 900)) for i in range(1, 121)]
+    src = tmp_path / "sf"
+    src.mkdir()
+    _write_docs(src, rows)
+    return str(src), rows
+
+
+class TestWdsWrite:
+    def test_full_run_matches_mirror_and_global_order(self, ray_session,
+                                                      corpus, tmp_path):
+        from pyspider_ray.pipelines import wds_write
+        src, rows = corpus
+        out = str(tmp_path / "out")
+        m = wds_write.run(src, out, n_parts=8)
+        assert m["written_parts"] == 8 and m["skipped_parts"] == 0
+        assert m["rows_written"] == len(rows)
+        key, exp = _mirror(rows, wds_write.SHARD_CHARS)
+        parts, tables = _read_back(out)
+        assert len(parts) == 8
+        got, last_key = {}, -1
+        for t in tables:                      # parts are key ranges:
+            ks = t["key"].to_pylist()         # concatenation is sorted
+            for doc, k, sh in zip(t["doc_id"].to_pylist(), ks,
+                                  t["shard_id"].to_pylist()):
+                assert k == key[doc]
+                assert k >= last_key
+                last_key = k
+                got[doc] = sh
+        assert got == exp
+        for d in parts:                       # every part published
+            assert os.path.exists(os.path.join(out, d, "_DONE"))
+
+    def test_resume_skips_finished_partitions(self, ray_session, corpus,
+                                              tmp_path):
+        import shutil
+
+        from pyspider_ray.pipelines import wds_write
+        src, rows = corpus
+        out = str(tmp_path / "out")
+        wds_write.run(src, out, n_parts=8)
+        _, before_tables = _read_back(out)
+        # simulate a crash that lost three partitions
+        lost = ["part=0001", "part=0004", "part=0006"]
+        for d in lost:
+            shutil.rmtree(os.path.join(out, d))
+        stamp = {d: os.path.getmtime(os.path.join(out, d, "data.parquet"))
+                 for d in os.listdir(out) if d.startswith("part=")}
+        m = wds_write.run(src, out, n_parts=8, resume=True)
+        assert m["written_parts"] == 3 and m["skipped_parts"] == 5
+        # finished partitions untouched (same inode mtime)
+        for d, t in stamp.items():
+            assert os.path.getmtime(
+                os.path.join(out, d, "data.parquet")) == t
+        # and the recovered output equals the original run exactly
+        parts, after_tables = _read_back(out)
+        assert len(parts) == 8
+        assert [t.to_pydict() for t in after_tables] == \
+               [t.to_pydict() for t in before_tables]
+
+    def test_stale_plan_forces_full_rebuild(self, ray_session, corpus,
+                                            tmp_path):
+        from pyspider_ray.pipelines import wds_write
+        src, _rows = corpus
+        out = str(tmp_path / "out")
+        wds_write.run(src, out, n_parts=4)
+        m = wds_write.run(src, out, n_parts=8, resume=True)
+        assert m["written_parts"] == 8 and m["skipped_parts"] == 0
+        assert json.load(open(os.path.join(out, "_PLAN.json")))[
+            "n_parts"] == 8
+        parts, _ = _read_back(out)
+        assert len(parts) == 8
