@@ -5858,6 +5858,74 @@ def q_image_exact_dedup(sf_dir):
             .map_groups(collapse, batch_format="pyarrow"))
 
 
+_CAPTION_BOILER = "stock photo image"
+_CAPTION_DUP_MAX = 3
+
+
+def q_caption_dup_filter(sf_dir):
+    """LAION-style duplicate-caption boilerplate filter over the
+    input-hint image+caption table: captions shared by many images are
+    template alt-text ("stock photo image", CMS placeholders) that
+    poisons contrastive training — drop every pair whose NORMALIZED
+    caption (lowercased, whitespace-collapsed) is used by more than
+    _CAPTION_DUP_MAX images, and every empty caption.  Boilerplate is
+    planted deterministically at list position j %% 11 == 0 (same
+    convention as the generator's empty/truncated corruption) so the
+    gate has real work.
+
+    Scale shape: the caption is digested (md5-high64) per batch where
+    it lives and the payload bytes + caption text are pruned in the
+    same stage — only (image_id, digest, nonempty), ~30 B/row, enters
+    the one `partition_apply` exchange; each partition counts uses per
+    digest with one vectorized pandas groupby-transform and fans the
+    verdict back to its rows (hash collisions across captions would
+    merge counts — at 64 bits the birthday bound passes 5B captions;
+    the exact-string variant rides the same exchange with the caption
+    as payload, the `source_vocab_overlap` pattern).  rows-only
+    (DuckDB holds no view of the synthetic image table); pinned by
+    pytest against an independent Counter mirror."""
+    import pandas as pd
+
+    from .neardup import partition_apply
+
+    rows = _image_caption_rows()
+    for j in range(0, len(rows), 11):
+        rows[j] = {**rows[j], "caption": _CAPTION_BOILER}
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "caption": pa.array([r["caption"] for r in rows], pa.string()),
+    })
+
+    def digest(b: pa.Table) -> pa.Table:
+        caps = [" ".join(c.lower().split())
+                for c in b["caption"].to_pylist()]
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:8],
+                            "big", signed=False) >> 1 for c in caps),
+            dtype=np.int64, count=len(caps))
+        return pa.table({
+            "image_id": b["image_id"],
+            "h": pa.array(hs),
+            "nonempty": pa.array(
+                np.array([len(c) > 0 for c in caps], dtype=np.int64))})
+
+    def verdict(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        uses = df.groupby("h")["image_id"].transform("size")
+        keep = ((df["nonempty"] == 1)
+                & (uses <= _CAPTION_DUP_MAX)).astype(np.int64)
+        return pa.table({
+            "image_id": pa.array(df["image_id"], pa.string()),
+            "n_uses": pa.array(uses.to_numpy(np.int64)),
+            "keep": pa.array(keep.to_numpy(np.int64))})
+
+    schema = pa.schema([("image_id", pa.string()), ("n_uses", pa.int64()),
+                        ("keep", pa.int64())])
+    ds = (_rd().from_arrow(t)
+          .map_batches(digest, batch_format="pyarrow", batch_size=64))
+    return partition_apply(ds, "h", verdict, schema)
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -5930,4 +5998,5 @@ QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "wds_shard_plan": q_wds_shard_plan,
     "wds_write_pack": q_wds_write_pack,
+    "caption_dup_filter": q_caption_dup_filter,
 }

@@ -337,3 +337,42 @@ class TestWdsShardPlan:
         assert len(set(got.values())) > 1
         # every doc planned exactly once
         assert sorted(got) == [r[0] for r in rows]
+
+
+class TestCaptionDupFilter:
+    def test_counter_mirror_and_planted_boilerplate(self, ray_session):
+        from collections import Counter
+
+        from pyspider_ray.training_queries import (_CAPTION_BOILER,
+                                                   _CAPTION_DUP_MAX,
+                                                   _image_caption_rows,
+                                                   q_caption_dup_filter)
+        rows = _image_caption_rows()
+        for j in range(0, len(rows), 11):
+            rows[j] = {**rows[j], "caption": _CAPTION_BOILER}
+        norm = {r["image_id"]: " ".join(r["caption"].lower().split())
+                for r in rows}
+        uses = Counter(norm.values())
+        got = {r["image_id"]: (r["n_uses"], r["keep"])
+               for r in q_caption_dup_filter("unused").take_all()}
+        assert len(got) == len(rows)
+        kept = dropped_boiler = dropped_empty = 0
+        for iid, cap in norm.items():
+            exp_keep = int(bool(cap) and uses[cap] <= _CAPTION_DUP_MAX)
+            assert got[iid] == (uses[cap], exp_keep), iid
+            kept += exp_keep
+            if cap == _CAPTION_BOILER:
+                dropped_boiler += 1 - exp_keep
+            if not cap:
+                dropped_empty += 1 - exp_keep
+        # the planted semantics bite: every boilerplate and every empty
+        # caption drops; plenty survives
+        assert dropped_boiler == sum(
+            1 for c in norm.values() if c == _CAPTION_BOILER) > 3
+        assert dropped_empty == sum(1 for c in norm.values() if not c) > 0
+        assert kept > len(rows) // 2
+        # the "-b" re-crawl shares its caption: n_uses 2, still kept
+        twins = [i for i in norm if i.endswith("-b")
+                 and norm[i] and norm[i] != _CAPTION_BOILER]
+        assert twins and all(got[i] == (2, 1) for i in twins
+                             if uses[norm[i]] == 2)
