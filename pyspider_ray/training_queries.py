@@ -5858,6 +5858,71 @@ def q_image_exact_dedup(sf_dir):
             .map_groups(collapse, batch_format="pyarrow"))
 
 
+def q_oov_rate(sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus top-100
+    vocabulary — the coverage audit a tokenizer/mixture designer runs
+    before committing a vocab (high OOV in a source means the
+    tokenizer will shred it into bytes): for each source, total
+    whitespace tokens, tokens outside the top-100 list (count DESC,
+    word ASC ties — the `vocab_topk` election), and the integer-exact
+    rate in ppm.
+
+    Scale shape: phase 1 is the vocab_topk combiner election (per-
+    batch value_counts → vocabulary-sized groupby → top-100), whose
+    100-word result is driver-folded and broadcast in the gate
+    closure; phase 2 is one streaming pass — pandas explode + isin
+    (vectorized membership, no Python token loop) collapsing each
+    batch to per-source (n_tokens, n_oov) partials, then a
+    sources-bounded groupby.  Nothing corpus-sized ever sorts."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    vocab = frozenset(r["word"] for r in q_vocab_topk(sf_dir).take_all())
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.strip().str.split(r"\s+")
+        df = pd.DataFrame({"source": b["source"].repeat(words.str.len()),
+                           "word": words.explode()})
+        df = df[df["word"].notna() & (df["word"] != "")]
+        df["oov"] = (~df["word"].isin(vocab)).astype("int64")
+        g = df.groupby("source", sort=False)
+        return pd.DataFrame({"n_tokens": g.size().astype("int64"),
+                             "n_oov": g["oov"].sum().astype("int64")}
+                            ).reset_index()
+
+    def ppm(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy()
+        no = b["n_oov"].to_numpy()
+        return b.append_column(
+            "oov_ppm", pa.array(no * 1_000_000 // np.maximum(nt, 1)))
+
+    return (_read(sf_dir, "documents", ["source", "text"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("n_oov", alias_name="n_oov"))
+            .map_batches(ppm, batch_format="pyarrow"))
+
+
+ORACLES["oov_rate"] = r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE trim(text) <> ''),
+    v AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS n FROM toks
+            GROUP BY word ORDER BY n DESC, word LIMIT 100))
+    SELECT source, count(*) AS n_tokens,
+           count(*) FILTER (WHERE word NOT IN (SELECT word FROM v))
+               AS n_oov,
+           CAST(count(*) FILTER (WHERE word NOT IN
+                                 (SELECT word FROM v)) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM toks GROUP BY source
+"""
+
+
 _CAPTION_BOILER = "stock photo image"
 _CAPTION_DUP_MAX = 3
 
@@ -5999,4 +6064,5 @@ QUERIES = {
     "wds_shard_plan": q_wds_shard_plan,
     "wds_write_pack": q_wds_write_pack,
     "caption_dup_filter": q_caption_dup_filter,
+    "oov_rate": q_oov_rate,
 }

@@ -376,3 +376,43 @@ class TestCaptionDupFilter:
                  and norm[i] and norm[i] != _CAPTION_BOILER]
         assert twins and all(got[i] == (2, 1) for i in twins
                              if uses[norm[i]] == 2)
+
+
+class TestOovRate:
+    def test_vocab_tie_election_and_mirror(self, ray_session, tmp_path):
+        from collections import Counter
+        # 120 distinct words; w099/w100/w101 tie in count exactly at the
+        # top-100 boundary -> the (count DESC, word ASC) election keeps
+        # w099 (the 100th slot) and rejects its equal-count peers
+        # w100/w101; whitespace-only doc contributes 0
+        words = [f"w{i:03d}" for i in range(120)]
+        texts, docs = [], []
+        for s in range(3):
+            toks = []
+            for i, w in enumerate(words):
+                reps = (3 if i < 99 else 2 if i <= 101 else 1)
+                toks += [w] * reps
+            texts.append(" ".join(toks))
+        docs = [(i + 1, t) for i, t in enumerate(texts)] + [(99, "  ")]
+        _write_sourced_docs(tmp_path, [(d, f"s{d % 3}", t)
+                                       for d, t in docs])
+        from pyspider_ray.training_queries import q_oov_rate
+        got = {r["source"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+               for r in q_oov_rate(str(tmp_path)).take_all()}
+        # mirror: same election, pure Python
+        cnt = Counter()
+        per_src = {}
+        for d, t in docs:
+            toks = t.split()
+            cnt.update(toks)
+            per_src.setdefault(f"s{d % 3}", []).extend(toks)
+        vocab = {w for w, _ in sorted(cnt.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:100]}
+        assert "w099" in vocab
+        assert "w100" not in vocab and "w101" not in vocab
+        exp = {}
+        for s, toks in per_src.items():
+            oov = sum(w not in vocab for w in toks)
+            exp[s] = (len(toks), oov, oov * 1_000_000 // max(len(toks), 1))
+        assert got == exp
+        assert any(v[1] > 0 for v in got.values())   # OOV non-vacuous
