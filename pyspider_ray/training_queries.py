@@ -5858,6 +5858,104 @@ def q_image_exact_dedup(sf_dir):
             .map_groups(collapse, batch_format="pyarrow"))
 
 
+_ZRATIO_MIN = 100_000     # below: template/repetition spam (Dolma)
+_ZRATIO_MAX = 800_000     # above: near-random / binary junk
+
+
+def q_compression_ratio(sf_dir):
+    """Dolma/Gopher compression-ratio quality signal: per document the
+    zlib(level 6) compressed size over the raw UTF-8 size, integer ppm
+    — extremely compressible text is boilerplate/repetition spam,
+    incompressible text is junk (minified blobs, encoding noise).
+    keep = _ZRATIO_MIN <= ratio_ppm <= _ZRATIO_MAX and non-empty.
+
+    Scale shape: one embarrassingly-parallel pass — zlib runs per doc
+    where the text lives (a C call per row, the md5-digest convention;
+    no Python byte loop) and only (doc_id, three int64s) leave the
+    stage; no exchange at all.  rows-only (DuckDB has no zlib); pinned
+    by pytest against an independent per-row mirror with planted
+    repetition spam and incompressible hex."""
+    import zlib
+
+    def ratios(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        zl = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            enc = t.encode()
+            raw[i] = len(enc)
+            zl[i] = len(zlib.compress(enc, 6)) if enc else 0
+        ppm = np.where(raw > 0, zl * 1_000_000 // np.maximum(raw, 1), 0)
+        keep = ((raw > 0) & (ppm >= _ZRATIO_MIN)
+                & (ppm <= _ZRATIO_MAX)).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "raw_len": pa.array(raw), "z_len": pa.array(zl),
+            "ratio_ppm": pa.array(ppm), "keep": pa.array(keep)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(ratios, batch_format="pyarrow"))
+
+
+def q_split_drift(sf_dir):
+    """Distribution-drift audit between the train and holdout splits
+    (the doc_id %% 5 convention shared with `dedup_incremental`):
+    total-variation distance between the two splits' n_chars value
+    distributions, integer-exact in ppm — the monitor a continuously-
+    refreshed corpus runs to catch a new crawl batch whose length
+    profile shifted (template change, truncation bug) before it
+    poisons the mix.
+
+    Scale shape: per-batch (n_chars, c_train, c_holdout) value-count
+    partials collapse the corpus into a value-domain histogram
+    (exchange volume O(distinct lengths), row-count independent —
+    the `source_len_quantiles` pattern), then the driver folds the
+    tiny histogram with arbitrary-precision Python ints: tv_ppm =
+    Σ|c_a·n_b − c_b·n_a| · 10^6 // (2·n_a·n_b) — no float ever, so
+    the oracle (DuckDB HUGEINT) matches bit-for-bit."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        df = pd.DataFrame({"n_chars": b["n_chars"].to_numpy(),
+                           "ca": (ids % 5 != 0).astype(np.int64),
+                           "cb": (ids % 5 == 0).astype(np.int64)})
+        g = df.groupby("n_chars", sort=False).sum().reset_index()
+        return pa.table({"n_chars": pa.array(g["n_chars"].to_numpy(
+                             np.int64)),
+                         "ca": pa.array(g["ca"].to_numpy(np.int64)),
+                         "cb": pa.array(g["cb"].to_numpy(np.int64))})
+
+    hist = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars")
+            .aggregate(Sum("ca", alias_name="ca"),
+                       Sum("cb", alias_name="cb"))
+            .take_all())
+    n_a = sum(int(r["ca"]) for r in hist)
+    n_b = sum(int(r["cb"]) for r in hist)
+    num = sum(abs(int(r["ca"]) * n_b - int(r["cb"]) * n_a) for r in hist)
+    tv_ppm = num * 1_000_000 // (2 * n_a * n_b) if n_a and n_b else 0
+    return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64()),
+                     "tv_ppm": pa.array([tv_ppm], pa.int64())})
+
+
+ORACLES["split_drift"] = r"""
+    WITH h AS (
+        SELECT n_chars,
+               count(*) FILTER (WHERE doc_id % 5 != 0) AS ca,
+               count(*) FILTER (WHERE doc_id % 5 = 0) AS cb
+        FROM documents GROUP BY n_chars),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h)
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           CAST(sum(abs(ca * t.nb - cb * t.na)) * 1000000
+                // (2 * t.na * t.nb) AS BIGINT) AS tv_ppm
+    FROM h, t GROUP BY t.na, t.nb
+"""
+
+
 def q_oov_rate(sf_dir):
     """Per-source out-of-vocabulary rate against the corpus top-100
     vocabulary — the coverage audit a tokenizer/mixture designer runs
@@ -6065,4 +6163,6 @@ QUERIES = {
     "wds_write_pack": q_wds_write_pack,
     "caption_dup_filter": q_caption_dup_filter,
     "oov_rate": q_oov_rate,
+    "split_drift": q_split_drift,
+    "compression_ratio": q_compression_ratio,
 }

@@ -416,3 +416,41 @@ class TestOovRate:
             exp[s] = (len(toks), oov, oov * 1_000_000 // max(len(toks), 1))
         assert got == exp
         assert any(v[1] > 0 for v in got.values())   # OOV non-vacuous
+
+
+class TestCompressionRatio:
+    def test_mirror_and_planted_extremes(self, ray_session, tmp_path):
+        import zlib
+        import hashlib
+        noise = "".join(chr(33 + b % 94) for i in range(200)
+                        for b in hashlib.sha256(bytes([i])).digest())
+        rows = [
+            (1, "spam " * 400),                         # repetition: drop
+            (2, noise),                                 # random junk: drop
+            (3, "a perfectly ordinary sentence about data pipelines "
+                "repeated just enough to compress like real prose. " * 4),
+            (4, ""),                                    # empty: drop
+            # tiny doc: zlib header overhead pushes ratio over MAX —
+            # this gate (like Dolma's) runs AFTER a min-length gate
+            (5, "short but real words in a row here"),
+        ]
+        _write_docs(tmp_path, rows)
+        from pyspider_ray.training_queries import (_ZRATIO_MAX,
+                                                   _ZRATIO_MIN,
+                                                   q_compression_ratio)
+        got = {r["doc_id"]: (r["raw_len"], r["z_len"], r["ratio_ppm"],
+                             r["keep"])
+               for r in q_compression_ratio(str(tmp_path)).take_all()}
+        assert len(got) == len(rows)
+        for doc_id, text in rows:
+            enc = text.encode()
+            zl = len(zlib.compress(enc, 6)) if enc else 0
+            ppm = zl * 1_000_000 // len(enc) if enc else 0
+            keep = int(bool(enc) and _ZRATIO_MIN <= ppm <= _ZRATIO_MAX)
+            assert got[doc_id] == (len(enc), zl, ppm, keep), doc_id
+        # the planted extremes draw the gate from both sides
+        assert got[1][3] == 0 and got[1][2] < _ZRATIO_MIN
+        assert got[2][3] == 0 and got[2][2] > _ZRATIO_MAX
+        assert got[4][3] == 0
+        assert got[5][3] == 0 and got[5][2] > _ZRATIO_MAX   # overhead
+        assert got[3][3] == 1
