@@ -5858,6 +5858,150 @@ def q_image_exact_dedup(sf_dir):
             .map_groups(collapse, batch_format="pyarrow"))
 
 
+_PR_NODES = 2000          # synthetic web graph size (crawl id space)
+_PR_ITERS = 5
+_PR_SCALE = 10 ** 12      # fixed-point rank unit
+# damping 0.85 as the rational 17/20 — integer-exact everywhere
+
+
+def _pr_nodes_env() -> int:
+    return int(os.environ.get("GRAFT_PR_NODES", str(_PR_NODES)))
+
+
+def q_pagerank_urls(sf_dir):
+    """PageRank over the synthetic web link graph — the URL-priority
+    signal a crawl scheduler feeds back into its frontier (score seeds
+    by authority instead of FIFO).  FIXED-POINT integer arithmetic:
+    ranks live in _PR_SCALE units, damping is the rational 17/20 and
+    every per-edge contribution is floor-divided BEFORE the sum, so
+    the result is bit-identical under any partitioning or summation
+    order — reruns and cluster-size changes can't drift (floats
+    can't promise that).
+
+    r_{t+1}(v) = 3·S//(20·N) + Σ_{u→v} (r_t(u)·17) // (20·outdeg)
+
+    Scale shape: one exchange per iteration — each rank shard fans
+    its nodes' contributions out along their deterministic out-links
+    (the generator IS the adjacency shard here; a stored graph would
+    co-partition an edge table and `attach_column` the rank on —
+    same exchange volume), `partition_apply` sums per destination
+    with one vectorized bincount-style add, a zero row per node keeps
+    sinks alive.  No rank vector is ever broadcast or driver-held."""
+    from .functions import synthweb
+    from .neardup import partition_apply
+
+    N = _pr_nodes_env()
+    show = synthweb.DEFAULT_SHOW
+    base = 3 * _PR_SCALE // (20 * N)
+    schema = pa.schema([("node", pa.int64()), ("r", pa.int64())])
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy()
+        return pa.table({"node": pa.array(ids),
+                         "r": pa.array(np.full(len(ids),
+                                               _PR_SCALE // N,
+                                               dtype=np.int64))})
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        ids = b["node"].to_numpy()
+        r = b["r"].to_numpy()
+        dst = synthweb.child_ids(ids, N, show=show)        # (n, show)
+        contrib = (r * 17) // (20 * show)
+        return pa.table({
+            "node": pa.array(np.concatenate(
+                [dst.ravel(), ids])),                      # + self zero
+            "c": pa.array(np.concatenate(
+                [np.repeat(contrib, show),
+                 np.zeros(len(ids), dtype=np.int64)]))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        node = part["node"].to_numpy()
+        c = part["c"].to_numpy()
+        u, inv = np.unique(node, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)   # int64 accumulator:
+        np.add.at(sums, inv, c)                   # exact at any scale
+        return pa.table({"node": pa.array(u),
+                         "r": pa.array(sums + base)})
+
+    nodes = pa.table({"node": pa.array(np.arange(N, dtype=np.int64))})
+    ranks = (_rd().from_arrow(nodes)
+             .map_batches(init, batch_format="pyarrow"))
+    for _ in range(_PR_ITERS):
+        fanned = ranks.map_batches(fan_out, batch_format="pyarrow")
+        ranks = partition_apply(fanned, "node", fold, schema)
+    return ranks
+
+
+def q_inverted_index(sf_dir):
+    """Sharded inverted-index build (word → sorted posting list +
+    document frequency) — the retrieval-side artifact a
+    dedup/contamination/search stack queries instead of rescanning
+    text; postings are emitted comma-joined (the exact on-disk order a
+    posting file stores) so the oracle compares them byte-for-byte.
+
+    Scale shape: a per-batch pandas drop_duplicates combiner shrinks
+    the stream to distinct (word, doc) pairs before the one word-hash
+    exchange (the `source_vocab_overlap` routing: int64 hash key, word
+    string as payload so collisions never corrupt), then each
+    partition builds ALL its words' postings with one vectorized
+    lexsort + run-boundary split — posting lists stay
+    partition-local, vocabulary-sized output, document text never
+    moves."""
+    import pandas as pd
+
+    from .neardup import partition_apply
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pandas()
+        words = b["text"].to_pandas().str.strip().str.split(r"\s+")
+        df = pd.DataFrame({"doc_id": ids.repeat(words.str.len()),
+                           "word": words.explode()})
+        df = df[df["word"].notna() & (df["word"] != "")].drop_duplicates()
+        wh = _word_hashes(df["word"].tolist()).view(np.int64)
+        return pa.table({"h": pa.array(wh),
+                         "word": pa.array(df["word"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(
+                             np.int64))})
+
+    def postings(part: pa.Table) -> pa.Table:
+        df = (part.select(["word", "doc_id"]).to_pandas()
+              .drop_duplicates())
+        w = df["word"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        ends = np.r_[starts[1:], len(w)]
+        words, dfs, posts = [], [], []
+        dstr = d.astype(str)
+        for s, e in zip(starts, ends):
+            words.append(w[s])
+            dfs.append(e - s)
+            posts.append(",".join(dstr[s:e]))
+        return pa.table({"word": pa.array(words, pa.string()),
+                         "df": pa.array(np.asarray(dfs, dtype=np.int64)),
+                         "postings": pa.array(posts, pa.string())})
+
+    schema = pa.schema([("word", pa.string()), ("df", pa.int64()),
+                        ("postings", pa.string())])
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(explode, batch_format="pyarrow"))
+    return partition_apply(ds, "h", postings, schema)
+
+
+ORACLES["inverted_index"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents WHERE trim(text) <> ''),
+    d AS (SELECT DISTINCT word, doc_id FROM toks)
+    SELECT word, count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM d GROUP BY word
+"""
+
+
 _ZRATIO_MIN = 100_000     # below: template/repetition spam (Dolma)
 _ZRATIO_MAX = 800_000     # above: near-random / binary junk
 
@@ -6165,4 +6309,6 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "split_drift": q_split_drift,
     "compression_ratio": q_compression_ratio,
+    "inverted_index": q_inverted_index,
+    "pagerank_urls": q_pagerank_urls,
 }

@@ -454,3 +454,35 @@ class TestCompressionRatio:
         assert got[4][3] == 0
         assert got[5][3] == 0 and got[5][2] > _ZRATIO_MAX   # overhead
         assert got[3][3] == 1
+
+
+class TestPagerankUrls:
+    def test_fixed_point_mirror(self, ray_session, monkeypatch):
+        import numpy as np
+        monkeypatch.setenv("GRAFT_PR_NODES", "400")
+        from pyspider_ray.functions import synthweb
+        from pyspider_ray.training_queries import (_PR_ITERS, _PR_SCALE,
+                                                   q_pagerank_urls)
+        N, show = 400, synthweb.DEFAULT_SHOW
+        got = {r["node"]: r["r"]
+               for r in q_pagerank_urls("unused").take_all()}
+        assert len(got) == N
+        # independent mirror: same integer recurrence, plain dicts
+        base = 3 * _PR_SCALE // (20 * N)
+        r = {u: _PR_SCALE // N for u in range(N)}
+        dst = synthweb.child_ids(np.arange(N), N, show=show)
+        for _ in range(_PR_ITERS):
+            nxt = {u: base for u in range(N)}
+            for u in range(N):
+                c = (r[u] * 17) // (20 * show)
+                for v in dst[u]:
+                    nxt[int(v)] += c
+            r = nxt
+        assert got == r
+        # authority actually differentiates (not a uniform fixed point)
+        vals = sorted(got.values())
+        assert vals[0] < vals[-1]
+        # rerun is bit-identical (the fixed-point promise)
+        again = {x["node"]: x["r"]
+                 for x in q_pagerank_urls("unused").take_all()}
+        assert again == got
