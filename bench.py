@@ -482,6 +482,9 @@ _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
                   "clip_score_gate": 600, "caption_dup_filter": 600}
 
 
+_ENV_SCALE_OPS = {"pagerank_urls": ("GRAFT_PR_NODES", 2000, "nodes")}
+
+
 def op_scale(qname: str) -> None:
     """sf0.1-vs-10x rehearsal for any query: run it in two fresh
     processes on the base input and a 10x variant, report wall /
@@ -505,6 +508,11 @@ def op_scale(qname: str) -> None:
         legs = [(SF_DIR, {"GRAFT_IMG_ROWS": str(base)}, f"{base} images"),
                 (SF_DIR, {"GRAFT_IMG_ROWS": str(base * 10)},
                  f"{base * 10} images (10x)")]
+    elif qname in _ENV_SCALE_OPS:
+        var, base, unit = _ENV_SCALE_OPS[qname]
+        legs = [(SF_DIR, {var: str(base)}, f"{base} {unit}"),
+                (SF_DIR, {var: str(base * 10)},
+                 f"{base * 10} {unit} (10x)")]
     elif qname in _EMBEDDING_SCALE_OPS:
         legs = [(SF_DIR, None, "sf0.1"),
                 (_build_sf1_embeddings(), None, "sf1(10x)")]
