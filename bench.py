@@ -474,7 +474,7 @@ def _build_sf1_embeddings(out_dir: str = "/tmp/ann_sf1_v1") -> str:
 # their 10x variant
 _EMBEDDING_SCALE_OPS = {"ann_lsh_bucketed", "ann_lsh", "ann_ivf",
                         "embedding_knn", "embedding_near_dup",
-                        "embedding_quantize"}
+                        "embedding_quantize", "embedding_project"}
 _MEDIA_SCALE_OPS = {"audio_fp_near_dup", "video_fp_near_dup"}
 # synthetic image-table legs: 10x via the corpus-size env knob
 _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,

@@ -5868,6 +5868,61 @@ def _pr_nodes_env() -> int:
     return int(os.environ.get("GRAFT_PR_NODES", str(_PR_NODES)))
 
 
+_PROJ_DIMS = 16
+
+
+def _proj_planes(dim_in: int, dim_out: int) -> np.ndarray:
+    """Deterministic Gaussian-ish projection matrix from the md5
+    counter stream (the repo's seeding convention — no RNG state,
+    any worker regenerates the identical planes)."""
+    need = dim_in * dim_out
+    vals = np.empty(need, dtype=np.float64)
+    i = 0
+    c = 0
+    while i < need:
+        d = hashlib.md5(f"proj:{c}".encode()).digest()
+        for off in range(0, 16, 8):
+            if i >= need:
+                break
+            u = int.from_bytes(d[off:off + 8], "big")
+            vals[i] = (u / 2.0 ** 64) * 2.0 - 1.0   # uniform (-1, 1)
+            i += 1
+        c += 1
+    return (vals.reshape(dim_in, dim_out)
+            * np.sqrt(3.0 / dim_out))               # Achlioptas scaling
+
+
+def q_embedding_project(sf_dir):
+    """Random-projection dimensionality reduction of the embedding
+    column (Johnson–Lindenstrauss: the 4-8x shrink a clustering /
+    ANN-build pass runs before touching distance math at scale) to
+    _PROJ_DIMS dims, plus a per-row pairwise-norm audit: the projected
+    norm in ppm of the original so a drifting projection is visible in
+    the output, not just in a test.
+
+    Scale shape: the projection matrix regenerates deterministically
+    from the md5 counter stream inside each task (dim×16 floats —
+    nothing is broadcast, no RNG state), one zero-exchange
+    map_batches matmul per batch; output carries only the 16 floats +
+    two int64s per row."""
+    def project(b: pa.Table) -> pa.Table:
+        E = _embedding_matrix(b)
+        P = _proj_planes(E.shape[1], _PROJ_DIMS)
+        Y = E @ P
+        n_in = np.linalg.norm(E, axis=1)
+        n_out = np.linalg.norm(Y, axis=1)
+        ppm = np.where(n_in > 0, n_out / np.maximum(n_in, 1e-30) * 1e6,
+                       0.0).astype(np.int64)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "proj": pa.array(list(Y.astype(np.float32)),
+                             pa.list_(pa.float32())),
+            "norm_ratio_ppm": pa.array(ppm)})
+
+    return (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .map_batches(project, batch_format="pyarrow"))
+
+
 def q_pagerank_urls(sf_dir):
     """PageRank over the synthetic web link graph — the URL-priority
     signal a crawl scheduler feeds back into its frontier (score seeds
@@ -6311,4 +6366,5 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "inverted_index": q_inverted_index,
     "pagerank_urls": q_pagerank_urls,
+    "embedding_project": q_embedding_project,
 }

@@ -486,3 +486,38 @@ class TestPagerankUrls:
         again = {x["node"]: x["r"]
                  for x in q_pagerank_urls("unused").take_all()}
         assert again == got
+
+
+class TestEmbeddingProject:
+    def test_numpy_mirror_and_jl_property(self, ray_session, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from pyspider_ray.training_queries import (_PROJ_DIMS,
+                                                   _proj_planes,
+                                                   q_embedding_project)
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        E = np.stack(t["embedding"].to_pylist()).astype(np.float32)
+        P = _proj_planes(E.shape[1], _PROJ_DIMS)
+        exp = (E.astype(np.float64) @ P).astype(np.float32)
+
+        out = {r["vec_id"]: r for r in
+               q_embedding_project(sf_dir).take_all()}
+        assert len(out) == len(ids)
+        order = {int(v): i for i, v in enumerate(ids)}
+        ratios = []
+        for vid, r in out.items():
+            i = order[vid]
+            got = np.asarray(r["proj"], dtype=np.float32)
+            assert got.shape == (_PROJ_DIMS,)
+            # bit-exact: same planes, same matmul, same fp32 rounding
+            assert np.array_equal(got, exp[i]), vid
+            ratios.append(r["norm_ratio_ppm"] / 1e6)
+        # JL in expectation: norm ratios concentrate around 1
+        ratios = np.asarray(ratios)
+        assert 0.75 < np.median(ratios) < 1.25
+        assert (np.abs(ratios - 1.0) < 0.8).mean() > 0.95
+        # deterministic planes: a second call regenerates identically
+        assert np.array_equal(_proj_planes(E.shape[1], _PROJ_DIMS), P)
