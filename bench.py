@@ -74,7 +74,12 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                # round-5 addition: the composed FineWeb gate — the
                # hottest (cheapest, most-run) pass of a 100 TB text
                # pipeline, four gates in one corpus read
-               "fineweb_filter"]
+               "fineweb_filter",
+               # round-5 session-2 additions: the resumable shard
+               # packer end-to-end (distributed prefix sum + range
+               # exchange + partition writers + read-back) and the
+               # fixed-point iterative op (5 exchange rounds)
+               "wds_write_pack", "pagerank_urls"]
 
 
 def init_ray():

@@ -5546,6 +5546,61 @@ ORACLES["wds_write_pack"] = rf"""
 """
 
 
+def q_wds_shard_stats(sf_dir):
+    """Shard-manifest audit over the `wds_shard_plan` assignment: per
+    shard its doc count, byte (char) sum, and an overflow flag (a
+    shard exceeds the budget exactly when a straddling doc starts
+    inside it — the tar writer wants those counted, not hidden).
+    Consumes the plan the way the packer does: the SAME two streaming
+    passes, then a shards-bounded groupby — corpus-size-independent
+    output."""
+    from ray.data.aggregate import Count, Sum
+
+    # join n_chars back onto the plan by doc_id: partitioned hash join
+    # via the existing attach machinery (no broadcast)
+    from .neardup import attach_column
+
+    plan = q_wds_shard_plan(sf_dir)
+    sized = attach_column(
+        plan, _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        "n_chars", "doc_id", "n_chars")
+
+    def flag(b: pa.Table) -> pa.Table:
+        nb = b["n_chars"].to_numpy()
+        return pa.table({
+            "shard_id": b["shard_id"],
+            "n_chars": pa.array(nb.astype(np.int64)),
+            "over": pa.array((nb > _WDS_SHARD_CHARS).astype(np.int64))})
+
+    return (sized.map_batches(flag, batch_format="pyarrow")
+            .groupby("shard_id")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="n_bytes"),
+                       Sum("over", alias_name="n_oversize_docs")))
+
+
+ORACLES["wds_shard_stats"] = rf"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT AS key
+        FROM documents),
+    plan AS (
+        SELECT doc_id, n_chars,
+               CAST(COALESCE(sum(n_chars) OVER (
+                        ORDER BY key, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING),
+                    0) // {_WDS_SHARD_CHARS} AS BIGINT) AS shard_id
+        FROM k)
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN n_chars > {_WDS_SHARD_CHARS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize_docs
+    FROM plan GROUP BY shard_id
+"""
+
+
 ORACLES["wds_shard_plan"] = rf"""
     WITH k AS (
         SELECT doc_id, n_chars,
@@ -6367,4 +6422,5 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "pagerank_urls": q_pagerank_urls,
     "embedding_project": q_embedding_project,
+    "wds_shard_stats": q_wds_shard_stats,
 }
