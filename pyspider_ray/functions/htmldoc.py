@@ -190,3 +190,83 @@ def extract_links(html: str | bytes, base_url: str) -> list[str]:
     core of the reference sample handlers' crawl loops."""
     doc = MiniDoc(html, base_url=base_url)
     return [el.attr("href") for el in doc("a[href]")]
+
+
+# --- boilerplate-stripping text extraction (jusText/trafilatura-lite) --
+
+_BOILER_TAGS = {"script", "style", "nav", "header", "footer", "aside",
+                "noscript", "template", "form", "iframe", "button",
+                "select", "option"}
+_LEAF_BLOCKS = {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td",
+                "th", "blockquote", "pre", "dd", "dt", "figcaption"}
+_CONTAINER_BLOCKS = {"div", "section", "article", "main", "body", "ul",
+                     "ol", "table", "tr", "#document", "html"}
+
+
+def _block_words(el: Element) -> tuple[list[str], int]:
+    """(words, link_words) of a block: all descendant text except
+    boilerplate subtrees and NESTED blocks (a nested <p>/<div> is its
+    own candidate — counting it twice would let a link farm hide
+    inside a big container)."""
+    words: list[str] = []
+    link_words = 0
+
+    def walk(e: Element, in_link: bool):
+        nonlocal link_words
+        ws = " ".join(e._text_parts).split()
+        words.extend(ws)
+        if in_link:
+            link_words += len(ws)
+        for c in e.children:
+            if c.tag in _BOILER_TAGS:
+                continue
+            if c.tag in _LEAF_BLOCKS or c.tag in _CONTAINER_BLOCKS:
+                continue                      # nested block: its own row
+            walk(c, in_link or c.tag == "a")
+
+    walk(el, el.tag == "a")
+    return words, link_words
+
+
+def extract_text(html: str | bytes, min_words: int = 5,
+                 max_link_density_pct: int = 50) -> dict:
+    """Boilerplate-stripping main-text extraction (the HTML→text stage
+    every web-corpus pipeline runs before any quality gate): drop
+    script/style/nav/header/footer/aside subtrees outright, treat each
+    leaf/container block as a candidate, keep blocks with at least
+    ``min_words`` words whose link-word share is below
+    ``max_link_density_pct`` (integer compare — deterministic, no
+    float), join survivors with a newline.
+
+    Returns {"text", "n_blocks", "n_kept", "n_words"}."""
+    doc = MiniDoc(html)
+    kept: list[str] = []
+    n_blocks = 0
+
+    def consider(el: Element):
+        nonlocal n_blocks
+        words, link_words = _block_words(el)
+        if words:
+            n_blocks += 1
+            if (len(words) >= min_words
+                    and link_words * 100 < max_link_density_pct
+                    * len(words)):
+                kept.append(" ".join(words))
+
+    def walk(e: Element):
+        for c in e.children:
+            if c.tag in _BOILER_TAGS:
+                continue
+            if c.tag in _LEAF_BLOCKS:
+                consider(c)
+                walk(c)                       # nested blocks inside li/td
+            elif c.tag in _CONTAINER_BLOCKS:
+                consider(c)                   # its DIRECT inline content
+                walk(c)
+            else:
+                walk(c)                       # inline wrapper: recurse
+
+    walk(doc.root)
+    text = "\n".join(kept)
+    return {"text": text, "n_blocks": n_blocks, "n_kept": len(kept),
+            "n_words": len(text.split())}

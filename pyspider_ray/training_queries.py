@@ -5913,6 +5913,79 @@ def q_image_exact_dedup(sf_dir):
             .map_groups(collapse, batch_format="pyarrow"))
 
 
+_HTML_PAGES = 500
+
+
+def _html_pages_env() -> int:
+    return int(os.environ.get("GRAFT_HTML_PAGES", str(_HTML_PAGES)))
+
+
+_HTML_WORDS = ("data pipeline corpus shard filter token model train "
+               "crawl fetch parse index batch stream merge sort").split()
+
+
+def _synth_page_html(i: int) -> str:
+    """Deterministic page: nav + link farm + footer boilerplate around
+    1-4 content paragraphs of seeded text (every byte derives from the
+    page id — any worker regenerates the identical page)."""
+    def w(j: int) -> str:
+        return _HTML_WORDS[int(hashlib.md5(f"{i}:{j}".encode())
+                               .hexdigest()[:4], 16) % len(_HTML_WORDS)]
+    paras = []
+    for p in range(1 + i % 4):
+        n = 6 + (i * 7 + p * 13) % 20
+        paras.append("<p>" + " ".join(w(p * 100 + k)
+                                      for k in range(n)) + "</p>")
+    nav = "<nav>" + " ".join(f'<a href="/{k}">section {k}</a>'
+                             for k in range(5)) + "</nav>"
+    farm = ("<div>" + " ".join(f'<a href="/x{k}">related link {k}</a>'
+                               for k in range(4)) + "</div>")
+    return ("<html><head><script>track();</script><style>p{}</style>"
+            f"</head><body>{nav}<article>{''.join(paras)}</article>"
+            f"{farm}<footer>copyright {i} all rights reserved"
+            "</footer></body></html>")
+
+
+def q_html_text_extract(sf_dir):
+    """HTML→training-text extraction — the FIRST transform of every
+    web corpus (trafilatura/jusText's job): strip script/style/nav/
+    header/footer/aside, gate each text block on word count and link
+    density (integer compare), emit the surviving main text with block
+    accounting.  Runs over deterministic synthetic pages (the sandbox
+    stand-in for the crawl's fetched HTML — the extractor itself,
+    `functions.htmldoc.extract_text`, is the real production kernel
+    and is what a crawl handler calls on `response.content`).
+
+    Scale shape: embarrassingly parallel — one stdlib-parser pass per
+    page where the HTML lives (the same per-page cost the processor
+    stage already pays; an lxml-backed MiniDoc drops in outside the
+    sandbox), zero exchange, output prunes the raw HTML."""
+    from .functions.htmldoc import extract_text
+
+    N = _html_pages_env()
+
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        ids = b["page_id"].to_numpy()
+        texts, nb, nk, nw = [], [], [], []
+        for i in ids:
+            r = extract_text(_synth_page_html(int(i)))
+            texts.append(r["text"])
+            nb.append(r["n_blocks"])
+            nk.append(r["n_kept"])
+            nw.append(r["n_words"])
+        return pa.table({
+            "page_id": pa.array(ids),
+            "text": pa.array(texts, pa.string()),
+            "n_blocks": pa.array(np.asarray(nb, dtype=np.int64)),
+            "n_kept": pa.array(np.asarray(nk, dtype=np.int64)),
+            "n_words": pa.array(np.asarray(nw, dtype=np.int64))})
+
+    pages = pa.table({"page_id": pa.array(np.arange(N, dtype=np.int64))})
+    return (_rd().from_arrow(pages)
+            .map_batches(build_and_extract, batch_format="pyarrow",
+                         batch_size=64))
+
+
 _PR_NODES = 2000          # synthetic web graph size (crawl id space)
 _PR_ITERS = 5
 _PR_SCALE = 10 ** 12      # fixed-point rank unit
@@ -6423,4 +6496,5 @@ QUERIES = {
     "pagerank_urls": q_pagerank_urls,
     "embedding_project": q_embedding_project,
     "wds_shard_stats": q_wds_shard_stats,
+    "html_text_extract": q_html_text_extract,
 }

@@ -521,3 +521,70 @@ class TestEmbeddingProject:
         assert (np.abs(ratios - 1.0) < 0.8).mean() > 0.95
         # deterministic planes: a second call regenerates identically
         assert np.array_equal(_proj_planes(E.shape[1], _PROJ_DIMS), P)
+
+
+class TestHtmlTextExtract:
+    CASE = """<html><head><script>var x=1;</script><style>p{}</style>
+    </head><body>
+    <nav><a href=a>Home</a> <a href=b>About</a> <a href=c>More</a></nav>
+    <header>site banner words here repeated</header>
+    <div id=main>
+      <p>This is the real article content with plenty of words to keep.</p>
+      <p>tiny</p>
+      <div><a href=x>link</a> <a href=y>farm</a> <a href=z>of</a>
+           <a href=w>many</a> <a href=v>links</a> only</div>
+      <ul><li>a list item with enough words to survive the gate</li>
+          <li>short one</li></ul>
+      <blockquote>a quoted passage long enough to clear the minimum
+      word gate</blockquote>
+    </div>
+    <aside>related links sidebar</aside>
+    <footer>copyright boilerplate footer text here</footer>
+    </body></html>"""
+
+    def test_golden_extraction(self):
+        from pyspider_ray.functions.htmldoc import extract_text
+        r = extract_text(self.CASE)
+        lines = r["text"].split("\n")
+        assert lines == [
+            "This is the real article content with plenty of words "
+            "to keep.",
+            "a list item with enough words to survive the gate",
+            "a quoted passage long enough to clear the minimum word "
+            "gate",
+        ]
+        # boilerplate gone entirely
+        for bad in ("var x=1", "Home", "banner", "sidebar", "copyright",
+                    "link farm"):
+            assert bad not in r["text"]
+        assert r["n_kept"] == 3
+        assert r["n_blocks"] > r["n_kept"]     # gates really rejected
+        assert r["n_words"] == len(r["text"].split())
+
+    def test_link_density_integer_gate(self):
+        from pyspider_ray.functions.htmldoc import extract_text
+        # exactly 50% link words -> rejected (strict <)
+        h = "<p><a href=x>four link words here</a> four plain words here</p>"
+        assert extract_text(h)["n_kept"] == 0
+        # just under 50% -> kept
+        h2 = "<p><a href=x>three link words</a> four plain words here</p>"
+        assert extract_text(h2)["n_kept"] == 1
+
+    def test_query_over_synthetic_pages(self, ray_session, monkeypatch):
+        monkeypatch.setenv("GRAFT_HTML_PAGES", "60")
+        from pyspider_ray.training_queries import (_synth_page_html,
+                                                   q_html_text_extract)
+        from pyspider_ray.functions.htmldoc import extract_text
+        out = {r["page_id"]: r for r in
+               q_html_text_extract("unused").take_all()}
+        assert len(out) == 60
+        for i in (0, 7, 33, 59):               # spot-check vs direct call
+            exp = extract_text(_synth_page_html(i))
+            assert out[i]["text"] == exp["text"]
+            assert out[i]["n_kept"] == exp["n_kept"]
+        # every page keeps its article paragraphs and drops the farm
+        for i, r in out.items():
+            assert r["n_kept"] >= 1
+            assert "related link" not in r["text"]
+            assert "copyright" not in r["text"]
+            assert "section" not in r["text"]
