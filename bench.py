@@ -488,7 +488,8 @@ _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
 
 
 _ENV_SCALE_OPS = {"pagerank_urls": ("GRAFT_PR_NODES", 2000, "nodes"),
-                  "html_text_extract": ("GRAFT_HTML_PAGES", 500, "pages")}
+                  "html_text_extract": ("GRAFT_HTML_PAGES", 500, "pages"),
+                  "web_curate": ("GRAFT_HTML_PAGES", 500, "pages")}
 
 
 def op_scale(qname: str) -> None:

@@ -5986,6 +5986,81 @@ def q_html_text_extract(sf_dir):
                          batch_size=64))
 
 
+def q_web_curate(sf_dir):
+    """The crawl→training-text composition end to end: synthetic HTML
+    pages → boilerplate-stripping extraction (`extract_text`) →
+    quality gates (min length; the `compression_ratio` zlib band) →
+    exact dedup of the extracted text (md5-128 digest groupby, min
+    page_id wins — every page i ≡ 7 (mod 9) is a planted clone of
+    page i−7, the mirrored-content case a real crawl meets daily).
+    One streaming pass builds/extracts/gates and digests; only
+    (page_id, digest, verdict ints) — never the text — enters the one
+    exchange; the collapse fans keep/kept_as lineage back per page.
+
+    rows-only (no SQL form for the HTML stage); pinned by pytest:
+    every surviving clone collapses onto its original, gate verdicts
+    equal an independent per-page mirror."""
+    import zlib
+
+    from .functions.htmldoc import extract_text
+    from .neardup import partition_apply
+
+    N = _html_pages_env()
+
+    def build_gate_digest(b: pa.Table) -> pa.Table:
+        ids = b["page_id"].to_numpy()
+        out = {"page_id": [], "n_words": [], "ratio_ppm": [],
+               "gate_ok": [], "h": [], "lo": []}
+        for i in ids:
+            i = int(i)
+            src = i - 7 if i % 9 == 7 else i          # planted clone
+            r = extract_text(_synth_page_html(src))
+            enc = r["text"].encode()
+            zl = len(zlib.compress(enc, 6)) if enc else 0
+            ppm = zl * 1_000_000 // len(enc) if enc else 0
+            ok = int(r["n_words"] >= 10
+                     and _ZRATIO_MIN <= ppm <= _ZRATIO_MAX)
+            d = hashlib.md5(enc).digest()
+            hi = int.from_bytes(d[:8], "big")
+            lo = int.from_bytes(d[8:], "big")
+            out["page_id"].append(i)
+            out["n_words"].append(r["n_words"])
+            out["ratio_ppm"].append(ppm)
+            out["gate_ok"].append(ok)
+            out["h"].append(hi - (1 << 64) if hi >= (1 << 63) else hi)
+            out["lo"].append(lo - (1 << 64) if lo >= (1 << 63) else lo)
+        return pa.table({k: pa.array(np.asarray(v, dtype=np.int64))
+                         for k, v in out.items()})
+
+    def collapse(part: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = part.to_pandas()
+        surv = df[df["gate_ok"] == 1]
+        winner = (surv.groupby(["h", "lo"])["page_id"].min()
+                  .rename("kept_as"))
+        df = df.merge(winner, on=["h", "lo"], how="left")
+        df["kept_as"] = (df["kept_as"].fillna(-1)).astype(np.int64)
+        df["keep"] = ((df["gate_ok"] == 1)
+                      & (df["page_id"] == df["kept_as"])
+                      ).astype(np.int64)
+        return pa.table({
+            "page_id": pa.array(df["page_id"].to_numpy(np.int64)),
+            "n_words": pa.array(df["n_words"].to_numpy(np.int64)),
+            "ratio_ppm": pa.array(df["ratio_ppm"].to_numpy(np.int64)),
+            "gate_ok": pa.array(df["gate_ok"].to_numpy(np.int64)),
+            "keep": pa.array(df["keep"].to_numpy(np.int64)),
+            "kept_as": pa.array(df["kept_as"].to_numpy(np.int64))})
+
+    schema = pa.schema([("page_id", pa.int64()), ("n_words", pa.int64()),
+                        ("ratio_ppm", pa.int64()), ("gate_ok", pa.int64()),
+                        ("keep", pa.int64()), ("kept_as", pa.int64())])
+    pages = pa.table({"page_id": pa.array(np.arange(N, dtype=np.int64))})
+    ds = (_rd().from_arrow(pages)
+          .map_batches(build_gate_digest, batch_format="pyarrow",
+                       batch_size=64))
+    return partition_apply(ds, "h", collapse, schema)
+
+
 _PR_NODES = 2000          # synthetic web graph size (crawl id space)
 _PR_ITERS = 5
 _PR_SCALE = 10 ** 12      # fixed-point rank unit
@@ -6497,4 +6572,5 @@ QUERIES = {
     "embedding_project": q_embedding_project,
     "wds_shard_stats": q_wds_shard_stats,
     "html_text_extract": q_html_text_extract,
+    "web_curate": q_web_curate,
 }

@@ -588,3 +588,48 @@ class TestHtmlTextExtract:
             assert "related link" not in r["text"]
             assert "copyright" not in r["text"]
             assert "section" not in r["text"]
+
+
+class TestWebCurate:
+    def test_clone_collapse_and_gate_mirror(self, ray_session,
+                                            monkeypatch):
+        import hashlib
+        import zlib
+        monkeypatch.setenv("GRAFT_HTML_PAGES", "90")
+        from pyspider_ray.functions.htmldoc import extract_text
+        from pyspider_ray.training_queries import (_ZRATIO_MAX,
+                                                   _ZRATIO_MIN,
+                                                   _synth_page_html,
+                                                   q_web_curate)
+        got = {r["page_id"]: r for r in q_web_curate("unused").take_all()}
+        assert len(got) == 90
+        # independent per-page mirror
+        texts = {}
+        for i in range(90):
+            src = i - 7 if i % 9 == 7 else i
+            texts[i] = extract_text(_synth_page_html(src))["text"]
+        first_of = {}
+        for i in range(90):                      # min-id winner per text
+            enc = texts[i].encode()
+            zl = len(zlib.compress(enc, 6)) if enc else 0
+            ppm = zl * 1_000_000 // len(enc) if enc else 0
+            nw = len(texts[i].split())
+            ok = int(nw >= 10 and _ZRATIO_MIN <= ppm <= _ZRATIO_MAX)
+            r = got[i]
+            assert (r["n_words"], r["ratio_ppm"], r["gate_ok"]) == \
+                (nw, ppm, ok), i
+            d = hashlib.md5(enc).digest()
+            if ok and d not in first_of:
+                first_of[d] = i
+            if ok:
+                assert r["kept_as"] == first_of[d]
+                assert r["keep"] == int(i == first_of[d])
+            else:
+                assert r["keep"] == 0
+        # the planted clones really collapse (7, 16, 25, ... if kept)
+        collapsed = [i for i in range(90)
+                     if i % 9 == 7 and got[i]["gate_ok"] == 1]
+        assert collapsed, "no clone survived the gates"
+        for i in collapsed:
+            assert got[i]["keep"] == 0 and got[i]["kept_as"] == i - 7
+        assert sum(r["keep"] for r in got.values()) > 40
