@@ -280,6 +280,109 @@ def _membership_filter(probe_ds, probe_col: str, keys_ds, key_col: str,
     return tagged.groupby("cb").map_groups(member, batch_format="pyarrow")
 
 
+_Q3_CUTOFF = np.datetime64("1998-06-01")
+
+
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 shape — the 3-table join/aggregate/top-k a reporting
+    pipeline runs over the result store: BUILDING customers ⋈ orders
+    before the cutoff ⋈ lineitems shipped after it, revenue per order,
+    top 10 by (revenue DESC, orderkey).  Revenue is integer-exact:
+    floor(price·100 + 0.5)·(100 − floor(disc·100 + 0.5)) — the SAME
+    IEEE expression on both engines, so no float-sum drift.
+
+    Scale shape: two co-partitioned hash exchanges, no broadcast —
+    (1) BUILDING custkeys (distinct per batch) + date-pruned orders
+    co-bucket on custkey, hits emit orderkeys; (2) lineitem revenue
+    partials (PER-BATCH combiner: each batch pre-sums per orderkey)
+    + surviving orderkeys co-bucket on orderkey, hits fold partials.
+    The final sort ranks the already-aggregated order-level table and
+    the limit cuts at 10."""
+    from .neardup import _key_bucket
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        k = np.unique(b.filter(m)["c_custkey"].to_numpy())
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "v": pa.array(np.full(len(k), -1, np.int64)),
+                         "kind": pa.array(np.zeros(len(k), np.int8)),
+                         "cb": pa.array(_key_bucket(k, 64))})
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy()
+        m = d < _Q3_CUTOFF
+        k = b["o_custkey"].to_numpy()[m].astype(np.int64)
+        v = b["o_orderkey"].to_numpy()[m].astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(v),
+                         "kind": pa.array(np.ones(len(k), np.int8)),
+                         "cb": pa.array(_key_bucket(k, 64))})
+
+    def hit_orders(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        kset = np.unique(g["k"].to_numpy()[kind == 0])
+        probe = kind == 1
+        hit = np.isin(g["k"].to_numpy()[probe], kset)
+        return pa.table({"okey": pa.array(
+            g["v"].to_numpy()[probe][hit].astype(np.int64))})
+
+    orders_kept = (_read(sf_dir, "customer",
+                         ["c_custkey", "c_mktsegment"])
+                   .map_batches(cust_keys, batch_format="pyarrow")
+                   .union(_read(sf_dir, "orders",
+                                ["o_custkey", "o_orderkey", "o_orderdate"])
+                          .map_batches(order_rows,
+                                       batch_format="pyarrow"))
+                   .groupby("cb")
+                   .map_groups(hit_orders, batch_format="pyarrow"))
+
+    def okey_side(b: pa.Table) -> pa.Table:
+        k = np.unique(b["okey"].to_numpy())
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "rev": pa.array(np.zeros(len(k), np.int64)),
+                         "kind": pa.array(np.zeros(len(k), np.int8)),
+                         "cb": pa.array(_key_bucket(k, 64))})
+
+    def rev_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        m = b["l_shipdate"].to_numpy() > _Q3_CUTOFF
+        k = b["l_orderkey"].to_numpy()[m].astype(np.int64)
+        price = b["l_extendedprice"].to_numpy()[m]
+        disc = b["l_discount"].to_numpy()[m]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dpct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        rev = cents * (100 - dpct)
+        g = (pd.DataFrame({"k": k, "rev": rev})
+             .groupby("k", sort=False)["rev"].sum().reset_index())
+        ks = g["k"].to_numpy(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "rev": pa.array(g["rev"].to_numpy(np.int64)),
+                         "kind": pa.array(np.ones(len(ks), np.int8)),
+                         "cb": pa.array(_key_bucket(ks, 64))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        kset = np.unique(g["k"].to_numpy()[kind == 0])
+        df = pd.DataFrame({"k": g["k"].to_numpy()[kind == 1],
+                           "rev": g["rev"].to_numpy()[kind == 1]})
+        df = df[np.isin(df["k"].to_numpy(), kset)]
+        out = df.groupby("k", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "l_orderkey": pa.array(out["k"].to_numpy(np.int64)),
+            "revenue_c4": pa.array(out["rev"].to_numpy(np.int64))})
+
+    return (orders_kept.map_batches(okey_side, batch_format="pyarrow")
+            .union(_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+                   .map_batches(rev_partials, batch_format="pyarrow"))
+            .groupby("cb")
+            .map_groups(fold, batch_format="pyarrow")
+            .sort(["revenue_c4", "l_orderkey"], descending=[True, False])
+            .limit(10))
+
+
 def q_anti_join(sf_dir):
     """J1 left-anti — 'new request' detection: orders with no lineitem,
     via the coarse-bucket co-partitioned membership filter."""
@@ -588,6 +691,23 @@ def q_hash_sample(sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "shipping_priority": r"""
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS revenue_c4
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey
+        ORDER BY revenue_c4 DESC, l_orderkey
+        LIMIT 10
+    """,
     "status_count": """
         SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
     """,
@@ -756,6 +876,7 @@ QUERIES = {
     "active_tasks": q_active_tasks,
     "result_paging": q_result_paging,
     "hash_join_revenue": q_hash_join_revenue,
+    "shipping_priority": q_shipping_priority,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "windowed_counter": q_windowed_counter,
