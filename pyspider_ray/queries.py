@@ -280,6 +280,138 @@ def _membership_filter(probe_ds, probe_col: str, keys_ds, key_col: str,
     return tagged.groupby("cb").map_groups(member, batch_format="pyarrow")
 
 
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1 shape — the full-scan multi-aggregate report: per
+    (returnflag, linestatus) the row count and integer-exact sums of
+    quantity, base price (cents), discounted price (cents·(100−d))
+    and charged price (cents·(100−d)·(100+t)), shipped before the
+    cutoff.  Averages are the consumer's division — emitting sums +
+    counts keeps every column an exact int64.
+
+    Scale shape: the canonical combiner aggregate — each batch
+    collapses to ≤ |flags×statuses| partial rows inside map_batches,
+    the groupby moves partials only; one pass, no join, no sort."""
+    from ray.data.aggregate import Sum
+
+    import pandas as pd
+
+    cutoff = np.datetime64("2000-12-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = b["l_shipdate"].to_numpy() <= cutoff
+        qty = b["l_quantity"].to_numpy()[m]
+        price = b["l_extendedprice"].to_numpy()[m]
+        disc = b["l_discount"].to_numpy()[m]
+        tax = b["l_tax"].to_numpy()[m]
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        d = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        t = np.floor(tax * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(b["l_returnflag"].to_pylist(),
+                                       dtype=object)[m],
+            "l_linestatus": np.asarray(b["l_linestatus"].to_pylist(),
+                                       dtype=object)[m],
+            "sum_qty": np.floor(qty * 100.0 + 0.5).astype(np.int64),
+            "sum_base_c": cents,
+            "sum_disc_c4": cents * (100 - d),
+            "sum_charge_c6": cents * (100 - d) * (100 + t),
+            "n_rows": np.ones(m.sum(), dtype=np.int64)})
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_tax",
+                   "l_shipdate"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_base_c", alias_name="sum_base_c"),
+                       Sum("sum_disc_c4", alias_name="sum_disc_c4"),
+                       Sum("sum_charge_c6", alias_name="sum_charge_c6"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
+def q_order_priority_count(sf_dir):
+    """TPC-H Q4 shape — EXISTS semi-join + count: orders in a date
+    window having at least one late lineitem (shipdate > orderdate
+    here — the tables carry no commit/receipt dates), counted per
+    o_orderpriority.
+
+    Scale shape: the co-partitioned membership exchange (the
+    `semi_join` machinery's pattern) with per-batch DISTINCT on the
+    EXISTS side, then a priorities-bounded groupby — both fact scans
+    prune to 2-3 columns at the read."""
+    from ray.data.aggregate import Sum
+
+    from .neardup import _key_bucket
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1999-01-01")
+
+    def order_side(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy()
+        m = (d >= lo) & (d < hi)
+        k = b["o_orderkey"].to_numpy()[m].astype(np.int64)
+        pr = np.asarray(b["o_orderpriority"].to_pylist(),
+                        dtype=object)[m]
+        dd = d[m].astype("datetime64[us]").astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "prio": pa.array(list(pr), pa.string()),
+                         "odate": pa.array(dd),
+                         "kind": pa.array(np.ones(len(k), np.int8)),
+                         "cb": pa.array(_key_bucket(k, 64))})
+
+    def late_side(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        sd = (b["l_shipdate"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        # per-batch max shipdate per orderkey (combiner: one row per
+        # distinct key per batch rides the exchange)
+        import pandas as pd
+        g = (pd.DataFrame({"k": k, "sd": sd})
+             .groupby("k", sort=False)["sd"].max().reset_index())
+        ks = g["k"].to_numpy(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "prio": pa.array([""] * len(ks), pa.string()),
+                         "odate": pa.array(
+                             g["sd"].to_numpy(np.int64) * -1),
+                         "kind": pa.array(np.zeros(len(ks), np.int8)),
+                         "cb": pa.array(_key_bucket(ks, 64))})
+
+    def exists_count(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        v = g["odate"].to_numpy()
+        # max shipdate per key from the lineitem rows (stored as -sd)
+        li = pd.DataFrame({"k": k[kind == 0], "sd": -v[kind == 0]})
+        maxsd = li.groupby("k", sort=False)["sd"].max()
+        od = pd.DataFrame({
+            "k": k[kind == 1], "odate": v[kind == 1],
+            "prio": np.asarray(g["prio"].to_pylist(),
+                               dtype=object)[kind == 1]})
+        od = od.join(maxsd, on="k")
+        hit = od[od["sd"].notna() & (od["sd"] > od["odate"])]
+        cnt = (hit.groupby("prio", sort=False).size()
+               .reset_index(name="n"))
+        return pa.table({
+            "o_orderpriority": pa.array(cnt["prio"], pa.string()),
+            "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .map_batches(order_side, batch_format="pyarrow")
+            .union(_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_shipdate"])
+                   .map_batches(late_side, batch_format="pyarrow"))
+            .groupby("cb")
+            .map_groups(exists_count, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n", alias_name="n_orders")))
+
+
 _Q3_CUTOFF = np.datetime64("1998-06-01")
 
 
@@ -691,6 +823,39 @@ def q_hash_sample(sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "pricing_summary": r"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS sum_disc_c4,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                      AS BIGINT))
+                        * (100 + CAST(floor(l_tax * 100.0 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS sum_charge_c6,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "order_priority_count": r"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
     "shipping_priority": r"""
         SELECT l_orderkey,
                CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
@@ -877,6 +1042,8 @@ QUERIES = {
     "result_paging": q_result_paging,
     "hash_join_revenue": q_hash_join_revenue,
     "shipping_priority": q_shipping_priority,
+    "pricing_summary": q_pricing_summary,
+    "order_priority_count": q_order_priority_count,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
     "windowed_counter": q_windowed_counter,
