@@ -487,6 +487,44 @@ _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
                   "clip_score_gate": 600, "caption_dup_filter": 600}
 
 
+_TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
+                   "order_priority_count"}
+
+
+def _build_sf1_tpch(out_dir: str = "/tmp/tpch_sf1_v1") -> str:
+    """Deterministic 10x customer/orders/lineitem replicas with
+    CONSISTENT key shifts (custkey + r*2^16, orderkey + r*2^20 across
+    both sides of each join), all other columns verbatim — every
+    replica's join/aggregate structure is exactly the sf0.1 structure,
+    so group counts stay fixed while scan+exchange volume goes 10x
+    (the O(n) yardstick for the reporting shapes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    C, O = 1 << 16, 1 << 20
+    shifts = {"c_custkey": C, "o_custkey": C,
+              "o_orderkey": O, "l_orderkey": O}
+    for t in ("customer", "orders", "lineitem"):
+        base = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
+        reps = []
+        for r in range(10):
+            cols = {}
+            for c in base.column_names:
+                if c in shifts:
+                    cols[c] = pa.array(base[c].to_numpy()
+                                       + r * shifts[c])
+                else:
+                    cols[c] = base[c]
+            reps.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(reps),
+                       os.path.join(out_dir, f"{t}.parquet"))
+    open(done, "w").write("ok")
+    return out_dir
+
+
 _ENV_SCALE_OPS = {"pagerank_urls": ("GRAFT_PR_NODES", 2000, "nodes"),
                   "html_text_extract": ("GRAFT_HTML_PAGES", 500, "pages"),
                   "web_curate": ("GRAFT_HTML_PAGES", 500, "pages")}
@@ -515,6 +553,9 @@ def op_scale(qname: str) -> None:
         legs = [(SF_DIR, {"GRAFT_IMG_ROWS": str(base)}, f"{base} images"),
                 (SF_DIR, {"GRAFT_IMG_ROWS": str(base * 10)},
                  f"{base * 10} images (10x)")]
+    elif qname in _TPCH_SCALE_OPS:
+        legs = [(SF_DIR, None, "sf0.1"),
+                (_build_sf1_tpch(), None, "sf1(10x)")]
     elif qname in _ENV_SCALE_OPS:
         var, base, unit = _ENV_SCALE_OPS[qname]
         legs = [(SF_DIR, {var: str(base)}, f"{base} {unit}"),
@@ -532,9 +573,11 @@ def op_scale(qname: str) -> None:
             "import json, time, ray\n"
             f"ray.init(address='local', num_cpus={NUM_CPUS}, "
             "include_dashboard=False, logging_level='ERROR')\n"
+            "from pyspider_ray import queries as q\n"
             "from pyspider_ray import training_queries as tq\n"
+            "QE = {**q.QUERIES, **tq.QUERIES}\n"
             "t0 = time.perf_counter()\n"
-            f"res = tq.QUERIES[{qname!r}]({sf!r})\n"
+            f"res = QE[{qname!r}]({sf!r})\n"
             "n = res.count() if hasattr(res, 'iter_batches') else len(res)\n"
             "print(json.dumps({'sec': round(time.perf_counter()-t0, 2), "
             "'rows': int(n)}))\n"

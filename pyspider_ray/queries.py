@@ -299,6 +299,15 @@ def q_pricing_summary(sf_dir):
 
     def partial(b: pa.Table) -> pa.Table:
         m = b["l_shipdate"].to_numpy() <= cutoff
+        mask = pa.array(m)
+        # dictionary-encode the two tiny string keys -> ONE int code
+        # per row (no per-row Python objects in the hot path)
+        rf = b["l_returnflag"].combine_chunks().dictionary_encode()
+        ls = b["l_linestatus"].combine_chunks().dictionary_encode()
+        rfc = rf.indices.to_numpy(zero_copy_only=False)[m]
+        lsc = ls.indices.to_numpy(zero_copy_only=False)[m]
+        nls = len(ls.dictionary)
+        code = rfc * nls + lsc
         qty = b["l_quantity"].to_numpy()[m]
         price = b["l_extendedprice"].to_numpy()[m]
         disc = b["l_discount"].to_numpy()[m]
@@ -306,19 +315,25 @@ def q_pricing_summary(sf_dir):
         cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
         d = np.floor(disc * 100.0 + 0.5).astype(np.int64)
         t = np.floor(tax * 100.0 + 0.5).astype(np.int64)
-        df = pd.DataFrame({
-            "l_returnflag": np.asarray(b["l_returnflag"].to_pylist(),
-                                       dtype=object)[m],
-            "l_linestatus": np.asarray(b["l_linestatus"].to_pylist(),
-                                       dtype=object)[m],
-            "sum_qty": np.floor(qty * 100.0 + 0.5).astype(np.int64),
-            "sum_base_c": cents,
-            "sum_disc_c4": cents * (100 - d),
-            "sum_charge_c6": cents * (100 - d) * (100 + t),
-            "n_rows": np.ones(m.sum(), dtype=np.int64)})
-        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-             .sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        u, inv = np.unique(code, return_inverse=True)
+        def fold(x):
+            out = np.zeros(len(u), dtype=np.int64)
+            np.add.at(out, inv, x)
+            return out
+        rfd = rf.dictionary.to_pylist()
+        lsd = ls.dictionary.to_pylist()
+        return pa.table({
+            "l_returnflag": pa.array([rfd[c // nls] for c in u],
+                                     pa.string()),
+            "l_linestatus": pa.array([lsd[c % nls] for c in u],
+                                     pa.string()),
+            "sum_qty": pa.array(fold(np.floor(qty * 100.0 + 0.5)
+                                     .astype(np.int64))),
+            "sum_base_c": pa.array(fold(cents)),
+            "sum_disc_c4": pa.array(fold(cents * (100 - d))),
+            "sum_charge_c6": pa.array(fold(cents * (100 - d)
+                                           * (100 + t))),
+            "n_rows": pa.array(fold(np.ones(len(code), np.int64)))})
 
     return (_read(sf_dir, "lineitem",
                   ["l_returnflag", "l_linestatus", "l_quantity",
@@ -339,13 +354,13 @@ def q_order_priority_count(sf_dir):
     here — the tables carry no commit/receipt dates), counted per
     o_orderpriority.
 
-    Scale shape: the co-partitioned membership exchange (the
-    `semi_join` machinery's pattern) with per-batch DISTINCT on the
-    EXISTS side, then a priorities-bounded groupby — both fact scans
-    prune to 2-3 columns at the read."""
+    Scale shape: the co-partitioned membership exchange with
+    per-batch max-shipdate combining on the EXISTS side, hash-routed
+    by `partition_apply` (no sort shuffle), then a priorities-bounded
+    groupby — both fact scans prune to 2-3 columns at the read."""
     from ray.data.aggregate import Sum
 
-    from .neardup import _key_bucket
+    from .neardup import partition_apply
 
     lo = np.datetime64("1996-01-01")
     hi = np.datetime64("1999-01-01")
@@ -360,8 +375,7 @@ def q_order_priority_count(sf_dir):
         return pa.table({"k": pa.array(k),
                          "prio": pa.array(list(pr), pa.string()),
                          "odate": pa.array(dd),
-                         "kind": pa.array(np.ones(len(k), np.int8)),
-                         "cb": pa.array(_key_bucket(k, 64))})
+                         "kind": pa.array(np.ones(len(k), np.int8))})
 
     def late_side(b: pa.Table) -> pa.Table:
         k = b["l_orderkey"].to_numpy().astype(np.int64)
@@ -377,8 +391,7 @@ def q_order_priority_count(sf_dir):
                          "prio": pa.array([""] * len(ks), pa.string()),
                          "odate": pa.array(
                              g["sd"].to_numpy(np.int64) * -1),
-                         "kind": pa.array(np.zeros(len(ks), np.int8)),
-                         "cb": pa.array(_key_bucket(ks, 64))})
+                         "kind": pa.array(np.zeros(len(ks), np.int8))})
 
     def exists_count(g: pa.Table) -> pa.Table:
         import pandas as pd
@@ -400,14 +413,16 @@ def q_order_priority_count(sf_dir):
             "o_orderpriority": pa.array(cnt["prio"], pa.string()),
             "n": pa.array(cnt["n"].to_numpy(np.int64))})
 
-    return (_read(sf_dir, "orders",
-                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
-            .map_batches(order_side, batch_format="pyarrow")
-            .union(_read(sf_dir, "lineitem",
-                         ["l_orderkey", "l_shipdate"])
-                   .map_batches(late_side, batch_format="pyarrow"))
-            .groupby("cb")
-            .map_groups(exists_count, batch_format="pyarrow")
+    tagged = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(order_side, batch_format="pyarrow")
+              .union(_read(sf_dir, "lineitem",
+                           ["l_orderkey", "l_shipdate"])
+                     .map_batches(late_side, batch_format="pyarrow")))
+    cnt_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n", pa.int64())])
+    return (partition_apply(tagged, "k", exists_count, cnt_schema,
+                            n_buckets=64)
             .groupby("o_orderpriority")
             .aggregate(Sum("n", alias_name="n_orders")))
 
@@ -423,14 +438,17 @@ def q_shipping_priority(sf_dir):
     floor(price·100 + 0.5)·(100 − floor(disc·100 + 0.5)) — the SAME
     IEEE expression on both engines, so no float-sum drift.
 
-    Scale shape: two co-partitioned hash exchanges, no broadcast —
-    (1) BUILDING custkeys (distinct per batch) + date-pruned orders
-    co-bucket on custkey, hits emit orderkeys; (2) lineitem revenue
-    partials (PER-BATCH combiner: each batch pre-sums per orderkey)
-    + surviving orderkeys co-bucket on orderkey, hits fold partials.
+    Scale shape: two co-partitioned hash exchanges, no broadcast and
+    NO SORT SHUFFLE (both ride `neardup.partition_apply` — the tagged
+    union hash-routes by the join key; each reduce resolves its whole
+    partition with one vectorized isin/groupby) — (1) BUILDING
+    custkeys (distinct per batch) + date-pruned orders co-partition
+    on custkey, hits emit orderkeys; (2) lineitem revenue partials
+    (PER-BATCH combiner: each batch pre-sums per orderkey) +
+    surviving orderkeys co-partition on orderkey, hits fold partials.
     The final sort ranks the already-aggregated order-level table and
     the limit cuts at 10."""
-    from .neardup import _key_bucket
+    from .neardup import partition_apply
 
     def cust_keys(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -438,8 +456,7 @@ def q_shipping_priority(sf_dir):
         k = np.unique(b.filter(m)["c_custkey"].to_numpy())
         return pa.table({"k": pa.array(k.astype(np.int64)),
                          "v": pa.array(np.full(len(k), -1, np.int64)),
-                         "kind": pa.array(np.zeros(len(k), np.int8)),
-                         "cb": pa.array(_key_bucket(k, 64))})
+                         "kind": pa.array(np.zeros(len(k), np.int8))})
 
     def order_rows(b: pa.Table) -> pa.Table:
         d = b["o_orderdate"].to_numpy()
@@ -447,8 +464,7 @@ def q_shipping_priority(sf_dir):
         k = b["o_custkey"].to_numpy()[m].astype(np.int64)
         v = b["o_orderkey"].to_numpy()[m].astype(np.int64)
         return pa.table({"k": pa.array(k), "v": pa.array(v),
-                         "kind": pa.array(np.ones(len(k), np.int8)),
-                         "cb": pa.array(_key_bucket(k, 64))})
+                         "kind": pa.array(np.ones(len(k), np.int8))})
 
     def hit_orders(g: pa.Table) -> pa.Table:
         kind = g["kind"].to_numpy()
@@ -458,22 +474,21 @@ def q_shipping_priority(sf_dir):
         return pa.table({"okey": pa.array(
             g["v"].to_numpy()[probe][hit].astype(np.int64))})
 
-    orders_kept = (_read(sf_dir, "customer",
-                         ["c_custkey", "c_mktsegment"])
-                   .map_batches(cust_keys, batch_format="pyarrow")
-                   .union(_read(sf_dir, "orders",
-                                ["o_custkey", "o_orderkey", "o_orderdate"])
-                          .map_batches(order_rows,
-                                       batch_format="pyarrow"))
-                   .groupby("cb")
-                   .map_groups(hit_orders, batch_format="pyarrow"))
+    tagged1 = (_read(sf_dir, "customer",
+                     ["c_custkey", "c_mktsegment"])
+               .map_batches(cust_keys, batch_format="pyarrow")
+               .union(_read(sf_dir, "orders",
+                            ["o_custkey", "o_orderkey", "o_orderdate"])
+                      .map_batches(order_rows, batch_format="pyarrow")))
+    orders_kept = partition_apply(
+        tagged1, "k", hit_orders,
+        pa.schema([("okey", pa.int64())]), n_buckets=64)
 
     def okey_side(b: pa.Table) -> pa.Table:
         k = np.unique(b["okey"].to_numpy())
         return pa.table({"k": pa.array(k.astype(np.int64)),
                          "rev": pa.array(np.zeros(len(k), np.int64)),
-                         "kind": pa.array(np.zeros(len(k), np.int8)),
-                         "cb": pa.array(_key_bucket(k, 64))})
+                         "kind": pa.array(np.zeros(len(k), np.int8))})
 
     def rev_partials(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -489,8 +504,7 @@ def q_shipping_priority(sf_dir):
         ks = g["k"].to_numpy(np.int64)
         return pa.table({"k": pa.array(ks),
                          "rev": pa.array(g["rev"].to_numpy(np.int64)),
-                         "kind": pa.array(np.ones(len(ks), np.int8)),
-                         "cb": pa.array(_key_bucket(ks, 64))})
+                         "kind": pa.array(np.ones(len(ks), np.int8))})
 
     def fold(g: pa.Table) -> pa.Table:
         import pandas as pd
@@ -504,13 +518,14 @@ def q_shipping_priority(sf_dir):
             "l_orderkey": pa.array(out["k"].to_numpy(np.int64)),
             "revenue_c4": pa.array(out["rev"].to_numpy(np.int64))})
 
-    return (orders_kept.map_batches(okey_side, batch_format="pyarrow")
-            .union(_read(sf_dir, "lineitem",
-                         ["l_orderkey", "l_extendedprice", "l_discount",
-                          "l_shipdate"])
-                   .map_batches(rev_partials, batch_format="pyarrow"))
-            .groupby("cb")
-            .map_groups(fold, batch_format="pyarrow")
+    tagged2 = (orders_kept.map_batches(okey_side, batch_format="pyarrow")
+               .union(_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+                      .map_batches(rev_partials, batch_format="pyarrow")))
+    rev_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue_c4", pa.int64())])
+    return (partition_apply(tagged2, "k", fold, rev_schema, n_buckets=64)
             .sort(["revenue_c4", "l_orderkey"], descending=[True, False])
             .limit(10))
 
