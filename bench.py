@@ -488,7 +488,7 @@ _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
 
 
 _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
-                   "order_priority_count"}
+                   "order_priority_count", "local_supplier_volume"}
 
 
 def _build_sf1_tpch(out_dir: str = "/tmp/tpch_sf1_v1") -> str:
@@ -521,6 +521,11 @@ def _build_sf1_tpch(out_dir: str = "/tmp/tpch_sf1_v1") -> str:
             reps.append(pa.table(cols))
         pq.write_table(pa.concat_tables(reps),
                        os.path.join(out_dir, f"{t}.parquet"))
+    # dims ride verbatim (suppkey/nationkey are unshifted on the fact
+    # side too, so every replica joins the same dimension rows)
+    for t in ("supplier", "nation", "region"):
+        shutil.copy(f"/root/testdata/sf0.1/{t}.parquet",
+                    os.path.join(out_dir, f"{t}.parquet"))
     open(done, "w").write("ok")
     return out_dir
 

@@ -427,6 +427,146 @@ def q_order_priority_count(sf_dir):
             .aggregate(Sum("n", alias_name="n_orders")))
 
 
+def q_local_supplier_volume(sf_dir):
+    """TPC-H Q5 shape — the 6-table join: ASIA-region revenue per
+    nation where the supplying nation equals the customer nation, for
+    orders in [1996-01-01, 1998-01-01).  Revenue integer-exact (the
+    shared IEEE floor(x·100+0.5) convention).
+
+    Scale shape: the dimension tables (region ⋈ nation → ≤25 ASIA
+    nationkeys; supplier → suppkey→nationkey, thousands of entries)
+    are BROADCAST — resolved once on the driver and carried in the
+    map closures (at 100 TB supplier remains MBs; the facts are the
+    100 TB).  The facts co-partition through two sort-free
+    `partition_apply` exchanges: (1) ASIA customers + windowed orders
+    on custkey → (orderkey, customer nation); (2) those + lineitem
+    (supplier nation resolved AT THE SCAN via the broadcast map, then
+    per-batch pre-summed per (orderkey, nation)) on orderkey → the
+    same-nation filter and a nations-bounded rollup."""
+    from ray.data.aggregate import Sum
+
+    from .neardup import partition_apply
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    # --- broadcast dims (driver-resolved, tiny) ---
+    import pyarrow.parquet as pq
+    ntab = pq.read_table(f"{sf_dir}/nation.parquet")
+    rtab = pq.read_table(f"{sf_dir}/region.parquet")
+    stab = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    asia_rk = {r["r_regionkey"] for r in rtab.to_pylist()
+               if r["r_name"] == "ASIA"}
+    n_name = {r["n_nationkey"]: r["n_name"] for r in ntab.to_pylist()}
+    asia_nk = np.array(sorted(
+        r["n_nationkey"] for r in ntab.to_pylist()
+        if r["n_regionkey"] in asia_rk), dtype=np.int64)
+    sk = stab["s_suppkey"].to_numpy()
+    snat_arr = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    snat_arr[sk] = stab["s_nationkey"].to_numpy()
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, asia_nk)
+        k = b["c_custkey"].to_numpy()[m].astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "v": pa.array(nk[m]),
+                         "kind": pa.array(np.zeros(len(k), np.int8))})
+
+    def order_side(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy()
+        m = (d >= lo) & (d < hi)
+        k = b["o_custkey"].to_numpy()[m].astype(np.int64)
+        v = b["o_orderkey"].to_numpy()[m].astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(v),
+                         "kind": pa.array(np.ones(len(k), np.int8))})
+
+    def resolve_orders(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        cust = pd.DataFrame({"k": g["k"].to_numpy()[kind == 0],
+                             "cnat": g["v"].to_numpy()[kind == 0]})
+        orders = pd.DataFrame({"k": g["k"].to_numpy()[kind == 1],
+                               "okey": g["v"].to_numpy()[kind == 1]})
+        j = orders.merge(cust, on="k")
+        return pa.table({"okey": pa.array(j["okey"].to_numpy(np.int64)),
+                         "cnat": pa.array(j["cnat"].to_numpy(np.int64))})
+
+    tagged1 = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+               .map_batches(cust_side, batch_format="pyarrow")
+               .union(_read(sf_dir, "orders",
+                            ["o_custkey", "o_orderkey", "o_orderdate"])
+                      .map_batches(order_side, batch_format="pyarrow")))
+    okeys = partition_apply(
+        tagged1, "k", resolve_orders,
+        pa.schema([("okey", pa.int64()), ("cnat", pa.int64())]),
+        n_buckets=64)
+
+    def okey_tag(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b["okey"],
+                         "nat": b["cnat"],
+                         "rev": pa.array(np.zeros(len(b), np.int64)),
+                         "kind": pa.array(np.zeros(len(b), np.int8))})
+
+    def line_side(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        sup = b["l_suppkey"].to_numpy().astype(np.int64)
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        d = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        snat = snat_arr[sup]                       # broadcast lookup
+        g = (pd.DataFrame({"k": k, "nat": snat,
+                           "rev": cents * (100 - d)})
+             .groupby(["k", "nat"], sort=False)["rev"].sum()
+             .reset_index())
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64)),
+            "nat": pa.array(g["nat"].to_numpy(np.int64)),
+            "rev": pa.array(g["rev"].to_numpy(np.int64)),
+            "kind": pa.array(np.ones(len(g), np.int8))})
+
+    def same_nation_rollup(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        od = pd.DataFrame({"k": g["k"].to_numpy()[kind == 0],
+                           "cnat": g["nat"].to_numpy()[kind == 0]})
+        li = pd.DataFrame({"k": g["k"].to_numpy()[kind == 1],
+                           "snat": g["nat"].to_numpy()[kind == 1],
+                           "rev": g["rev"].to_numpy()[kind == 1]})
+        j = li.merge(od, on="k")
+        j = j[j["snat"] == j["cnat"]]
+        out = j.groupby("snat", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "nat": pa.array(out["snat"].to_numpy(np.int64)),
+            "rev": pa.array(out["rev"].to_numpy(np.int64))})
+
+    tagged2 = (okeys.map_batches(okey_tag, batch_format="pyarrow")
+               .union(_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+                      .map_batches(line_side, batch_format="pyarrow")))
+    partials = partition_apply(
+        tagged2, "k", same_nation_rollup,
+        pa.schema([("nat", pa.int64()), ("rev", pa.int64())]),
+        n_buckets=64)
+
+    def name_map(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": pa.array([n_name[int(x)]
+                                for x in b["nat"].to_pylist()],
+                               pa.string()),
+            "rev": b["rev"]})
+
+    return (partials.groupby("nat").aggregate(Sum("rev",
+                                                  alias_name="rev"))
+            .map_batches(name_map, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev", alias_name="revenue_c4")))
+
+
 _Q3_CUTOFF = np.datetime64("1998-06-01")
 
 
@@ -838,6 +978,22 @@ def q_hash_sample(sf_dir):
 
 
 ORACLES: dict[str, str] = {
+    "local_supplier_volume": r"""
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS revenue_c4
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
     "pricing_summary": r"""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
@@ -1057,6 +1213,7 @@ QUERIES = {
     "result_paging": q_result_paging,
     "hash_join_revenue": q_hash_join_revenue,
     "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
     "anti_join": q_anti_join,
