@@ -171,6 +171,23 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
     todo = [p for p in range(n_parts)
             if not (resume and _part_done(out_dir, p))]
     skipped = n_parts - len(todo)
+    # test-only fault injection: publish the first N partitions, then
+    # die exactly as a driver crash between scheduling waves would —
+    # the kill-resume drill (tests/test_wds_write.py) uses this to
+    # exercise the REAL subprocess resume path deterministically
+    fail_after = int(os.environ.get("GRAFT_WDS_FAIL_AFTER", "0"))
+    if fail_after and fail_after < len(todo):
+        offsets = bucket_offsets(sf_dir)
+        full = (_read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+                .map_batches(_keyed, batch_format="pyarrow"))
+        groups = _grouped_block_refs(full)
+        splits = [_split_by_part.options(num_returns=n_parts)
+                  .remote(n_parts, *g) for g in groups]
+        ray.get([_write_part.remote(p, out_dir, offsets,
+                                    *(s[p] for s in splits))
+                 for p in todo[:fail_after]])
+        raise RuntimeError(f"injected crash after {fail_after} "
+                           "partitions (GRAFT_WDS_FAIL_AFTER)")
     stats = []
     if todo:
         offsets = bucket_offsets(sf_dir)
@@ -187,3 +204,28 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
             "written_parts": len(todo), "skipped_parts": skipped,
             "rows_written": rows_written,
             "sec": round(time.perf_counter() - t0, 3)}
+
+
+def _main() -> int:
+    import argparse
+    import ray
+
+    ap = argparse.ArgumentParser(description="resumable shard packer")
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--n-parts", type=int, default=16)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
+    m = run(args.sf_dir, args.out_dir, n_parts=args.n_parts,
+            resume=args.resume)
+    print(json.dumps(m))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

@@ -115,3 +115,49 @@ class TestWdsWrite:
             "n_parts"] == 8
         parts, _ = _read_back(out)
         assert len(parts) == 8
+
+
+class TestWdsWriteKillResume:
+    def test_subprocess_crash_then_resume(self, corpus, tmp_path):
+        """REAL-process drill: a run that dies after publishing 3 of 8
+        partitions (injected driver crash between scheduling waves)
+        must leave a resumable directory; `--resume` in a fresh
+        process completes it to exactly the clean-run output."""
+        import json
+        import os as _os
+        import subprocess
+        import sys
+
+        src, _rows = corpus
+        out_crash = str(tmp_path / "crash")
+        out_clean = str(tmp_path / "clean")
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(
+            __file__)))
+        env = dict(_os.environ, RAY_GRAFT_CPUS="4")
+        env.pop("RAY_ADDRESS", None)
+
+        def pack(out, resume=False, fail_after=None):
+            e = dict(env)
+            if fail_after:
+                e["GRAFT_WDS_FAIL_AFTER"] = str(fail_after)
+            cmd = [sys.executable, "-m",
+                   "pyspider_ray.pipelines.wds_write", src, out,
+                   "--n-parts", "8"] + (["--resume"] if resume else [])
+            return subprocess.run(cmd, cwd=repo, env=e,
+                                  capture_output=True, text=True)
+
+        r = pack(out_crash, fail_after=3)
+        assert r.returncode != 0 and "injected crash" in r.stderr
+        published = [d for d in _os.listdir(out_crash)
+                     if d.startswith("part=")]
+        assert len(published) == 3          # exactly the first wave
+        r2 = pack(out_crash, resume=True)
+        assert r2.returncode == 0, r2.stderr
+        m = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert m["skipped_parts"] == 3 and m["written_parts"] == 5
+        r3 = pack(out_clean)
+        assert r3.returncode == 0, r3.stderr
+        a, b = _read_back(out_crash), _read_back(out_clean)
+        assert a[0] == b[0]
+        assert [t.to_pydict() for t in a[1]] == \
+               [t.to_pydict() for t in b[1]]
