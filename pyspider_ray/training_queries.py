@@ -6061,6 +6061,59 @@ def q_web_curate(sf_dir):
     return partition_apply(ds, "h", collapse, schema)
 
 
+def q_neardup_store_refresh(sf_dir):
+    """The PERSISTED near-dup artifact end to end
+    (pipelines/neardup_store): build the MinHash/LSH band index +
+    word-blob artifact from the HISTORY split (doc_id %% 5 != 0), then
+    refresh the NEW split (doc_id %% 5 == 0) against it — history
+    text is never re-read; only the compact index rows re-flow.
+    Returns every (new_doc, hist_doc) pair with exact word-set
+    Jaccard >= 0.9, which the oracle reproduces from scratch in SQL —
+    the artifact path must equal the stateless recompute
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from .pipelines import neardup_store
+
+    art = tempfile.mkdtemp(prefix="pyspider_ray_nd_art_") + "/a"
+    try:
+        def hist(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 5 != 0))
+
+        def new(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(b["doc_id"].to_numpy() % 5 == 0))
+
+        neardup_store.build(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(hist, batch_format="pyarrow"), art)
+        out = neardup_store.refresh(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(new, batch_format="pyarrow"), art)
+        return out.materialize()
+    finally:
+        shutil.rmtree(os.path.dirname(art), ignore_errors=True)
+
+
+ORACLES["neardup_store_refresh"] = r"""
+    WITH w AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM w a JOIN w b ON a.word = b.word
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+        GROUP BY 1, 2)
+    SELECT da AS new_doc, db AS hist_doc
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE i * 10 >= 9 * (sa.sz + sb.sz - i)
+"""
+
+
 _PR_NODES = 2000          # synthetic web graph size (crawl id space)
 _PR_ITERS = 5
 _PR_SCALE = 10 ** 12      # fixed-point rank unit
@@ -6573,4 +6626,5 @@ QUERIES = {
     "wds_shard_stats": q_wds_shard_stats,
     "html_text_extract": q_html_text_extract,
     "web_curate": q_web_curate,
+    "neardup_store_refresh": q_neardup_store_refresh,
 }

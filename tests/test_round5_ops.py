@@ -633,3 +633,58 @@ class TestWebCurate:
         for i in collapsed:
             assert got[i]["keep"] == 0 and got[i]["kept_as"] == i - 7
         assert sum(r["keep"] for r in got.values()) > 40
+
+
+class TestNeardupStore:
+    def test_refresh_without_history_text(self, ray_session, tmp_path):
+        """Build the artifact from history, then DELETE the history
+        parquet — refresh must still produce the exact new-vs-history
+        jaccard>=0.9 pairs (pure-Python mirror), proving the refresh
+        path touches only the artifact, never history text."""
+        import os as _os
+
+        import ray.data as rd
+
+        from pyspider_ray.pipelines import neardup_store
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        hist_rows = [
+            (1, base),                                # near-dup target
+            (2, base + " lambda"),                    # j=10/11 >= 0.9
+            (3, "completely different words here now severally"),
+            (4, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        ]
+        new_rows = [
+            (100, base),                              # exact dup of 1
+            (101, base + " mu"),                      # j(1)=10/11 ✓
+            (102, "nothing shared with anyone at all whatsoever"),
+            (103, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),   # j(4)=10/11
+        ]
+        src = tmp_path / "hist"
+        src.mkdir()
+        _write_docs(src, hist_rows)
+        art = str(tmp_path / "art")
+        hist_ds = rd.read_parquet(str(src / "documents.parquet"),
+                                  columns=["doc_id", "text"])
+        m = neardup_store.build(hist_ds, art)
+        assert m["n_docs"] == len(hist_rows)
+        _os.remove(src / "documents.parquet")     # history text GONE
+
+        import pyarrow as pa
+        new_t = pa.table({
+            "doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+            "text": pa.array([r[1] for r in new_rows], pa.string())})
+        got = {(r["new_doc"], r["hist_doc"]) for r in
+               neardup_store.refresh(rd.from_arrow(new_t),
+                                     art).take_all()}
+        # independent mirror
+        exp = set()
+        for ni, nt in new_rows:
+            a = set(nt.split())
+            for hi, ht in hist_rows:
+                b = set(ht.split())
+                i = len(a & b)
+                if i * 10 >= 9 * len(a | b):
+                    exp.add((ni, hi))
+        assert got == exp
+        assert (100, 1) in got and (101, 1) in got and (103, 4) in got
+        assert not any(n == 102 for n, _ in got)
