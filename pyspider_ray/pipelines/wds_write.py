@@ -154,8 +154,12 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
     not masquerade as this run's output)."""
     t0 = time.perf_counter()
     plan_path = os.path.join(out_dir, "_PLAN.json")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     plan = {"sf_dir": sf_dir, "n_parts": n_parts,
-            "shard_chars": SHARD_CHARS}
+            "shard_chars": SHARD_CHARS,
+            # input lineage: a resumed run against a CHANGED input
+            # must rebuild — stale partitions would silently mix plans
+            "input": [int(st.st_size), int(st.st_mtime_ns)]}
     if resume and os.path.exists(plan_path):
         with open(plan_path) as f:
             if json.load(f) != plan:

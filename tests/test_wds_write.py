@@ -161,3 +161,22 @@ class TestWdsWriteKillResume:
         assert a[0] == b[0]
         assert [t.to_pydict() for t in a[1]] == \
                [t.to_pydict() for t in b[1]]
+
+
+class TestWdsWriteInputLineage:
+    def test_changed_input_forces_rebuild(self, ray_session, corpus,
+                                          tmp_path):
+        """Resume against a CHANGED documents.parquet must rebuild all
+        partitions (the plan pins the input's size+mtime lineage)."""
+        from pyspider_ray.pipelines import wds_write
+        src, rows = corpus
+        out = str(tmp_path / "out")
+        wds_write.run(src, out, n_parts=8)
+        # rewrite the input with one extra doc -> new size/mtime
+        _write_docs(src, rows + [(999, "z" * 123)])
+        m = wds_write.run(src, out, n_parts=8, resume=True)
+        assert m["written_parts"] == 8 and m["skipped_parts"] == 0
+        assert m["rows_written"] == len(rows) + 1
+        # unchanged input still resumes
+        m2 = wds_write.run(src, out, n_parts=8, resume=True)
+        assert m2["skipped_parts"] == 8 and m2["written_parts"] == 0
