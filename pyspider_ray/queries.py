@@ -977,6 +977,421 @@ def q_hash_sample(sf_dir):
             .map_batches(flt, batch_format="pyarrow"))
 
 
+# ---------------------------------------------------------------------------
+# event-sequence + reporting-join shapes (SURVEY §2.4, §2.5, §2.9)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+_FUNNEL_WINDOW_US = 86_400 * 1_000_000        # each step within 1 day
+
+
+def q_funnel_stages(sf_dir):
+    """Ordered event-sequence funnel — the conversion report every
+    event pipeline runs: how many users did signup → view → click →
+    purchase IN ORDER, each step strictly after the previous one and
+    within a 1-day window.  Greedy-earliest matching (stage k+1 is the
+    FIRST qualifying event after stage k's reach time) makes the
+    result deterministic and engine-independent; timestamps compare
+    as exact epoch-microsecond int64.
+
+    Scale shape: the scan prunes to the 4 funnel types and 3 tiny
+    columns, ONE user-hash exchange co-locates each user's events
+    (`partition_apply`, sort-free), and each partition resolves ALL
+    its users' funnels with 3 vectorized `merge_asof` passes (C
+    loops, no per-user Python) — per-partition stage counts then ride
+    a 4-row-per-partition final aggregate.  No global sort, no
+    driver-side event materialization; per-user state is bounded by
+    that user's funnel-type events."""
+    from ray.data.aggregate import Sum
+
+    from .neardup import partition_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        code = pc.index_in(b["event_type"],
+                           pa.array(_FUNNEL, pa.string()))
+        m = pc.is_valid(code)
+        t = b["ts"].cast(pa.int64())
+        return pa.table({
+            "user_id": pc.filter(b["user_id"], m).cast(pa.int64()),
+            "code": pc.filter(code, m).cast(pa.int64()),
+            "t": pc.filter(t, m)})
+
+    def fold(part: pa.Table) -> pa.Table:
+        import pandas as pd
+        user = part["user_id"].to_numpy()
+        code = part["code"].to_numpy()
+        t = part["t"].to_numpy()
+        cur = (pd.DataFrame({"user_id": user[code == 0],
+                             "t": t[code == 0]})
+               .groupby("user_id", as_index=False)["t"].min())
+        counts = [len(cur)]
+        for k in range(1, len(_FUNNEL)):
+            ek = (pd.DataFrame({"user_id": user[code == k],
+                                "t": t[code == k],
+                                "t_next": t[code == k]})
+                  .sort_values("t", kind="stable"))
+            cur = cur.sort_values("t", kind="stable")
+            hit = pd.merge_asof(cur, ek, on="t", by="user_id",
+                                direction="forward",
+                                allow_exact_matches=False,
+                                tolerance=_FUNNEL_WINDOW_US)
+            cur = (hit[hit["t_next"].notna()]
+                   .assign(t=lambda d: d["t_next"].astype("int64"))
+                   [["user_id", "t"]])
+            counts.append(len(cur))
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(_FUNNEL) + 1,
+                                        dtype=np.int64)),
+            "event_type": pa.array(list(_FUNNEL), pa.string()),
+            "n_users": pa.array(np.asarray(counts, dtype=np.int64))})
+
+    schema = pa.schema([("stage", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("n_users", pa.int64())])
+    partials = partition_apply(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", fold, schema, n_buckets=32)
+    return (partials.groupby(["stage", "event_type"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+_Q10_LO = np.datetime64("1996-01-01")
+_Q10_HI = np.datetime64("1996-04-01")
+
+
+def q_returned_item_report(sf_dir):
+    """TPC-H Q10 shape — returned-item reporting: per customer the
+    lost revenue from 'R'-flagged lineitems on Q1-1996 orders, top 20
+    by (revenue DESC, custkey), with the customer's nation attached.
+    Revenue integer-exact (the shared floor(x·100+0.5) convention).
+
+    Scale shape: two sort-free co-partitioned exchanges
+    (`partition_apply`): (1) window-pruned orders + PER-BATCH-combined
+    'R' revenue partials on orderkey → (custkey, rev) pairs pre-summed
+    per partition; (2) those + customer rows on custkey → one
+    joined row per scoring customer, nation resolved from a ≤25-entry
+    broadcast map in the closure.  The final rank sorts an
+    already-customer-level table and cuts at 20."""
+    import pyarrow.parquet as pq
+
+    from .neardup import partition_apply
+
+    ntab = pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(ntab["n_nationkey"].to_pylist(),
+                      ntab["n_name"].to_pylist()))
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].to_numpy()
+        m = (d >= _Q10_LO) & (d < _Q10_HI)
+        k = b["o_orderkey"].to_numpy()[m].astype(np.int64)
+        c = b["o_custkey"].to_numpy()[m].astype(np.int64)
+        return pa.table({"k": pa.array(k), "v": pa.array(c),
+                         "kind": pa.array(np.zeros(len(k), np.int8))})
+
+    def rev_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        m = (pc.equal(b["l_returnflag"], "R")).to_numpy(
+            zero_copy_only=False)
+        k = b["l_orderkey"].to_numpy()[m].astype(np.int64)
+        price = b["l_extendedprice"].to_numpy()[m]
+        disc = b["l_discount"].to_numpy()[m]
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)))
+        g = (pd.DataFrame({"k": k, "rev": rev})
+             .groupby("k", sort=False)["rev"].sum().reset_index())
+        ks = g["k"].to_numpy(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "v": pa.array(g["rev"].to_numpy(np.int64)),
+                         "kind": pa.array(np.ones(len(ks), np.int8))})
+
+    def join_orders(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        v = g["v"].to_numpy()
+        cust = pd.Series(v[kind == 0], index=k[kind == 0])
+        df = pd.DataFrame({"k": k[kind == 1], "rev": v[kind == 1]})
+        df["cust"] = cust.reindex(df["k"].to_numpy()).to_numpy()
+        df = df[df["cust"].notna()]
+        out = (df.assign(cust=df["cust"].astype("int64"))
+               .groupby("cust", sort=False)["rev"].sum().reset_index())
+        return pa.table({
+            "k": pa.array(out["cust"].to_numpy(np.int64)),
+            "v": pa.array(out["rev"].to_numpy(np.int64)),
+            "name": pa.array([""] * len(out), pa.string()),
+            "nk": pa.array(np.full(len(out), -1, np.int64)),
+            "kind": pa.array(np.ones(len(out), np.int8))})
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy()
+        return pa.table({
+            "k": b["c_custkey"].cast(pa.int64()),
+            "v": pa.array(np.floor(bal * 100.0 + 0.5).astype(np.int64)),
+            "name": b["c_name"].cast(pa.string()),
+            "nk": b["c_nationkey"].cast(pa.int64()),
+            "kind": pa.array(np.zeros(len(bal), np.int8))})
+
+    def join_cust(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        v = g["v"].to_numpy()
+        cust = pd.DataFrame({
+            "bal": v[kind == 0],
+            "name": np.asarray(g["name"].to_pylist(),
+                               dtype=object)[kind == 0],
+            "nk": g["nk"].to_numpy()[kind == 0]},
+            index=k[kind == 0])
+        df = pd.DataFrame({"k": k[kind == 1], "rev": v[kind == 1]})
+        df = (df.groupby("k", sort=False)["rev"].sum().reset_index()
+              .join(cust, on="k"))
+        df = df[df["name"].notna()]
+        return pa.table({
+            "c_custkey": pa.array(df["k"].to_numpy(np.int64)),
+            "c_name": pa.array(list(df["name"]), pa.string()),
+            "revenue_c4": pa.array(df["rev"].to_numpy(np.int64)),
+            "c_acctbal_c": pa.array(df["bal"].to_numpy(np.int64)),
+            "n_name": pa.array(
+                [n_name.get(int(x), "") for x in df["nk"]],
+                pa.string())})
+
+    tagged1 = (_read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"])
+               .map_batches(order_rows, batch_format="pyarrow")
+               .union(_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+                      .map_batches(rev_partials,
+                                   batch_format="pyarrow")))
+    mid_schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                            ("name", pa.string()), ("nk", pa.int64()),
+                            ("kind", pa.int8())])
+    by_cust = partition_apply(tagged1, "k", join_orders, mid_schema,
+                              n_buckets=64)
+    tagged2 = by_cust.union(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(cust_rows, batch_format="pyarrow"))
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("revenue_c4", pa.int64()), ("c_acctbal_c", pa.int64()),
+        ("n_name", pa.string())])
+    return (partition_apply(tagged2, "k", join_cust, out_schema,
+                            n_buckets=64)
+            .sort(["revenue_c4", "c_custkey"], descending=[True, False])
+            .limit(20))
+
+
+_Q14_LO = np.datetime64("1996-03-01")
+_Q14_HI = np.datetime64("1996-04-01")
+
+
+def q_promo_revenue_share(sf_dir):
+    """TPC-H Q14 shape — promo revenue share: of all March-1996
+    lineitem revenue, the integer ppm that came from PROMO-type parts.
+    Emitting (promo_c4, total_c4, share_ppm) keeps every column an
+    exact int64; the share divides the exact sums once at the end
+    with Python arbitrary-precision ints (no float drift, no int64
+    overflow at any scale).
+
+    Scale shape: ONE sort-free co-partitioned exchange on partkey —
+    lineitem pre-sums revenue per partkey inside each batch (the
+    combiner bounds exchange volume by distinct parts touched, not
+    rows), part contributes (partkey, is_promo) — each partition
+    folds to a single 2-int row, and the driver adds up one tiny row
+    per partition.  part is NOT broadcast: it scales with SF, so it
+    rides the same hash exchange as the facts."""
+    from .neardup import partition_apply
+
+    def li_side(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = b["l_shipdate"].to_numpy()
+        m = (d >= _Q14_LO) & (d < _Q14_HI)
+        k = b["l_partkey"].to_numpy()[m].astype(np.int64)
+        price = b["l_extendedprice"].to_numpy()[m]
+        disc = b["l_discount"].to_numpy()[m]
+        rev = (np.floor(price * 100.0 + 0.5).astype(np.int64)
+               * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)))
+        g = (pd.DataFrame({"k": k, "rev": rev})
+             .groupby("k", sort=False)["rev"].sum().reset_index())
+        ks = g["k"].to_numpy(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "v": pa.array(g["rev"].to_numpy(np.int64)),
+                         "kind": pa.array(np.ones(len(ks), np.int8))})
+
+    def part_side(b: pa.Table) -> pa.Table:
+        promo = (pc.equal(b["p_type"], "PROMO")
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": b["p_partkey"].cast(pa.int64()),
+                         "v": pa.array(promo),
+                         "kind": pa.array(np.zeros(len(promo),
+                                                   np.int8))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        v = g["v"].to_numpy()
+        promo = pd.Series(v[kind == 0], index=k[kind == 0])
+        rev = v[kind == 1]
+        isp = promo.reindex(k[kind == 1]).fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "promo_c4": pa.array([int((rev * isp).sum())], pa.int64()),
+            "total_c4": pa.array([int(rev.sum())], pa.int64())})
+
+    tagged = (_read(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+              .map_batches(li_side, batch_format="pyarrow")
+              .union(_read(sf_dir, "part", ["p_partkey", "p_type"])
+                     .map_batches(part_side, batch_format="pyarrow")))
+    schema = pa.schema([("promo_c4", pa.int64()),
+                        ("total_c4", pa.int64())])
+    parts = partition_apply(tagged, "k", fold, schema,
+                            n_buckets=64).take_all()
+    promo = sum(int(r["promo_c4"]) for r in parts)   # exact python ints
+    total = sum(int(r["total_c4"]) for r in parts)
+    share = (promo * 1_000_000) // total if total else 0
+    return pa.table({"promo_c4": pa.array([promo], pa.int64()),
+                     "total_c4": pa.array([total], pa.int64()),
+                     "share_ppm": pa.array([share], pa.int64())})
+
+
+_Q18_MIN_QTY_C = 30_000           # sum(quantity) > 300, in qty-cents
+
+
+def q_large_order_customers(sf_dir):
+    """TPC-H Q18 shape — large-volume-order customers: orders whose
+    total lineitem quantity exceeds 300, with the owning customer,
+    top 100 by (totalprice DESC, orderdate).  Quantities and money in
+    exact integer cents.
+
+    Scale shape: lineitem pre-sums quantity per orderkey inside each
+    batch, ONE orderkey hash exchange joins those partials with the
+    order rows and applies the HAVING cut (output shrinks to the few
+    qualifying orders), a second tiny custkey exchange attaches
+    customer names; the rank sorts only qualifying orders."""
+    from .neardup import partition_apply
+
+    def qty_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        q = np.floor(b["l_quantity"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"k": k, "q": q})
+             .groupby("k", sort=False)["q"].sum().reset_index())
+        ks = g["k"].to_numpy(np.int64)
+        return pa.table({"k": pa.array(ks),
+                         "a": pa.array(g["q"].to_numpy(np.int64)),
+                         "b": pa.array(np.zeros(len(ks), np.int64)),
+                         "kind": pa.array(np.ones(len(ks), np.int8)),
+                         "cust": pa.array(np.zeros(len(ks),
+                                                   np.int64))})
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        price_c = np.floor(b["o_totalprice"].to_numpy() * 100.0
+                           + 0.5).astype(np.int64)
+        odate = (b["o_orderdate"].to_numpy()
+                 .astype("datetime64[us]").astype(np.int64))
+        return pa.table({"k": b["o_orderkey"].cast(pa.int64()),
+                         "a": pa.array(price_c),
+                         "b": pa.array(odate),
+                         "kind": pa.array(np.zeros(len(price_c),
+                                                   np.int8)),
+                         "cust": b["o_custkey"].cast(pa.int64())})
+
+    def join_orders(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        a = g["a"].to_numpy()
+        qty = (pd.DataFrame({"k": k[kind == 1], "q": a[kind == 1]})
+               .groupby("k", sort=False)["q"].sum())
+        df = pd.DataFrame({"k": k[kind == 0], "price_c": a[kind == 0],
+                           "odate_us": g["b"].to_numpy()[kind == 0],
+                           "cust": g["cust"].to_numpy()[kind == 0]})
+        df["q"] = qty.reindex(df["k"].to_numpy()).to_numpy()
+        df = df[df["q"].notna() & (df["q"] > _Q18_MIN_QTY_C)]
+        return pa.table({
+            "k": pa.array(df["cust"].to_numpy(np.int64)),
+            "o_orderkey": pa.array(df["k"].to_numpy(np.int64)),
+            "o_orderdate_us": pa.array(df["odate_us"]
+                                       .to_numpy(np.int64)),
+            "totalprice_c": pa.array(df["price_c"].to_numpy(np.int64)),
+            "sum_qty_c": pa.array(df["q"].to_numpy(np.int64)),
+            "name": pa.array([""] * len(df), pa.string()),
+            "kind": pa.array(np.ones(len(df), np.int8))})
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({"k": b["c_custkey"].cast(pa.int64()),
+                         "o_orderkey": z, "o_orderdate_us": z,
+                         "totalprice_c": z, "sum_qty_c": z,
+                         "name": b["c_name"].cast(pa.string()),
+                         "kind": pa.array(np.zeros(n, np.int8))})
+
+    def join_cust(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = g["kind"].to_numpy()
+        k = g["k"].to_numpy()
+        names = pd.Series(
+            np.asarray(g["name"].to_pylist(), dtype=object)[kind == 0],
+            index=k[kind == 0])
+        m = kind == 1
+        df = pd.DataFrame({
+            "c_custkey": k[m],
+            "o_orderkey": g["o_orderkey"].to_numpy()[m],
+            "o_orderdate_us": g["o_orderdate_us"].to_numpy()[m],
+            "totalprice_c": g["totalprice_c"].to_numpy()[m],
+            "sum_qty_c": g["sum_qty_c"].to_numpy()[m]})
+        df["c_name"] = names.reindex(df["c_custkey"].to_numpy()) \
+            .to_numpy()
+        df = df[df["c_name"].notna()]
+        return pa.table({
+            "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64)),
+            "c_name": pa.array(list(df["c_name"]), pa.string()),
+            "o_orderkey": pa.array(df["o_orderkey"]
+                                   .to_numpy(np.int64)),
+            "o_orderdate_us": pa.array(df["o_orderdate_us"]
+                                       .to_numpy(np.int64)),
+            "totalprice_c": pa.array(df["totalprice_c"]
+                                     .to_numpy(np.int64)),
+            "sum_qty_c": pa.array(df["sum_qty_c"]
+                                  .to_numpy(np.int64))})
+
+    tagged1 = (_read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice"])
+               .map_batches(order_rows, batch_format="pyarrow")
+               .union(_read(sf_dir, "lineitem",
+                            ["l_orderkey", "l_quantity"])
+                      .map_batches(qty_partials,
+                                   batch_format="pyarrow")))
+    mid_schema = pa.schema([
+        ("k", pa.int64()), ("o_orderkey", pa.int64()),
+        ("o_orderdate_us", pa.int64()), ("totalprice_c", pa.int64()),
+        ("sum_qty_c", pa.int64()), ("name", pa.string()),
+        ("kind", pa.int8())])
+    hits = partition_apply(tagged1, "k", join_orders, mid_schema,
+                           n_buckets=64)
+    tagged2 = hits.union(_read(sf_dir, "customer",
+                               ["c_custkey", "c_name"])
+                         .map_batches(cust_rows,
+                                      batch_format="pyarrow"))
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("o_orderkey", pa.int64()), ("o_orderdate_us", pa.int64()),
+        ("totalprice_c", pa.int64()), ("sum_qty_c", pa.int64())])
+    return (partition_apply(tagged2, "k", join_cust, out_schema,
+                            n_buckets=64)
+            .sort(["totalprice_c", "o_orderdate_us", "o_orderkey"],
+                  descending=[True, False, False])
+            .limit(100))
+
+
 ORACLES: dict[str, str] = {
     "local_supplier_volume": r"""
         SELECT n_name,
@@ -1196,6 +1611,91 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "funnel_stages": f"""
+        WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS r FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS r FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'view'
+                 AND epoch_us(e.ts) > s1.r
+                 AND epoch_us(e.ts) <= s1.r + {_FUNNEL_WINDOW_US}
+               GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS r FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'click'
+                 AND epoch_us(e.ts) > s2.r
+                 AND epoch_us(e.ts) <= s2.r + {_FUNNEL_WINDOW_US}
+               GROUP BY 1),
+        s4 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS r FROM events e
+               JOIN s3 ON e.user_id = s3.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > s3.r
+                 AND epoch_us(e.ts) <= s3.r + {_FUNNEL_WINDOW_US}
+               GROUP BY 1)
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'signup',
+             (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+            (CAST(2 AS BIGINT), 'view',
+             (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+            (CAST(3 AS BIGINT), 'click',
+             (SELECT CAST(count(*) AS BIGINT) FROM s3)),
+            (CAST(4 AS BIGINT), 'purchase',
+             (SELECT CAST(count(*) AS BIGINT) FROM s4)))
+            AS v(stage, event_type, n_users)
+    """,
+    "returned_item_report": r"""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                      AS BIGINT))) AS BIGINT)
+                   AS revenue_c4,
+               CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                   AS c_acctbal_c,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 4, 5
+        ORDER BY revenue_c4 DESC, c_custkey
+        LIMIT 20
+    """,
+    "promo_revenue_share": r"""
+        WITH j AS (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+                               AS BIGINT)
+                          * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                        AS BIGINT)) AS rev,
+                          p_type
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE 0 END) AS BIGINT) AS promo_c4,
+               CAST(sum(rev) AS BIGINT) AS total_c4,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE 0 END) * 1000000
+                    // sum(rev) AS BIGINT) AS share_ppm
+        FROM j
+    """,
+    "large_order_customers": r"""
+        SELECT c_custkey, c_name, o_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS totalprice_c,
+               CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_qty_c
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3, 4, 5
+        HAVING sum_qty_c > 30000
+        ORDER BY totalprice_c DESC, o_orderdate_us, o_orderkey
+        LIMIT 100
+    """,
 }
 
 QUERIES = {
@@ -1227,4 +1727,8 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "hash_sample": q_hash_sample,
+    "funnel_stages": q_funnel_stages,
+    "returned_item_report": q_returned_item_report,
+    "promo_revenue_share": q_promo_revenue_share,
+    "large_order_customers": q_large_order_customers,
 }
