@@ -6544,6 +6544,111 @@ def q_caption_dup_filter(sf_dir):
     return partition_apply(ds, "h", verdict, schema)
 
 
+# ---------------------------------------------------------------------------
+# integer-exact TF-IDF retrieval (BM25-style length normalization)
+# ---------------------------------------------------------------------------
+
+_SEARCH_TERMS = ("table", "row", "hash", "merge")
+_SEARCH_K = 50                 # BM25-ish doc-length damping constant
+_SEARCH_TOPK = 20
+
+
+def q_tfidf_search(sf_dir):
+    """Distributed relevance search — the retrieval pass a training
+    pipeline runs for decontamination probes and hard-negative mining:
+    score every document against a fixed query-term set and return the
+    top 20.  The relevance function is BM25-shaped but INTEGER-EXACT
+    (term score = tf · 10^6 · (N − df) // (df · (dl + 50)): rare terms
+    weigh more, long documents damp), so the ranking is bit-identical
+    across engines, partitionings and summation orders — no float IDF
+    logs to drift.
+
+    Scale shape: two streaming scans and NO corpus shuffle — pass 1
+    folds per-batch (term, df) partials for ONLY the |Q| query terms
+    plus the doc count (a |Q|-row aggregate); pass 2 re-scans with the
+    tiny (term → df) map in the closure, scores each batch with one
+    explode + isin + bincount (no Python per token), and only scoring
+    docs reach the final top-k rank.  Tokens follow the repo's
+    whitespace-run convention (`token_count`)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    terms = list(_SEARCH_TERMS)
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        words = texts.str.strip().str.split(r"\s+")
+        ex = words.explode()
+        row = np.repeat(np.arange(len(texts)),
+                        words.str.len().to_numpy().astype(np.int64))
+        dfc = np.zeros(len(terms), dtype=np.int64)
+        for j, t in enumerate(terms):
+            hit = (ex == t).to_numpy()
+            dfc[j] = len(np.unique(row[hit]))
+        return pa.table({
+            "word": pa.array(terms + ["__docs__"], pa.string()),
+            "df": pa.array(np.append(dfc, np.int64(len(texts))))})
+
+    stats = (_read(sf_dir, "documents", ["text"])
+             .map_batches(df_partials, batch_format="pyarrow")
+             .groupby("word")
+             .aggregate(Sum("df", alias_name="df"))
+             .take_all())
+    df_map = {r["word"]: int(r["df"]) for r in stats}
+    n_docs = df_map.pop("__docs__", 0)
+    weights = {t: ((n_docs - df_map[t]), df_map[t])
+               for t in terms if df_map.get(t, 0) > 0}
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pandas()
+        words = texts.str.strip().str.split(r"\s+")
+        dl = words.str.len().to_numpy().astype(np.int64)
+        ex = words.explode()
+        row = np.repeat(np.arange(len(texts)), dl)
+        total = np.zeros(len(texts), dtype=np.int64)
+        matched = np.zeros(len(texts), dtype=bool)
+        for t, (n_minus_df, df) in weights.items():
+            tf = np.bincount(row[(ex == t).to_numpy()],
+                             minlength=len(texts)).astype(np.int64)
+            matched |= tf > 0
+            total += (tf * 1_000_000 * n_minus_df) // (df * (dl
+                                                             + _SEARCH_K))
+        m = matched                   # oracle keeps tf>0 docs even at
+        # a floored-to-0 score; mirror that exactly
+        return pa.table({"doc_id": pa.array(ids[m].astype(np.int64)),
+                         "score_ppm": pa.array(total[m])})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .sort(["score_ppm", "doc_id"], descending=[True, False])
+            .limit(_SEARCH_TOPK))
+
+
+ORACLES["tfidf_search"] = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    q AS (SELECT unnest({list(_SEARCH_TERMS)!r}) AS word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks
+           WHERE word IN (SELECT word FROM q) GROUP BY 1),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+           WHERE word IN (SELECT word FROM q) GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum((tf * 1000000 * (n.n - df.df))
+                    // (df.df * (dl.dl + {_SEARCH_K}))) AS BIGINT)
+               AS score_ppm
+    FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN n
+    WHERE df.df > 0
+    GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {_SEARCH_TOPK}
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "stopword_count": q_stopword_count,
@@ -6627,4 +6732,5 @@ QUERIES = {
     "html_text_extract": q_html_text_extract,
     "web_curate": q_web_curate,
     "neardup_store_refresh": q_neardup_store_refresh,
+    "tfidf_search": q_tfidf_search,
 }
