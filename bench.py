@@ -488,26 +488,63 @@ _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
 
 
 _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
-                   "order_priority_count", "local_supplier_volume"}
+                   "order_priority_count", "local_supplier_volume",
+                   "returned_item_report", "promo_revenue_share",
+                   "large_order_customers"}
+
+_EVENTS_SCALE_OPS = {"funnel_stages", "asof_join", "session_windows"}
 
 
-def _build_sf1_tpch(out_dir: str = "/tmp/tpch_sf1_v1") -> str:
-    """Deterministic 10x customer/orders/lineitem replicas with
-    CONSISTENT key shifts (custkey + r*2^16, orderkey + r*2^20 across
-    both sides of each join), all other columns verbatim — every
-    replica's join/aggregate structure is exactly the sf0.1 structure,
-    so group counts stay fixed while scan+exchange volume goes 10x
-    (the O(n) yardstick for the reporting shapes)."""
+def _build_sf1_events(out_dir: str = "/tmp/events_sf1_v1") -> str:
+    """Deterministic 10x events table: replica r shifts user_id by
+    r·2^20 and event_id by r·2^24 (ts/type/value/props verbatim), so
+    every replica's per-user event sequences — and therefore its
+    funnel/session/asof structure — are EXACTLY the sf0.1 structure
+    repeated: result rows go 10x, the O(n) yardstick for the
+    user-partitioned exchanges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pq.read_table("/root/testdata/sf0.1/events.parquet")
+    reps = []
+    for r in range(10):
+        cols = {}
+        for c in base.column_names:
+            if c == "user_id":
+                cols[c] = pa.array(base[c].to_numpy() + r * (1 << 20))
+            elif c == "event_id":
+                cols[c] = pa.array(base[c].to_numpy() + r * (1 << 24))
+            else:
+                cols[c] = base[c]
+        reps.append(pa.table(cols))
+    tmp = path + ".tmp"
+    pq.write_table(pa.concat_tables(reps), tmp)
+    os.replace(tmp, path)
+    return out_dir
+
+
+def _build_sf1_tpch(out_dir: str = "/tmp/tpch_sf1_v2") -> str:
+    """Deterministic 10x customer/orders/lineitem/part replicas with
+    CONSISTENT key shifts (custkey + r*2^16, orderkey + r*2^20,
+    partkey + r*2^18 across both sides of each join), all other
+    columns verbatim — every replica's join/aggregate structure is
+    exactly the sf0.1 structure, so group counts stay fixed while
+    scan+exchange volume goes 10x (the O(n) yardstick for the
+    reporting shapes).  v2: adds the part table (promo share leg)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    C, O = 1 << 16, 1 << 20
+    C, O, P = 1 << 16, 1 << 20, 1 << 18
     shifts = {"c_custkey": C, "o_custkey": C,
-              "o_orderkey": O, "l_orderkey": O}
-    for t in ("customer", "orders", "lineitem"):
+              "o_orderkey": O, "l_orderkey": O,
+              "p_partkey": P, "l_partkey": P}
+    for t in ("customer", "orders", "lineitem", "part"):
         base = pq.read_table(f"/root/testdata/sf0.1/{t}.parquet")
         reps = []
         for r in range(10):
@@ -561,6 +598,9 @@ def op_scale(qname: str) -> None:
     elif qname in _TPCH_SCALE_OPS:
         legs = [(SF_DIR, None, "sf0.1"),
                 (_build_sf1_tpch(), None, "sf1(10x)")]
+    elif qname in _EVENTS_SCALE_OPS:
+        legs = [(SF_DIR, None, "sf0.1"),
+                (_build_sf1_events(), None, "sf1(10x)")]
     elif qname in _ENV_SCALE_OPS:
         var, base, unit = _ENV_SCALE_OPS[qname]
         legs = [(SF_DIR, {var: str(base)}, f"{base} {unit}"),
