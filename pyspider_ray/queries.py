@@ -1056,6 +1056,126 @@ def q_funnel_stages(sf_dir):
             .aggregate(Sum("n_users", alias_name="n_users")))
 
 
+_DAY_US = 86_400_000_000
+_HOUR_US = 3_600_000_000
+
+
+def q_user_retention_cohorts(sf_dir):
+    """Cohort retention — the engagement report every event pipeline
+    ships: users cohorted by their first-signup day, counted once per
+    (cohort_day, day-offset) they were active on.  Day arithmetic is
+    exact integer epoch-microsecond floor-division; `COUNT(DISTINCT
+    user_id)` is exact because each user's rows are co-located.
+
+    Scale shape: the scan prunes to 3 columns and pre-shrinks each
+    batch to distinct (user, day) pairs plus per-user min signup-day
+    partials (the combiner bounds exchange volume by active-days, not
+    events), ONE user-hash exchange co-locates each user's rows, each
+    partition resolves cohorts vectorized, and per-partition
+    (cohort, offset, n) partials ride a tiny final aggregate —
+    distinct-user counts can sum across partitions because a user
+    lives in exactly one."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .neardup import partition_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        day = us // _DAY_US
+        sign = (pc.equal(b["event_type"], "signup")
+                .to_numpy(zero_copy_only=False))
+        act = (pd.DataFrame({"user_id": uid, "day": day})
+               .drop_duplicates())
+        su = (pd.DataFrame({"user_id": uid[sign], "day": day[sign]})
+              .groupby("user_id", as_index=False)["day"].min())
+        return pa.table({
+            "user_id": pa.array(np.concatenate(
+                [act["user_id"].to_numpy(np.int64),
+                 su["user_id"].to_numpy(np.int64)])),
+            "day": pa.array(np.concatenate(
+                [act["day"].to_numpy(np.int64),
+                 su["day"].to_numpy(np.int64)])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(act), np.int8),
+                 np.ones(len(su), np.int8)]))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        import pandas as pd
+        kind = part["kind"].to_numpy()
+        uid = part["user_id"].to_numpy()
+        day = part["day"].to_numpy()
+        cohort = (pd.DataFrame({"u": uid[kind == 1],
+                                "c": day[kind == 1]})
+                  .groupby("u")["c"].min())
+        act = (pd.DataFrame({"u": uid[kind == 0], "d": day[kind == 0]})
+               .drop_duplicates())
+        act["c"] = cohort.reindex(act["u"].to_numpy()).to_numpy()
+        act = act[act["c"].notna() & (act["d"] >= act["c"])]
+        act["c"] = act["c"].astype("int64")
+        out = (act.assign(off=act["d"] - act["c"])
+               .groupby(["c", "off"], as_index=False)
+               .agg(n=("u", "nunique")))
+        return pa.table({
+            "cohort_day": pa.array(out["c"].to_numpy(np.int64)),
+            "offset_days": pa.array(out["off"].to_numpy(np.int64)),
+            "n_users": pa.array(out["n"].to_numpy(np.int64))})
+
+    schema = pa.schema([("cohort_day", pa.int64()),
+                        ("offset_days", pa.int64()),
+                        ("n_users", pa.int64())])
+    partials = partition_apply(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", fold, schema, n_buckets=32)
+    return (partials.groupby(["cohort_day", "offset_days"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def q_window_p95_value(sf_dir):
+    """Windowed exact quantile — per 1-hour tumbling window the count
+    and the exact discrete p95 of the event value (cents int64): the
+    rank-⌈0.95·n⌉ smallest element, NOT an interpolated float — so
+    the answer is engine- and partitioning-independent.
+
+    Scale shape: window cardinality is bounded by rows-per-hour, so
+    the exact per-window sort is partition-local by construction: one
+    window-hash exchange (`partition_apply`, sort-free) co-locates
+    each window's values, each partition ranks ALL its windows with
+    one vectorized lexsort + run-boundary gather.  (For unbounded
+    groups the repo's histogram-cutoff quantiles —
+    `source_len_quantiles` — are the scale path; this is the exact
+    small-group complement.)"""
+    from .neardup import partition_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        v = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"win": pa.array(us // _HOUR_US),
+                         "v": pa.array(v)})
+
+    def fold(part: pa.Table) -> pa.Table:
+        win = part["win"].to_numpy()
+        v = part["v"].to_numpy()
+        order = np.lexsort((v, win))
+        win, v = win[order], v[order]
+        starts = np.flatnonzero(np.r_[True, win[1:] != win[:-1]])
+        ends = np.r_[starts[1:], len(win)]
+        n = ends - starts
+        idx = starts + (n * 95 + 99) // 100 - 1   # ceil(0.95n), 0-based
+        return pa.table({"win": pa.array(win[starts]),
+                         "n": pa.array(n.astype(np.int64)),
+                         "p95_cents": pa.array(v[idx])})
+
+    schema = pa.schema([("win", pa.int64()), ("n", pa.int64()),
+                        ("p95_cents", pa.int64())])
+    return partition_apply(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "win", fold, schema, n_buckets=32)
+
+
 _Q10_LO = np.datetime64("1996-01-01")
 _Q10_HI = np.datetime64("1996-04-01")
 
@@ -1611,6 +1731,33 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "user_retention_cohorts": """
+        WITH su AS (SELECT user_id,
+                           min(epoch_us(ts)) // 86400000000
+                               AS cohort_day
+                    FROM events WHERE event_type = 'signup'
+                    GROUP BY 1),
+        act AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events)
+        SELECT cohort_day, day - cohort_day AS offset_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM act JOIN su USING (user_id)
+        WHERE day >= cohort_day
+        GROUP BY 1, 2
+    """,
+    "window_p95_value": """
+        WITH t AS (SELECT epoch_us(ts) // 3600000000 AS win,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        r AS (SELECT win, v,
+                     row_number() OVER (PARTITION BY win ORDER BY v)
+                         AS rn,
+                     count(*) OVER (PARTITION BY win) AS n
+              FROM t)
+        SELECT win, CAST(n AS BIGINT) AS n, v AS p95_cents
+        FROM r WHERE rn = (n * 95 + 99) // 100
+    """,
     "funnel_stages": f"""
         WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS r FROM events
                     WHERE event_type = 'signup' GROUP BY 1),
@@ -1728,6 +1875,8 @@ QUERIES = {
     "session_windows": q_session_windows,
     "hash_sample": q_hash_sample,
     "funnel_stages": q_funnel_stages,
+    "user_retention_cohorts": q_user_retention_cohorts,
+    "window_p95_value": q_window_p95_value,
     "returned_item_report": q_returned_item_report,
     "promo_revenue_share": q_promo_revenue_share,
     "large_order_customers": q_large_order_customers,
