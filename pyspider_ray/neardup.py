@@ -473,6 +473,104 @@ def min_by_key(ds, key_col: str, val_col: str, n_buckets: int = 32):
 
 
 @ray.remote
+def _nd_hash_join(left_on: str, right_on: str, how: str, suffix: str,
+                  schema: pa.Schema, n_left: int, *parts) -> pa.Table:
+    """Reduce side of ``hash_join``: both sides' partition-p slices
+    arrive together (left slices first, ``n_left`` of them), one
+    pandas merge resolves the whole partition.  The key hash pins
+    every key to exactly one partition, so partition-local joins are
+    global."""
+    prefault_arena()
+    lt = [p for p in parts[:n_left] if len(p)]
+    rt = [p for p in parts[n_left:] if len(p)]
+    if not lt:
+        return schema.empty_table()
+    ldf = pa.concat_tables(lt).to_pandas()
+    if how in ("semi", "anti"):
+        keys = (pa.concat_tables(rt)[right_on].to_numpy()
+                if rt else np.empty(0, np.int64))
+        hit = np.isin(ldf[left_on].to_numpy(), np.unique(keys))
+        out = ldf[~hit] if how == "anti" else ldf[hit]
+    else:
+        if not rt:
+            if how == "inner":
+                return schema.empty_table()
+            out = ldf.copy()                    # left join, no matches
+            for name in schema.names:
+                if name not in out.columns:
+                    out[name] = None
+        else:
+            out = ldf.merge(pa.concat_tables(rt).to_pandas(), how=how,
+                            left_on=left_on, right_on=right_on,
+                            suffixes=("", suffix))
+            if right_on != left_on and right_on in out.columns:
+                out = out.drop(columns=[right_on])
+    arrays = [pa.Array.from_pandas(out[name], type=typ)
+              for name, typ in zip(schema.names, schema.types)]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def hash_join(left, right, left_on: str, right_on: str | None = None,
+              how: str = "inner", n_buckets: int = 32,
+              suffix: str = "_r"):
+    """General co-partitioned hash join of two Datasets with
+    ARBITRARY (different) schemas on an int64 key — the library
+    primitive behind the repo's tagged-union join queries, exposed
+    directly: ``hash_join(orders, customer, "o_custkey", "c_custkey")``.
+
+    ``how``: 'inner' | 'left' | 'semi' | 'anti'.  Inner/left emit
+    left columns + right payload columns (right key dropped when
+    named differently; clashing payload names get ``suffix``); with
+    'left', unmatched right-side int columns surface as Arrow nulls
+    (never NaN-floats — the output schema is pinned from the input
+    schemas, identical across partitions).  Semi/anti emit left rows
+    verbatim.
+
+    Scale shape: one sort-free hash exchange per side (each input
+    block splits by key hash; reduce p merges both sides' p-slices
+    with one vectorized pandas merge) — no broadcast, no global sort;
+    per-reduce memory is O(rows/P + matches/P).  Skew caveat: a key's
+    ENTIRE match set lands in one reduce — pre-aggregate hot keys
+    (the per-batch-combiner pattern) before joining, as the repo's
+    reporting queries do."""
+    import ray.data as rd
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    right_on = right_on or left_on
+    P = max(2, n_buckets)
+
+    lschema = left.schema()
+    lschema = pa.schema(list(zip(lschema.names, lschema.types)))
+    if how in ("semi", "anti"):
+        out_schema = lschema
+    else:
+        rs = right.schema()
+        fields = list(zip(lschema.names, lschema.types))
+        taken = {n for n, _ in fields}
+        for name, typ in zip(rs.names, rs.types):
+            if name == right_on:
+                continue
+            out = name if name not in taken else name + suffix
+            fields.append((out, typ))
+            taken.add(out)
+        out_schema = pa.schema(fields)
+
+    lgroups = _grouped_block_refs(left)
+    rgroups = _grouped_block_refs(right)
+    if not lgroups:
+        return rd.from_arrow(out_schema.empty_table())
+    lsplits = [_nd_split_by_key.options(num_returns=P)
+               .remote(left_on, P, *g) for g in lgroups]
+    rsplits = [_nd_split_by_key.options(num_returns=P)
+               .remote(right_on, P, *g) for g in rgroups]
+    outs = [_nd_hash_join.remote(
+        left_on, right_on, how, suffix, out_schema, len(lsplits),
+        *(s[p] for s in lsplits), *(s[p] for s in rsplits))
+        for p in range(P)]
+    return rd.from_arrow_refs(outs)
+
+
+@ray.remote
 def _nd_attach(side: str, sig_col: str, out_col: str, n_pair_parts: int,
                *parts) -> pa.Table:
     """Reduce side of the partitioned hash join: attach ``sig_col`` of
