@@ -210,6 +210,72 @@ def run(sf_dir: str, out_dir: str, n_parts: int = 16,
             "sec": round(time.perf_counter() - t0, 3)}
 
 
+def read_packed(out_dir: str, shard_lo: int | None = None,
+                shard_hi: int | None = None,
+                columns: list[str] | None = None):
+    """Source side of the packer: stream the packed output back as a
+    Dataset, PRUNED at the partition level — every `part=NNNN/_DONE`
+    marker records its [min, max] shard range, so a read of shards
+    [lo, hi) opens ONLY the part directories whose range intersects
+    (at 100 TB that's the difference between touching 3 files and
+    30,000), then one vectorized shard_id filter trims the straddling
+    edges.  ``columns`` prunes at the parquet read.
+
+    Refuses incomplete output: every partition named by `_PLAN.json`
+    must carry its `_DONE` marker (a killed run must be `--resume`d to
+    completion first — half-published output must never be readable as
+    if whole).  Rows within each part are already in global key order;
+    consumers needing the total order stream parts in part order (or
+    sort by `key`)."""
+    import ray.data as rd
+
+    plan_path = os.path.join(out_dir, "_PLAN.json")
+    if not os.path.exists(plan_path):
+        raise FileNotFoundError(f"no _PLAN.json under {out_dir}")
+    with open(plan_path) as f:
+        n_parts = json.load(f)["n_parts"]
+    paths = []
+    for p in range(n_parts):
+        pdir = os.path.join(out_dir, f"part={p:04d}")
+        done = os.path.join(pdir, "_DONE")
+        if not os.path.exists(done):
+            raise RuntimeError(
+                f"partition {p} has no _DONE marker — incomplete "
+                f"output under {out_dir}; rerun with --resume")
+        with open(done) as f:
+            stats = json.load(f)
+        if not stats["rows"]:
+            continue
+        lo, hi = stats["shards"]
+        if shard_lo is not None and hi < shard_lo:
+            continue
+        if shard_hi is not None and lo >= shard_hi:
+            continue
+        paths.append(os.path.join(pdir, "data.parquet"))
+    if not paths:
+        cols = columns or _SCHEMA.names
+        return rd.from_arrow(_SCHEMA.empty_table().select(cols))
+    need = list(columns) if columns else None
+    if need is not None and (shard_lo is not None
+                             or shard_hi is not None):
+        read_cols = need if "shard_id" in need else need + ["shard_id"]
+    else:
+        read_cols = need
+    ds = rd.read_parquet(paths, columns=read_cols)
+    if shard_lo is not None or shard_hi is not None:
+        lo = -1 if shard_lo is None else shard_lo
+        hi = np.iinfo(np.int64).max if shard_hi is None else shard_hi
+        keep = list(need) if need else None
+
+        def trim(b: pa.Table) -> pa.Table:
+            s = b["shard_id"].to_numpy()
+            out = b.filter(pa.array((s >= lo) & (s < hi)))
+            return out.select(keep) if keep else out
+
+        ds = ds.map_batches(trim, batch_format="pyarrow")
+    return ds
+
+
 def _main() -> int:
     import argparse
     import ray

@@ -180,3 +180,85 @@ class TestWdsWriteInputLineage:
         # unchanged input still resumes
         m2 = wds_write.run(src, out, n_parts=8, resume=True)
         assert m2["skipped_parts"] == 8 and m2["written_parts"] == 0
+
+
+class TestReadPacked:
+    def test_roundtrip_and_shard_pruning(self, ray_session, corpus,
+                                         tmp_path):
+        """read_packed must stream back exactly what the packer wrote;
+        a shard-range read must equal the full read filtered, while
+        opening only the intersecting part directories."""
+        from pyspider_ray.pipelines import wds_write
+        src, rows = corpus
+        out = str(tmp_path / "out")
+        m = wds_write.run(src, out, n_parts=8)
+
+        full = wds_write.read_packed(out).to_pandas()
+        assert len(full) == m["rows_written"] == len(rows)
+        assert sorted(full["doc_id"]) == sorted(i for i, _ in rows)
+
+        lo, hi = 2, 5
+        sub = wds_write.read_packed(out, shard_lo=lo,
+                                    shard_hi=hi).to_pandas()
+        exp = full[(full["shard_id"] >= lo) & (full["shard_id"] < hi)]
+        assert sorted(sub["doc_id"]) == sorted(exp["doc_id"])
+        assert set(sub.columns) == set(full.columns)
+
+        # column pruning: only the asked-for columns come back
+        cols = wds_write.read_packed(out, shard_lo=lo, shard_hi=hi,
+                                     columns=["doc_id", "n_chars"])
+        got = cols.to_pandas()
+        assert list(got.columns) == ["doc_id", "n_chars"]
+        assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+    def test_prunes_part_dirs(self, ray_session, corpus, tmp_path,
+                              monkeypatch):
+        """A narrow shard range must open only the part files whose
+        _DONE range intersects (partition-level pruning, not a full
+        scan + filter)."""
+        import json as _json
+        import os as _os
+
+        from pyspider_ray.pipelines import wds_write
+        src, rows = corpus
+        out = str(tmp_path / "out")
+        wds_write.run(src, out, n_parts=8)
+        ranges = {}
+        for d in sorted(_os.listdir(out)):
+            if not d.startswith("part="):
+                continue
+            with open(_os.path.join(out, d, "_DONE")) as f:
+                st = _json.load(f)
+            if st["rows"]:
+                ranges[d] = st["shards"]
+        # pick the first part's own range: only parts overlapping it
+        # may be opened
+        lo, hi = ranges[sorted(ranges)[0]]
+        hi += 1
+        expect_open = {d for d, (a, b) in ranges.items()
+                       if not (b < lo or a >= hi)}
+        opened = []
+        import ray.data as rd
+        real = rd.read_parquet
+
+        def spy(paths, **kw):
+            opened.extend(paths if isinstance(paths, list) else [paths])
+            return real(paths, **kw)
+
+        monkeypatch.setattr(rd, "read_parquet", spy)
+        wds_write.read_packed(out, shard_lo=lo, shard_hi=hi).count()
+        opened_parts = {p.split(_os.sep)[-2] for p in opened}
+        assert opened_parts == expect_open
+        assert len(opened_parts) < len(ranges)
+
+    def test_incomplete_output_refused(self, ray_session, corpus,
+                                       tmp_path):
+        import os as _os
+
+        from pyspider_ray.pipelines import wds_write
+        src, _ = corpus
+        out = str(tmp_path / "out")
+        wds_write.run(src, out, n_parts=8)
+        _os.remove(_os.path.join(out, "part=0003", "_DONE"))
+        with pytest.raises(RuntimeError, match="no _DONE"):
+            wds_write.read_packed(out)
