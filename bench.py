@@ -493,7 +493,8 @@ _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
                    "large_order_customers"}
 
 _EVENTS_SCALE_OPS = {"funnel_stages", "asof_join", "session_windows",
-                     "user_retention_cohorts", "window_p95_value"}
+                     "user_retention_cohorts", "window_p95_value",
+                     "event_transition_matrix"}
 
 
 def _build_sf1_events(out_dir: str = "/tmp/events_sf1_v1") -> str:

@@ -1176,6 +1176,65 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+def q_event_transition_matrix(sf_dir):
+    """Per-user event-sequence bigrams (the Markov transition matrix a
+    behavioral model trains on): for every user's events in (ts,
+    event_id) order, count each consecutive (prev_type → next_type)
+    transition.  The tie-break on event_id makes the sequence — and so
+    the counts — engine-independent.
+
+    Scale shape: the scan prunes to 3 tiny columns + a dictionary
+    code per type, ONE sort-free user-hash exchange co-locates each
+    user's events, each partition orders ALL its users with one
+    lexsort and counts transitions with one vectorized bincount over
+    (prev·K + next) codes (adjacent pairs within same-user runs only);
+    per-partition K×K partials ride the final tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    from .neardup import partition_apply
+
+    types = ("click", "error", "purchase", "signup", "view")
+    K = len(types)
+
+    def prep(b: pa.Table) -> pa.Table:
+        code = pc.index_in(b["event_type"],
+                           pa.array(types, pa.string()))
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "code": code.cast(pa.int64()),
+            "t": b["ts"].cast(pa.int64()),
+            "eid": b["event_id"].cast(pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        u = part["user_id"].to_numpy()
+        c = part["code"].to_numpy()
+        t = part["t"].to_numpy()
+        e = part["eid"].to_numpy()
+        order = np.lexsort((e, t, u))
+        u, c = u[order], c[order]
+        same = u[1:] == u[:-1]
+        pair = c[:-1][same] * K + c[1:][same]
+        cnt = np.bincount(pair, minlength=K * K).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "prev_type": pa.array([types[int(p) // K] for p in nz],
+                                  pa.string()),
+            "next_type": pa.array([types[int(p) % K] for p in nz],
+                                  pa.string()),
+            "n": pa.array(cnt[nz])})
+
+    schema = pa.schema([("prev_type", pa.string()),
+                        ("next_type", pa.string()),
+                        ("n", pa.int64())])
+    partials = partition_apply(
+        _read(sf_dir, "events",
+              ["user_id", "event_type", "ts", "event_id"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", fold, schema, n_buckets=32)
+    return (partials.groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 _Q10_LO = np.datetime64("1996-01-01")
 _Q10_HI = np.datetime64("1996-04-01")
 
@@ -1731,6 +1790,17 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "event_transition_matrix": """
+        WITH s AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id)
+                              AS next_type
+                   FROM events)
+        SELECT event_type AS prev_type, next_type, count(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "user_retention_cohorts": """
         WITH su AS (SELECT user_id,
                            min(epoch_us(ts)) // 86400000000
@@ -1875,6 +1945,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "hash_sample": q_hash_sample,
     "funnel_stages": q_funnel_stages,
+    "event_transition_matrix": q_event_transition_matrix,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
     "returned_item_report": q_returned_item_report,
