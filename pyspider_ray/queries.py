@@ -1176,6 +1176,91 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+def q_customer_order_activity(sf_dir):
+    """Left-join activity report over the `hash_join` primitive: every
+    customer with their order count and exact revenue cents — ZEROS
+    KEPT (the inactive-customer rows an anti-join would return, in the
+    same pass).  Exercises the library join end-to-end in a graded
+    query: orders pre-aggregate per custkey inside each batch (the
+    combiner bounds the right side by distinct customers), then ONE
+    co-partitioned left join against the customer table, misses
+    coalesced to 0 vectorized.
+
+    Scale shape: per-batch combiner → one hash exchange per side →
+    per-partition vectorized merge; no broadcast (customer scales
+    with SF), no sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .neardup import hash_join, partition_apply
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy()
+                         * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"k": k, "c": cents})
+             .groupby("k", sort=False)["c"].agg(["sum", "size"])
+             .reset_index())
+        return pa.table({
+            "k": pa.array(g["k"].to_numpy(np.int64)),
+            "rev": pa.array(g["sum"].to_numpy(np.int64)),
+            "cnt": pa.array(g["size"].to_numpy(np.int64))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = (part.to_pandas().groupby("k", as_index=False)
+              .agg(rev=("rev", "sum"), cnt=("cnt", "sum")))
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_cust_schema = pa.schema([("k", pa.int64()), ("rev", pa.int64()),
+                                 ("cnt", pa.int64())])
+    per_cust = partition_apply(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "k", fold, per_cust_schema, n_buckets=32)
+
+    joined = hash_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        per_cust, "c_custkey", "k", how="left", n_buckets=32)
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            "n_orders": pa.array(np.nan_to_num(
+                cnt.astype(np.float64), nan=0.0).astype(np.int64)),
+            "revenue_cents": pa.array(np.nan_to_num(
+                rev.astype(np.float64), nan=0.0).astype(np.int64))})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def q_parts_never_ordered(sf_dir):
+    """Anti-join over the `hash_join` primitive: parts NO March-1996
+    lineitem shipped — the dead-inventory / stale-URL left-anti
+    shape.  The probe side prunes to the window and shrinks to
+    distinct partkeys per batch before the exchange."""
+    from .neardup import hash_join
+
+    lo = np.datetime64("1996-03-01")
+    hi = np.datetime64("1996-04-01")
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].to_numpy()
+        m = (d >= lo) & (d < hi)
+        k = np.unique(b["l_partkey"].to_numpy()[m].astype(np.int64))
+        return pa.table({"l_partkey": pa.array(k)})
+
+    used = (_read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+            .map_batches(distinct_keys, batch_format="pyarrow"))
+    return hash_join(_read(sf_dir, "part", ["p_partkey", "p_name"]),
+                     used, "p_partkey", "l_partkey", how="anti",
+                     n_buckets=32)
+
+
 def q_event_transition_matrix(sf_dir):
     """Per-user event-sequence bigrams (the Markov transition matrix a
     behavioral model trains on): for every user's events in (ts,
@@ -1790,6 +1875,22 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "customer_order_activity": """
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(round(o_totalprice * 100)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS revenue_cents
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    """,
+    "parts_never_ordered": """
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey
+                            AND l_shipdate >= TIMESTAMP '1996-03-01'
+                            AND l_shipdate < TIMESTAMP '1996-04-01')
+    """,
     "event_transition_matrix": """
         WITH s AS (SELECT user_id, event_type,
                           lead(event_type) OVER (
@@ -1946,6 +2047,8 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "funnel_stages": q_funnel_stages,
     "event_transition_matrix": q_event_transition_matrix,
+    "customer_order_activity": q_customer_order_activity,
+    "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
     "returned_item_report": q_returned_item_report,
