@@ -101,6 +101,15 @@ def sniff_encoding(content: bytes, declared: str | None) -> str:
       (response.py:61-95) rather than discarding it;
     - anything else goes to :func:`detect_encoding`.
     """
+    if declared:
+        # a label naming no real codec must never leave this function —
+        # the fetcher decodes with the returned name and would raise
+        # LookupError on e.g. charset=unicode pages (seen in the wild)
+        import codecs
+        try:
+            codecs.lookup(declared)
+        except LookupError:
+            declared = None
     if not isinstance(content, bytes) or not content:
         return declared or "utf-8"
     has_high = any(b >= 0x80 for b in content[:65536])

@@ -1,0 +1,176 @@
+"""Hypothesis property tests over the PURE kernels (no Ray session):
+invariants that must hold for ANY input, not just the fixtures —
+cuckoo-filter no-false-negatives, pair pack/unpack roundtrip across
+both transport representations, canonical-url idempotence, encoding
+sniff totality, token-bucket burst ceiling, and TaskQueue
+priority-order extraction."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IDS32 = st.lists(st.integers(min_value=0, max_value=(1 << 32) - 2),
+                  min_size=1, max_size=200)
+_IDS64 = st.lists(st.integers(min_value=0, max_value=(1 << 62)),
+                  min_size=1, max_size=200)
+
+
+class TestCuckooProperties:
+    @given(keys=_IDS64)
+    @settings(max_examples=60, deadline=None)
+    def test_no_false_negatives(self, keys):
+        from pyspider_ray.state.cuckoo import CuckooFilter
+        f = CuckooFilter(capacity=4096)
+        arr = np.asarray(keys, dtype=np.uint64)
+        f.add_many(arr)
+        assert f.contains_many(arr).all()
+
+    @given(keys=_IDS64)
+    @settings(max_examples=30, deadline=None)
+    def test_add_is_idempotent_for_membership(self, keys):
+        from pyspider_ray.state.cuckoo import CuckooFilter
+        f = CuckooFilter(capacity=4096)
+        arr = np.asarray(keys, dtype=np.uint64)
+        f.add_many(arr)
+        f.add_many(arr)          # re-adding must never evict to a miss
+        assert f.contains_many(arr).all()
+
+
+class TestPairTransportProperties:
+    @given(lo=_IDS32, hi=_IDS32)
+    @settings(max_examples=60, deadline=None)
+    def test_narrow_roundtrip(self, lo, hi):
+        from pyspider_ray.neardup import _pack_pairs, _unpack_pairs
+        n = min(len(lo), len(hi))
+        a = np.asarray(lo[:n], dtype=np.int64)
+        b = np.asarray(hi[:n], dtype=np.int64)
+        l2, h2 = _unpack_pairs(_pack_pairs(a, b))
+        assert (l2 == a).all() and (h2 == b).all()
+
+    @given(lo=_IDS64, hi=_IDS64)
+    @settings(max_examples=60, deadline=None)
+    def test_wide_roundtrip_and_route_parity(self, lo, hi):
+        from pyspider_ray.neardup import (_pack_pairs, _pair_hash,
+                                          _unpack_pairs)
+        n = min(len(lo), len(hi))
+        a = np.asarray(lo[:n], dtype=np.int64)
+        b = np.asarray(hi[:n], dtype=np.int64)
+        l2, h2 = _unpack_pairs(_pack_pairs(a, b))
+        assert (l2 == a).all() and (h2 == b).all()
+        # partition routing hashes VALUES: identical whichever
+        # transport representation carried the pair
+        assert (_pair_hash(l2, h2) == _pair_hash(a, b)).all()
+
+    @given(lo=_IDS32, hi=_IDS32)
+    @settings(max_examples=40, deadline=None)
+    def test_dedup_pairs_is_set_semantics(self, lo, hi):
+        from pyspider_ray.neardup import _dedup_pairs
+        n = min(len(lo), len(hi))
+        a = np.asarray(lo[:n] + lo[:n], dtype=np.int64)   # forced dups
+        b = np.asarray(hi[:n] + hi[:n], dtype=np.int64)
+        l2, h2 = _dedup_pairs(a, b)
+        got = set(zip(l2.tolist(), h2.tolist()))
+        assert got == set(zip(a.tolist(), b.tolist()))
+        assert len(l2) == len(got)
+
+
+_URL = st.from_regex(
+    r"http://[a-z]{1,8}(\.[a-z]{1,5}){1,2}(:[0-9]{2,4})?"
+    r"/[a-zA-Z0-9/_\-\.%]{0,20}(\?[a-z]=[a-z0-9]{0,5}(&[a-z]=[a-z0-9]{0,5}){0,3})?",
+    fullmatch=True)
+
+
+class TestUrlProperties:
+    @given(url=_URL)
+    @settings(max_examples=100, deadline=None)
+    def test_canonical_idempotent(self, url):
+        from pyspider_ray.functions.urls import canonical_url
+        c1 = canonical_url(url)
+        assert canonical_url(c1) == c1
+
+    @given(url=_URL)
+    @settings(max_examples=60, deadline=None)
+    def test_taskid_stable_and_hex(self, url):
+        from pyspider_ray.functions.urls import md5_taskid, urlhash64
+        t = md5_taskid(url)
+        assert t == md5_taskid(url)
+        assert len(t) == 32 and int(t, 16) >= 0
+        h = urlhash64(url)
+        assert h == urlhash64(url)              # deterministic
+        assert -(1 << 63) <= h < (1 << 63)      # fits int64 (signed)
+
+
+class TestEncodingProperties:
+    @given(content=st.binary(max_size=400),
+           declared=st.sampled_from([None, "utf-8", "gb18030",
+                                     "latin-1", "bogus-charset"]))
+    @settings(max_examples=120, deadline=None)
+    def test_sniff_total_and_decodable(self, content, declared):
+        """sniff_encoding must ALWAYS return a codec that replace-
+        decodes the body (the fetcher calls it on arbitrary junk)."""
+        from pyspider_ray.functions.encoding import sniff_encoding
+        enc = sniff_encoding(content, declared)
+        content.decode(enc, errors="replace")   # must not raise
+
+    @given(text=st.text(max_size=120))
+    @settings(max_examples=80, deadline=None)
+    def test_clean_utf8_always_wins(self, text):
+        from pyspider_ray.functions.encoding import sniff_encoding
+        body = text.encode("utf-8")
+        enc = sniff_encoding(body, None)
+        assert body.decode(enc, errors="replace") is not None
+        if any(ord(c) > 0x7F for c in text):
+            # multibyte utf-8 evidence beats any legacy guess
+            assert body.decode(enc) == text
+
+
+class TestTokenBucketProperties:
+    @given(rate=st.floats(0.1, 100), burst=st.floats(1, 50),
+           steps=st.lists(st.floats(0.001, 5.0), min_size=1,
+                          max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_never_exceeds_burst(self, rate, burst, steps):
+        from pyspider_ray.state.token_bucket import TokenBucket
+        now = [0.0]
+        tb = TokenBucket(rate=rate, burst=burst, clock=lambda: now[0])
+        for dt in steps:
+            now[0] += dt
+            assert tb.get() <= burst + 1e-9
+
+    @given(rate=st.floats(0.5, 50))
+    @settings(max_examples=40, deadline=None)
+    def test_refill_monotone_without_spend(self, rate):
+        from pyspider_ray.state.token_bucket import TokenBucket
+        now = [0.0]
+        tb = TokenBucket(rate=rate, burst=100.0, clock=lambda: now[0])
+        tb.set(0.0)
+        prev = 0.0
+        for _ in range(10):
+            now[0] += 0.25
+            cur = tb.get()
+            assert cur >= prev - 1e-9
+            prev = cur
+
+
+class TestTaskQueueProperties:
+    @given(prios=st.lists(st.integers(-5, 5), min_size=1, max_size=40))
+    @settings(max_examples=40, deadline=None)
+    def test_extraction_is_priority_sorted(self, prios):
+        """With no exetime constraints, get() must drain in
+        non-increasing priority order."""
+        from pyspider_ray.state.task_queue import TaskQueue
+        from pyspider_ray.state.clock import VirtualClock
+        clock = VirtualClock(1e9)
+        q = TaskQueue(rate=1e9, burst=1e9, clock=clock)
+        for i, p in enumerate(prios):
+            q.put(f"t{i}", priority=p)
+        q.check_update()
+        got = []
+        while True:
+            t = q.get()
+            if t is None:
+                break
+            got.append(int(t[1:]))
+        assert len(got) == len(prios)
+        out_p = [prios[i] for i in got]
+        assert out_p == sorted(out_p, reverse=True)
