@@ -174,3 +174,69 @@ class TestTaskQueueProperties:
         assert len(got) == len(prios)
         out_p = [prios[i] for i in got]
         assert out_p == sorted(out_p, reverse=True)
+
+
+class TestParserTotalityProperties:
+    @given(html=st.text(max_size=400))
+    @settings(max_examples=100, deadline=None)
+    def test_minidoc_and_extract_total(self, html):
+        """The fetch path feeds ARBITRARY decoded text into the parser
+        — MiniDoc construction, link extraction and extract_text must
+        never raise, and extraction accounting must stay consistent."""
+        from pyspider_ray.functions.htmldoc import MiniDoc, extract_text
+        doc = MiniDoc(html, base_url="http://x.test/a/")
+        for el in doc("a[href]"):
+            assert isinstance(el.attr("href"), str)
+        r = extract_text(html)
+        assert 0 <= r["n_kept"] <= r["n_blocks"]
+        assert isinstance(r["text"], str)
+
+    @given(html=st.text(alphabet="<>a href=/'\"&;!-x0\n", max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_minidoc_tag_soup(self, html):
+        """Adversarial tag soup (unclosed tags, bare ampersands, stray
+        brackets) must parse without raising."""
+        from pyspider_ray.functions.htmldoc import MiniDoc
+        doc = MiniDoc(html, base_url="http://x.test/")
+        doc("a[href]")
+        assert isinstance(doc.text, str)   # property on MiniDoc
+
+
+class TestDataUrlProperties:
+    @given(payload=st.binary(max_size=200))
+    @settings(max_examples=80, deadline=None)
+    def test_binary_roundtrip(self, payload):
+        from pyspider_ray.functions import dataurl
+        assert dataurl.decode(
+            dataurl.encode(payload, "application/octet-stream",
+                           charset=None, base64=True)) == payload
+
+    @given(text=st.text(max_size=120))
+    @settings(max_examples=80, deadline=None)
+    def test_text_roundtrip(self, text):
+        from pyspider_ray.functions import dataurl
+        out = dataurl.decode(dataurl.encode(text, "text/plain"))
+        got = out.decode("utf-8") if isinstance(out, bytes) else out
+        assert got == text
+
+
+class TestMediaFingerprintTotality:
+    @given(n=st.integers(0, 600))
+    @settings(max_examples=80, deadline=None)
+    def test_audio_fp_total_over_lengths(self, n):
+        """Any clip length — including the 9-17-sample single-bin
+        band that used to IndexError — must fingerprint."""
+        from pyspider_ray.functions.media import audio_fingerprint64
+        samples = (np.sin(np.arange(n) * 0.1) * 1000).astype(np.int16)
+        fp = audio_fingerprint64(samples)
+        assert 0 <= fp < (1 << 64)
+
+    @given(n=st.integers(1, 6), w=st.integers(1, 16),
+           h=st.integers(1, 12))
+    @settings(max_examples=60, deadline=None)
+    def test_video_fp_total_over_shapes(self, n, w, h):
+        from pyspider_ray.functions.media import video_fingerprint64
+        frames = ((np.arange(n * h * w) * 37) % 251).astype(
+            np.uint8).reshape(n, h, w)
+        fp = video_fingerprint64(frames)
+        assert 0 <= fp < (1 << 64)
