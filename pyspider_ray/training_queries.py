@@ -6544,6 +6544,112 @@ def q_caption_dup_filter(sf_dir):
     return partition_apply(ds, "h", verdict, schema)
 
 
+def q_hll_per_source(sf_dir):
+    """Per-GROUP HyperLogLog: a distinct-text estimate for every
+    source in one pass — the per-host/per-domain distinct-URL shape a
+    10^10-URL frontier needs, where exact per-group distinct is a
+    full-corpus shuffle but a 64-register sketch per group is ~100
+    bytes.  Same integer-rational arithmetic as `hll_distinct`
+    (md5-high64, register = top 6 bits, harmonic sum on the common
+    2^59 denominator, alpha = 709/1000), so estimates hash bit-exactly
+    against the DuckDB replay.
+
+    Scale shape: each batch collapses to ≤ |sources|·64 (group,
+    register, rho) partials regardless of row count, ONE sort-free
+    source-hash exchange (~20 B/row), each partition folds ALL its
+    groups' registers with one pandas max-groupby and computes the
+    estimates with exact Python ints (group-count-bounded loop, not
+    row-bounded)."""
+    import pandas as pd
+
+    from .neardup import partition_apply
+
+    m_bits, m = _HLL_M_BITS, 1 << _HLL_M_BITS
+    w_bits = 64 - m_bits
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        srcs = b["source"].to_pylist()
+        h = np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in texts], dtype=np.uint64)
+        reg = (h >> np.uint64(w_bits)).astype(np.int64)
+        w = h & np.uint64((1 << w_bits) - 1)
+        bl = np.zeros(len(w), dtype=np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl[w > 0] += 1
+        rho = (w_bits + 1) - bl
+        df = (pd.DataFrame({"source": srcs, "register": reg,
+                            "rho": rho})
+              .groupby(["source", "register"], as_index=False)["rho"]
+              .max())
+        sh = _word_hashes(df["source"].tolist()).view(np.int64)
+        return pa.table({
+            "sh": pa.array(sh),
+            "source": pa.array(df["source"], pa.string()),
+            "register": pa.array(df["register"].to_numpy(np.int64)),
+            "rho": pa.array(df["rho"].to_numpy(np.int64))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        df = (part.select(["source", "register", "rho"]).to_pandas()
+              .groupby(["source", "register"], as_index=False)["rho"]
+              .max())
+        srcs, ests, vzs = [], [], []
+        for src, g in df.groupby("source", sort=False):
+            rhos = g["rho"].to_numpy(np.int64)
+            v_zero = m - len(rhos)
+            s_scaled = (v_zero << (w_bits + 1)) \
+                + sum(1 << (w_bits + 1 - int(r)) for r in rhos)
+            est = (_HLL_ALPHA_NUM * m * m * (1 << (w_bits + 1))) \
+                // (_HLL_ALPHA_DEN * s_scaled)
+            srcs.append(src)
+            ests.append(est)
+            vzs.append(v_zero)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "est_distinct": pa.array(np.asarray(ests, np.int64)),
+            "v_zero": pa.array(np.asarray(vzs, np.int64))})
+
+    schema = pa.schema([("source", pa.string()),
+                        ("est_distinct", pa.int64()),
+                        ("v_zero", pa.int64())])
+    return partition_apply(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "sh", fold, schema, n_buckets=16)
+
+
+ORACLES["hll_per_source"] = r"""
+    WITH h AS (
+        SELECT source,
+               ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+        FROM documents),
+    reg AS (
+        SELECT source, CAST(h >> 58 AS BIGINT) AS register,
+               max(59 - CASE
+                       WHEN (h & ((1::UBIGINT << 58) - 1)) = 0 THEN 0
+                       ELSE length(bin(h & ((1::UBIGINT << 58) - 1)))
+                   END) AS rho
+        FROM h GROUP BY 1, 2),
+    s AS (
+        SELECT source, count(*) AS n_present,
+               sum((1::UBIGINT << (59 - rho))::HUGEINT) AS s_present
+        FROM reg GROUP BY 1)
+    SELECT source,
+           CAST((709::HUGEINT * 64 * 64 * (1::UBIGINT << 59)::HUGEINT)
+                // (1000::HUGEINT *
+                    ((64 - n_present)::HUGEINT
+                     * (1::UBIGINT << 59)::HUGEINT + s_present))
+                AS BIGINT) AS est_distinct,
+           CAST(64 - n_present AS BIGINT) AS v_zero
+    FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # integer-exact TF-IDF retrieval (BM25-style length normalization)
 # ---------------------------------------------------------------------------
@@ -6733,4 +6839,5 @@ QUERIES = {
     "web_curate": q_web_curate,
     "neardup_store_refresh": q_neardup_store_refresh,
     "tfidf_search": q_tfidf_search,
+    "hll_per_source": q_hll_per_source,
 }
