@@ -278,6 +278,39 @@ def fault_probe_fresh(mb: int = 128) -> float:
         return -1.0
 
 
+def cpu_parallel_probe(lo: int = 8, hi: int = 32) -> dict:
+    """How much aggregate CPU the host actually delivers at the two
+    widths RIGHT NOW: a fixed integer-spin workload mapped over lo and
+    hi worker processes.  `ratio_hi_lo / (hi/lo)` is the ceiling any
+    hi-vs-lo scaling measurement can reach at this instant — if the
+    host only yields 3.2x more compute from 8→32 workers, a 0.80
+    crawl efficiency IS perfect scaling.  Complements the fault probe
+    (memory phases) and steal%% (hypervisor): this one sees external
+    core contention, which shows neither steal jiffies nor slow
+    faults."""
+    code = (
+        "import multiprocessing as mp, time, sys\n"
+        "def spin(n):\n"
+        "    x = 0\n"
+        "    for i in range(n): x += i*i %% 7\n"
+        "    return x\n"
+        "def measure(w, per=2_000_000):\n"
+        "    with mp.Pool(w) as p:\n"
+        "        t0 = time.perf_counter()\n"
+        "        p.map(spin, [per]*w*4)\n"
+        "        return w*4*per/(time.perf_counter()-t0)/1e6\n"
+        "print(measure(%d), measure(%d))\n" % (lo, hi))
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             check=True, timeout=180)
+        m_lo, m_hi = (float(x) for x in out.stdout.split())
+        return {"mops_lo": round(m_lo, 1), "mops_hi": round(m_hi, 1),
+                "host_ceiling": round((m_hi / m_lo) / (hi / lo), 3)}
+    except Exception:
+        return {"mops_lo": -1.0, "mops_hi": -1.0, "host_ceiling": -1.0}
+
+
 def _steal_snapshot() -> tuple[int, int]:
     """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor CPU
     steal is the one host pathology the fault probe can't see."""
@@ -348,6 +381,8 @@ def scaling(lo: int = 8, hi: int = 32, reps: int | None = None) -> None:
                      for n, rs in runs.items()},
         "steal_pct": {str(n): ss for n, ss in steals.items()},
         "fault_probe_mb_per_s": probes + [fault_probe_mb_per_s()],
+        # what the HOST scales at right now: the measurement's ceiling
+        "cpu_probe": cpu_parallel_probe(lo, hi),
     }))
 
 
