@@ -757,5 +757,10 @@ if __name__ == "__main__":
         op_scale("dsir_select")
     elif "--scale-op" in sys.argv:
         op_scale(sys.argv[sys.argv.index("--scale-op") + 1])
+    elif "--cpu-probe" in sys.argv:
+        # cheap window check before committing to a full --scaling run:
+        # host_ceiling ~1.0 means the host can actually show 4x
+        print(json.dumps({"fault_probe_mb_per_s": fault_probe_fresh(),
+                          "cpu_probe": cpu_parallel_probe()}))
     else:
         main()
