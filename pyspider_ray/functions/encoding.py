@@ -102,13 +102,16 @@ def sniff_encoding(content: bytes, declared: str | None) -> str:
     - anything else goes to :func:`detect_encoding`.
     """
     if declared:
-        # a label naming no real codec must never leave this function —
-        # the fetcher decodes with the returned name and would raise
-        # LookupError on e.g. charset=unicode pages (seen in the wild)
-        import codecs
+        # a label that can't text-decode must never leave this function
+        # — the fetcher decodes with the returned name and would raise
+        # LookupError on charset=unicode pages (seen in the wild) or on
+        # registered NON-TEXT codecs (rot13/base64/hex pass
+        # codecs.lookup but bytes.decode refuses them)
         try:
-            codecs.lookup(declared)
-        except LookupError:
+            # one-byte probe: b"".decode skips codec lookup entirely
+            # (CPython fast-path), so it validates nothing
+            b"a".decode(declared, "replace")
+        except (LookupError, ValueError):
             declared = None
     if not isinstance(content, bytes) or not content:
         return declared or "utf-8"

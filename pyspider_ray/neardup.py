@@ -481,15 +481,25 @@ def _nd_hash_join(left_on: str, right_on: str, how: str, suffix: str,
     every key to exactly one partition, so partition-local joins are
     global."""
     prefault_arena()
+    import pandas as pd
+
+    def _pdf(tables):
+        # int64 → pandas nullable Int64: a left-join miss must become
+        # <NA>, NOT a float64 NaN — float promotion silently corrupts
+        # payloads > 2^53 (doc-id hashes span the full int64 range)
+        return pa.concat_tables(tables).to_pandas(
+            types_mapper={pa.int64(): pd.Int64Dtype()}.get)
+
     lt = [p for p in parts[:n_left] if len(p)]
     rt = [p for p in parts[n_left:] if len(p)]
     if not lt:
         return schema.empty_table()
-    ldf = pa.concat_tables(lt).to_pandas()
+    ldf = _pdf(lt)
     if how in ("semi", "anti"):
-        keys = (pa.concat_tables(rt)[right_on].to_numpy()
+        keys = (pc.drop_null(pa.concat_tables(rt)[right_on])
+                .to_numpy(zero_copy_only=False)
                 if rt else np.empty(0, np.int64))
-        hit = np.isin(ldf[left_on].to_numpy(), np.unique(keys))
+        hit = np.isin(ldf[left_on].to_numpy(np.int64), np.unique(keys))
         out = ldf[~hit] if how == "anti" else ldf[hit]
     else:
         if not rt:
@@ -500,11 +510,16 @@ def _nd_hash_join(left_on: str, right_on: str, how: str, suffix: str,
                 if name not in out.columns:
                     out[name] = None
         else:
-            out = ldf.merge(pa.concat_tables(rt).to_pandas(), how=how,
-                            left_on=left_on, right_on=right_on,
-                            suffixes=("", suffix))
-            if right_on != left_on and right_on in out.columns:
-                out = out.drop(columns=[right_on])
+            rdf = _pdf(rt)
+            out = ldf.merge(rdf, how=how, left_on=left_on,
+                            right_on=right_on, suffixes=("", suffix))
+            if right_on != left_on:
+                # the merged right-key column kept its name unless it
+                # collided with a LEFT column and took the suffix —
+                # dropping the bare name there would delete left data
+                merged_key = (right_on + suffix
+                              if right_on in ldf.columns else right_on)
+                out = out.drop(columns=[merged_key])
     arrays = [pa.Array.from_pandas(out[name], type=typ)
               for name, typ in zip(schema.names, schema.types)]
     return pa.Table.from_arrays(arrays, schema=schema)
@@ -551,6 +566,14 @@ def hash_join(left, right, left_on: str, right_on: str | None = None,
             if name == right_on:
                 continue
             out = name if name not in taken else name + suffix
+            if out in taken:
+                # pandas would raise MergeError mid-task; fail fast
+                # with the fix spelled out instead
+                raise ValueError(
+                    f"hash_join column collision: right column "
+                    f"{name!r} suffixes to {out!r}, which the left "
+                    f"side already has — rename a column or pass a "
+                    f"different suffix")
             fields.append((out, typ))
             taken.add(out)
         out_schema = pa.schema(fields)

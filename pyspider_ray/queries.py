@@ -1493,6 +1493,15 @@ def q_promo_revenue_share(sf_dir):
                          "kind": pa.array(np.zeros(len(promo),
                                                    np.int8))})
 
+    def exact_sum(a: np.ndarray) -> int:
+        # chunked int64 partials folded with Python ints: a per-row
+        # bound of ~1e11 keeps a 2^20-row chunk under 2^63, and the
+        # cross-chunk fold is arbitrary-precision — no silent wrap at
+        # ANY partition size (np.sum alone wraps past ~1e8 rows)
+        step = 1 << 20
+        return sum(int(a[i:i + step].sum())
+                   for i in range(0, len(a), step))
+
     def fold(g: pa.Table) -> pa.Table:
         import pandas as pd
         kind = g["kind"].to_numpy()
@@ -1502,8 +1511,8 @@ def q_promo_revenue_share(sf_dir):
         rev = v[kind == 1]
         isp = promo.reindex(k[kind == 1]).fillna(0).to_numpy(np.int64)
         return pa.table({
-            "promo_c4": pa.array([int((rev * isp).sum())], pa.int64()),
-            "total_c4": pa.array([int(rev.sum())], pa.int64())})
+            "promo_c4": pa.array([exact_sum(rev * isp)], pa.int64()),
+            "total_c4": pa.array([exact_sum(rev)], pa.int64())})
 
     tagged = (_read(sf_dir, "lineitem",
                     ["l_partkey", "l_extendedprice", "l_discount",

@@ -4537,6 +4537,41 @@ _HLL_M_BITS = 6                        # 64 registers (±13% std error)
 _HLL_ALPHA_NUM, _HLL_ALPHA_DEN = 709, 1000    # alpha_64 as a rational
 
 
+def _hll_row_registers(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Per-ROW (register, rho) for the shared HLL arithmetic:
+    h = md5-high64(text), register = top m bits, rho = leading zeros
+    of the remaining bits + 1 — THE one implementation both sketch
+    queries (and both SQL oracle replays) must stay bit-exact with."""
+    w_bits = 64 - _HLL_M_BITS
+    h = np.array([int.from_bytes(
+        hashlib.md5(t.encode()).digest()[:8], "big")
+        for t in texts], dtype=np.uint64)
+    reg = (h >> np.uint64(w_bits)).astype(np.int64)
+    w = h & np.uint64((1 << w_bits) - 1)
+    bl = np.zeros(len(w), dtype=np.int64)     # vectorized bit length
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl[w > 0] += 1
+    rho = (w_bits + 1) - bl                    # w == 0 → w_bits + 1
+    return reg, rho
+
+
+def _hll_estimate(rhos_present) -> tuple[int, int]:
+    """(estimate, v_zero) from the non-empty registers' max-rho values
+    — exact Python ints on the common 2^(w_bits+1) denominator."""
+    m = 1 << _HLL_M_BITS
+    w_bits = 64 - _HLL_M_BITS
+    v_zero = m - len(rhos_present)
+    s_scaled = (v_zero << (w_bits + 1)) \
+        + sum(1 << (w_bits + 1 - int(r)) for r in rhos_present)
+    est = (_HLL_ALPHA_NUM * m * m * (1 << (w_bits + 1))) \
+        // (_HLL_ALPHA_DEN * s_scaled)
+    return est, v_zero
+
+
 def q_hll_distinct(sf_dir):
     """HyperLogLog distinct-text estimate (Flajolet et al. 2007) with
     ALL arithmetic integer-rational, so the sketch — registers AND the
@@ -4558,24 +4593,10 @@ def q_hll_distinct(sf_dir):
     cross the wire, regardless of row count), driver fold of a
     64-byte state — the textbook mergeable sketch."""
     docs = _read(sf_dir, "documents", ["text"])
-    m_bits, m = _HLL_M_BITS, 1 << _HLL_M_BITS
-    w_bits = 64 - m_bits
+    m = 1 << _HLL_M_BITS
 
     def partial(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        h = np.array([int.from_bytes(
-            hashlib.md5(t.encode()).digest()[:8], "big")
-            for t in texts], dtype=np.uint64)
-        reg = (h >> np.uint64(w_bits)).astype(np.int64)
-        w = h & np.uint64((1 << w_bits) - 1)
-        bl = np.zeros(len(w), dtype=np.int64)     # vectorized bit length
-        v = w.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            big = v >= (np.uint64(1) << np.uint64(s))
-            bl[big] += s
-            v[big] >>= np.uint64(s)
-        bl[w > 0] += 1
-        rho = (w_bits + 1) - bl                    # w == 0 → w_bits + 1
+        reg, rho = _hll_row_registers(b["text"].to_pylist())
         best = np.zeros(m, dtype=np.int64)
         np.maximum.at(best, reg, rho)
         nz = np.flatnonzero(best)
@@ -4588,11 +4609,7 @@ def q_hll_distinct(sf_dir):
         np.maximum.at(best, part["register"].to_numpy(),
                       part["rho"].to_numpy())
     nz = np.flatnonzero(best)
-    v_zero = m - len(nz)
-    s_scaled = (v_zero << (w_bits + 1)) \
-        + sum(1 << (w_bits + 1 - int(r)) for r in best[nz])
-    est = (_HLL_ALPHA_NUM * m * m * (1 << (w_bits + 1))) \
-        // (_HLL_ALPHA_DEN * s_scaled)
+    est, v_zero = _hll_estimate(best[nz])
     return pa.table({
         "register": pa.array(list(nz) + [-1, -2], pa.int64()),
         "value": pa.array([int(r) for r in best[nz]] + [est, v_zero],
@@ -6564,27 +6581,10 @@ def q_hll_per_source(sf_dir):
 
     from .neardup import partition_apply
 
-    m_bits, m = _HLL_M_BITS, 1 << _HLL_M_BITS
-    w_bits = 64 - m_bits
-
     def partial(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        srcs = b["source"].to_pylist()
-        h = np.array([int.from_bytes(
-            hashlib.md5(t.encode()).digest()[:8], "big")
-            for t in texts], dtype=np.uint64)
-        reg = (h >> np.uint64(w_bits)).astype(np.int64)
-        w = h & np.uint64((1 << w_bits) - 1)
-        bl = np.zeros(len(w), dtype=np.int64)
-        v = w.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            big = v >= (np.uint64(1) << np.uint64(s))
-            bl[big] += s
-            v[big] >>= np.uint64(s)
-        bl[w > 0] += 1
-        rho = (w_bits + 1) - bl
-        df = (pd.DataFrame({"source": srcs, "register": reg,
-                            "rho": rho})
+        reg, rho = _hll_row_registers(b["text"].to_pylist())
+        df = (pd.DataFrame({"source": b["source"].to_pylist(),
+                            "register": reg, "rho": rho})
               .groupby(["source", "register"], as_index=False)["rho"]
               .max())
         sh = _word_hashes(df["source"].tolist()).view(np.int64)
@@ -6600,12 +6600,7 @@ def q_hll_per_source(sf_dir):
               .max())
         srcs, ests, vzs = [], [], []
         for src, g in df.groupby("source", sort=False):
-            rhos = g["rho"].to_numpy(np.int64)
-            v_zero = m - len(rhos)
-            s_scaled = (v_zero << (w_bits + 1)) \
-                + sum(1 << (w_bits + 1 - int(r)) for r in rhos)
-            est = (_HLL_ALPHA_NUM * m * m * (1 << (w_bits + 1))) \
-                // (_HLL_ALPHA_DEN * s_scaled)
+            est, v_zero = _hll_estimate(g["rho"].to_numpy(np.int64))
             srcs.append(src)
             ests.append(est)
             vzs.append(v_zero)

@@ -114,3 +114,52 @@ class TestHashJoin:
         ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
         with pytest.raises(ValueError):
             hash_join(ds, ds, "k", how="outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoinPrecisionAndCollisions:
+    def test_left_join_preserves_full_int64_payloads(self):
+        """A partition with any unmatched left row used to promote the
+        right int columns to float64, silently corrupting payloads
+        > 2^53 (doc-id hashes span the full int64 range)."""
+        from pyspider_ray.neardup import hash_join
+        import ray.data as rd
+        big = (1 << 53) + 1
+        l = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                    "x": pa.array([0, 0], pa.int64())}))
+        r = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([big], pa.int64())}))
+        rows = sorted(hash_join(l, r, "k", how="left",
+                                n_buckets=2).take_all(),
+                      key=lambda d: d["k"])
+        # assert at the ARROW layer: int64-with-null stays int64
+        # (Dataset.to_pandas would re-promote to float64 — that's the
+        # consumer's representation choice, not the join's)
+        assert rows[0]["v"] == big              # exact, not 2^53
+        assert rows[1]["v"] is None
+
+    def test_right_key_collides_with_left_payload(self):
+        """right_on sharing a LEFT payload column's name must not
+        delete the left column (the suffixed right key is dropped)."""
+        from pyspider_ray.neardup import hash_join
+        import ray.data as rd
+        l = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                    "k": pa.array([7, 8], pa.int64())}))
+        r = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([99], pa.int64())}))
+        got = (hash_join(l, r, "id", "k", how="inner", n_buckets=2)
+               .to_pandas())
+        assert sorted(got.columns) == ["id", "k", "v"]
+        assert got["k"].tolist() == [7]         # LEFT payload survives
+        assert got["v"].tolist() == [99]
+
+    def test_unresolvable_collision_raises_early(self):
+        from pyspider_ray.neardup import hash_join
+        import ray.data as rd
+        l = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([1], pa.int64()),
+                                    "v_r": pa.array([1], pa.int64())}))
+        r = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "v": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="collision"):
+            hash_join(l, r, "k", how="inner")

@@ -103,7 +103,9 @@ class TestUrlProperties:
 class TestEncodingProperties:
     @given(content=st.binary(max_size=400),
            declared=st.sampled_from([None, "utf-8", "gb18030",
-                                     "latin-1", "bogus-charset"]))
+                                     "latin-1", "bogus-charset",
+                                     "rot13", "base64", "hex",
+                                     "zlib_codec", "unicode"]))
     @settings(max_examples=120, deadline=None)
     def test_sniff_total_and_decodable(self, content, declared):
         """sniff_encoding must ALWAYS return a codec that replace-
