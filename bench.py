@@ -530,7 +530,7 @@ _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
 
 _EVENTS_SCALE_OPS = {"funnel_stages", "asof_join", "session_windows",
                      "user_retention_cohorts", "window_p95_value",
-                     "event_transition_matrix"}
+                     "event_transition_matrix", "event_debounce"}
 
 
 def _build_sf1_events(out_dir: str = "/tmp/events_sf1_v1") -> str:

@@ -1176,6 +1176,68 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+_DEBOUNCE_US = 21_600 * 1_000_000       # 6-hour duplicate window
+
+
+def q_event_debounce(sf_dir):
+    """Time-based duplicate collapse (debounce) — the re-crawl /
+    double-fire suppressor a streaming ingest runs: drop an event
+    arriving within 6 hours of the PREVIOUS event of the same
+    (user, type), in exact (ts, event_id) order.  Lag semantics
+    (gap to the previous raw event), so the verdict is a pure
+    window function — deterministic on both engines.
+
+    Scale shape: 3-column pruned scan, ONE sort-free user-hash
+    exchange, each partition lexsorts ALL its (user, type) runs once
+    and computes gaps with one adjacent diff — no per-user Python, no
+    global sort; kept rows stream out."""
+    from .neardup import partition_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "event_type": b["event_type"].cast(pa.string()),
+            "t": b["ts"].cast(pa.int64()),
+            "eid": b["event_id"].cast(pa.int64())})
+
+    def fold(part: pa.Table) -> pa.Table:
+        u = part["user_id"].to_numpy()
+        et = np.asarray(part["event_type"].to_pylist(), dtype=object)
+        t = part["t"].to_numpy()
+        e = part["eid"].to_numpy()
+        # order within (user, type) by (ts, event_id)
+        codes, _ = pd_factorize(et)
+        order = np.lexsort((e, t, codes, u))
+        u2, c2, t2 = u[order], codes[order], t[order]
+        keep = np.ones(len(u2), dtype=bool)
+        if len(u2) > 1:
+            same = (u2[1:] == u2[:-1]) & (c2[1:] == c2[:-1])
+            close = (t2[1:] - t2[:-1]) <= _DEBOUNCE_US
+            keep[1:] = ~(same & close)
+        sel = order[keep]
+        return pa.table({
+            "event_id": pa.array(e[sel]),
+            "user_id": pa.array(u[sel]),
+            "event_type": pa.array(list(et[sel]), pa.string()),
+            "ts_us": pa.array(t[sel])})
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("ts_us", pa.int64())])
+    return partition_apply(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "user_id", fold, schema, n_buckets=32)
+
+
+def pd_factorize(arr):
+    import pandas as pd
+    codes, uniques = pd.factorize(arr, sort=False)
+    return codes.astype(np.int64), uniques
+
+
 def q_customer_order_activity(sf_dir):
     """Left-join activity report over the `hash_join` primitive: every
     customer with their order count and exact revenue cents — ZEROS
@@ -1884,6 +1946,16 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "event_debounce": """
+        WITH s AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS t,
+                          lag(epoch_us(ts)) OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY epoch_us(ts), event_id) AS pt
+                   FROM events)
+        SELECT event_id, user_id, event_type, t AS ts_us
+        FROM s WHERE pt IS NULL OR t - pt > 21600000000
+    """,
     "customer_order_activity": """
         SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
                CAST(count(o_orderkey) AS BIGINT) AS n_orders,
@@ -2057,6 +2129,7 @@ QUERIES = {
     "funnel_stages": q_funnel_stages,
     "event_transition_matrix": q_event_transition_matrix,
     "customer_order_activity": q_customer_order_activity,
+    "event_debounce": q_event_debounce,
     "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
