@@ -79,7 +79,11 @@ QUERY_NAMES = ["status_count", "hash_join_revenue", "windowed_counter",
                # packer end-to-end (distributed prefix sum + range
                # exchange + partition writers + read-back) and the
                # fixed-point iterative op (5 exchange rounds)
-               "wds_write_pack", "pagerank_urls"]
+               "wds_write_pack", "pagerank_urls",
+               # round-5 session-3 additions: ordered-sequence funnel
+               # (user-hash exchange + merge_asof), integer BM25-shaped
+               # retrieval (two streaming scans), per-group HLL
+               "funnel_stages", "tfidf_search", "hll_per_source"]
 
 
 def init_ray():
