@@ -523,7 +523,8 @@ _MEDIA_SCALE_OPS = {"audio_fp_near_dup", "video_fp_near_dup"}
 # synthetic image-table legs: 10x via the corpus-size env knob
 _IMG_SCALE_OPS = {"image_caption_gate": 600, "image_aspect_buckets": 600,
                   "image_quality_stats": 300, "image_exact_dedup": 600,
-                  "clip_score_gate": 600, "caption_dup_filter": 600}
+                  "clip_score_gate": 600, "caption_dup_filter": 600,
+                  "image_curate": 300}
 
 
 _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",

@@ -6561,6 +6561,157 @@ def q_caption_dup_filter(sf_dir):
     return partition_apply(ds, "h", verdict, schema)
 
 
+class _ImageCurateDecode:
+    """Actor-pool stage for the image-curation composition: ONE pass
+    over the payload bytes computes the exact-dedup digest
+    (md5-high63 of the encoded bytes — identical pixels fetched twice
+    encode identically in the synthetic codec) AND the decoded luma
+    exposure gates; everything downstream is ~48 B/row metadata."""
+
+    def __init__(self):
+        from .functions.imaging import decode_image
+        self._decode = decode_image
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib as _h
+        digests, reasons = [], []
+        for data in b["bytes"].to_pylist():
+            digests.append(int.from_bytes(
+                _h.md5(data).digest()[:8], "big") >> 1)
+            px = self._decode(data).astype(np.int64)
+            l3 = px.sum(axis=2)
+            m = int(l3.sum()) // l3.size
+            s = int(l3.max() - l3.min())
+            reasons.append((m < _IMGQ_DARK_MAX) * 16
+                           + (m > _IMGQ_BRIGHT_MIN) * 32
+                           + (s < _IMGQ_SPREAD_MIN) * 64)
+        return pa.table({
+            "image_id": b["image_id"],
+            "w": b["w"].cast(pa.int64()),
+            "h": b["h"].cast(pa.int64()),
+            "caption": b["caption"],
+            "digest": pa.array(digests, pa.int64()),
+            "reason": pa.array(np.asarray(reasons, np.int64))})
+
+
+def q_image_curate(sf_dir):
+    """The multimodal curation composition end-to-end — what a
+    LAION/DataComp-style pipeline runs between the crawl and the
+    trainer, in ONE streaming pass over the payload bytes plus two
+    metadata-only exchanges: actor-pool decode computes the
+    exact-dedup digest and the exposure gates where the bytes live
+    (bits 16 dark / 32 blown / 64 flat), a vectorized metadata gate
+    adds min-side/aspect/caption-token bits (1/2/4), a digest-keyed
+    exchange collapses re-crawled identical images (bit 8, smallest
+    image_id survives), and survivors pack into fixed SDXL-style
+    aspect-bucket batches.  Every input image comes back with full
+    verdict lineage: (keep, reason bitmask, bucket, batch_idx, slot;
+    −1s when dropped) — rows-only (synthetic image table), pinned by
+    an independent pure-Python mirror in pytest.
+
+    Scale shape: payload bytes are read exactly once and never enter
+    an exchange; both exchanges (digest dedup, bucket packing) move
+    ~48 B/row; the pack argsort is bounded per (bucket) group."""
+    from .neardup import group_apply
+
+    rows = _image_caption_rows()
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows],
+                             pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "w": pa.array([r["w"] for r in rows], pa.int32()),
+        "h": pa.array([r["h"] for r in rows], pa.int32()),
+        "caption": pa.array([r["caption"] for r in rows], pa.string()),
+    })
+
+    def meta_gate(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy()
+        h = b["h"].to_numpy()
+        trimmed = pc.utf8_trim_whitespace(b["caption"])
+        nruns = pc.count_substring_regex(trimmed, r"\s+").to_numpy()
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ntok = np.where(empty, 0, nruns + 1).astype(np.int64)
+        lo = np.minimum(w, h)
+        hi = np.maximum(w, h)
+        add = ((lo < _IMG_MIN_SIDE) * 1
+               + (hi > _IMG_ASPECT_MAX * lo) * 2
+               + (ntok < _IMG_MIN_CAPTION_TOKENS) * 4).astype(np.int64)
+        return pa.table({"image_id": b["image_id"],
+                         "w": pa.array(w), "h": pa.array(h),
+                         "digest": b["digest"],
+                         "reason": pa.array(b["reason"].to_numpy()
+                                            + add)})
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        reason = g["reason"].to_numpy().copy()
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        ok = reason == 0
+        if ok.sum() > 1:
+            order = np.argsort(ids[ok])
+            reason[np.where(ok)[0][order[1:]]] |= 8
+        return pa.table({"image_id": pa.array(list(ids), pa.string()),
+                         "w": g["w"], "h": g["h"],
+                         "reason": pa.array(reason)})
+
+    dedup_schema = pa.schema([("image_id", pa.string()),
+                              ("w", pa.int64()), ("h", pa.int64()),
+                              ("reason", pa.int64())])
+    judged = group_apply(
+        _rd().from_arrow(t)
+        .map_batches(_ImageCurateDecode, batch_format="pyarrow",
+                     batch_size=64, concurrency=2, max_restarts=0)
+        .map_batches(meta_gate, batch_format="pyarrow"),
+        "digest", dedup_group, dedup_schema)
+
+    wb = np.array([x[0] for x in _ASPECT_BUCKETS], dtype=np.int64)
+    hb = np.array([x[1] for x in _ASPECT_BUCKETS], dtype=np.int64)
+    scale = _ASPECT_LCM // hb
+
+    def assign(b: pa.Table) -> pa.Table:
+        reason = b["reason"].to_numpy()
+        keep = reason == 0
+        w = b["w"].to_numpy()
+        h = b["h"].to_numpy()
+        cost = np.abs(w[:, None] * hb[None, :]
+                      - h[:, None] * wb[None, :]) * scale[None, :]
+        bucket = np.where(keep, np.argmin(cost, axis=1), -1) \
+            .astype(np.int64)
+        return pa.table({"image_id": b["image_id"],
+                         "keep": pa.array(keep.astype(np.int64)),
+                         "reason": pa.array(reason),
+                         "bucket": pa.array(bucket)})
+
+    def pack(g: pa.Table) -> pa.Table:
+        bucket = g["bucket"].to_numpy()
+        ids = np.asarray(g["image_id"].to_pylist(), dtype=object)
+        if bucket[0] < 0:                       # dropped group
+            neg = np.full(len(ids), -1, np.int64)
+            return pa.table({"image_id": pa.array(list(ids),
+                                                  pa.string()),
+                             "keep": g["keep"], "reason": g["reason"],
+                             "bucket": g["bucket"],
+                             "batch_idx": pa.array(neg),
+                             "slot": pa.array(neg)})
+        order = np.argsort(ids)
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = np.arange(len(ids))
+        return pa.table({"image_id": pa.array(list(ids), pa.string()),
+                         "keep": g["keep"], "reason": g["reason"],
+                         "bucket": g["bucket"],
+                         "batch_idx": pa.array(pos // _ASPECT_BATCH),
+                         "slot": pa.array(pos % _ASPECT_BATCH)})
+
+    pack_schema = pa.schema([("image_id", pa.string()),
+                             ("keep", pa.int64()),
+                             ("reason", pa.int64()),
+                             ("bucket", pa.int64()),
+                             ("batch_idx", pa.int64()),
+                             ("slot", pa.int64())])
+    return group_apply(judged.map_batches(assign,
+                                          batch_format="pyarrow"),
+                       "bucket", pack, pack_schema)
+
+
 def q_hll_per_source(sf_dir):
     """Per-GROUP HyperLogLog: a distinct-text estimate for every
     source in one pass — the per-host/per-domain distinct-URL shape a
@@ -6835,4 +6986,5 @@ QUERIES = {
     "neardup_store_refresh": q_neardup_store_refresh,
     "tfidf_search": q_tfidf_search,
     "hll_per_source": q_hll_per_source,
+    "image_curate": q_image_curate,
 }
