@@ -242,3 +242,27 @@ class TestMediaFingerprintTotality:
             np.uint8).reshape(n, h, w)
         fp = video_fingerprint64(frames)
         assert 0 <= fp < (1 << 64)
+
+
+class TestFrontierShardProperties:
+    @given(ids=st.lists(st.integers(0, 500), min_size=1, max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_follow_batch_idempotent(self, ids):
+        """Re-feeding ANY follow batch (with arbitrary duplicates)
+        must enqueue each distinct taskid exactly once: new + ignored
+        == len(batch) on every call, and the second call ignores
+        everything."""
+        from pyspider_ray.state.clock import VirtualClock
+        from pyspider_ray.state.frontier import (FrontierShard,
+                                                 ProjectConfig)
+        shard = FrontierShard(0, 1, clock=VirtualClock(1e9))
+        shard.update_project(ProjectConfig("p", rate=1e9, burst=1e9))
+        tids = [f"t{i}" for i in ids]
+        args = (tids, ids, [f"u{i}" for i in ids],
+                ["h"] * len(ids), list(range(1, len(ids) + 1)))
+        s1 = shard.on_follow_batch(*args, "p", 0)
+        assert s1["new"] == len(set(ids))
+        assert s1["new"] + s1["ignored"] == len(ids)
+        s2 = shard.on_follow_batch(*args, "p", 0)
+        assert s2["new"] == 0
+        assert s2["ignored"] == len(ids)
