@@ -237,10 +237,18 @@ class HandlerMeta(type):
                 cron_jobs.append(value)
                 min_tick = math.gcd(int(min_tick), int(value.tick))
         cls = super().__new__(mcls, name, bases, attrs)
-        # inherit parent cronjobs
+        # inherit parent cronjobs — deduped BY NAME, subclass wins: an
+        # overridden @every method must not also fire the stale parent
+        # implementation (an override that drops @every disables the
+        # job, matching normal method-resolution expectations)
+        own = {j.__name__ for j in cron_jobs}
+        own |= {k for k, v in attrs.items() if inspect.isfunction(v)}
         inherited = []
         for base in bases:
             for job in getattr(base, "_cron_jobs", ()):
+                if job.__name__ in own:
+                    continue
+                own.add(job.__name__)
                 inherited.append(job)
                 min_tick = math.gcd(int(min_tick), int(job.tick))
         cls._cron_jobs = inherited + cron_jobs

@@ -39,6 +39,7 @@ import hashlib
 import json
 import os
 import pickle
+import shutil
 import sys
 import time
 
@@ -138,6 +139,11 @@ def _publish(artifact_dir: str, tmp_vdir: str, version: int,
     with open(os.path.join(tmp_vdir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     final = _version_dir(artifact_dir, version)
+    # a crash AFTER the dir rename but BEFORE the LATEST flip leaves a
+    # published-but-unreferenced version dir; the retry re-targets the
+    # same number and os.replace cannot overwrite a non-empty dir —
+    # clear the orphan (LATEST never pointed at it, so it's garbage)
+    shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp_vdir, final)
     tmp = os.path.join(artifact_dir, "LATEST.tmp")
     with open(tmp, "w") as f:
@@ -159,7 +165,8 @@ def build(ds, artifact_dir: str, n_buckets: int = _N_BUCKETS,
     os.makedirs(artifact_dir, exist_ok=True)
     version = _latest_version(artifact_dir) + 1
     tmp_vdir = _version_dir(artifact_dir, version) + ".tmp"
-    os.makedirs(tmp_vdir, exist_ok=True)
+    shutil.rmtree(tmp_vdir, ignore_errors=True)   # stale crashed .tmp
+    os.makedirs(tmp_vdir)
 
     def write_group(g: pa.Table, vdir: str) -> pa.Table:
         bucket = int(g["bucket"][0].as_py())
@@ -211,7 +218,11 @@ def refresh(new_ds, artifact_dir: str, update: bool = True):
     new_version = version + 1
     tmp_vdir = _version_dir(artifact_dir, new_version) + ".tmp"
     if update:
-        os.makedirs(tmp_vdir, exist_ok=True)
+        # a stale .tmp from a crashed refresh would make the hard-link
+        # carry-forward below raise FileExistsError on untouched
+        # buckets (and mix two runs' partial writes) — start clean
+        shutil.rmtree(tmp_vdir, ignore_errors=True)
+        os.makedirs(tmp_vdir)
 
     def refresh_group(g: pa.Table, vdir: str, new_vdir: str | None) \
             -> pa.Table:

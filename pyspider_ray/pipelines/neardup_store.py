@@ -99,8 +99,10 @@ def build(ds, art_dir: str, n_buckets: int = N_BUCKETS) -> dict:
 
     tmp = art_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(art_dir, ignore_errors=True)
     os.makedirs(tmp)
+    # the LIVE artifact stays untouched until the swap at the end — a
+    # rebuild that dies mid-flight must leave the old history intact
+    # (deleting it up front meant a crash destroyed BOTH versions)
 
     words = (ds.map_batches(tq._word_lists, batch_format="pyarrow")
              .materialize())
@@ -125,8 +127,31 @@ def build(ds, art_dir: str, n_buckets: int = N_BUCKETS) -> dict:
                 "bands": "21x6 minhash tau=0.9"}
     with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, art_dir)
+    _swap_in(tmp, art_dir)
     return manifest
+
+
+def _swap_in(tmp: str, art_dir: str) -> None:
+    """Replace the live artifact with ``tmp``: live → .old, tmp →
+    live, drop .old.  The completed-build marker (_MANIFEST.json,
+    written last) makes the crash windows recoverable:
+    ``_recover_live`` restores .old if a crash left no live dir."""
+    old = art_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(art_dir):
+        os.replace(art_dir, old)
+    os.replace(tmp, art_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_live(art_dir: str) -> None:
+    """If a crash between _swap_in's two renames left no live dir,
+    restore the displaced previous version."""
+    old = art_dir + ".old"
+    if not os.path.exists(os.path.join(art_dir, "_MANIFEST.json")) \
+            and os.path.exists(os.path.join(old, "_MANIFEST.json")):
+        shutil.rmtree(art_dir, ignore_errors=True)
+        os.replace(old, art_dir)
 
 
 def refresh(new_ds, art_dir: str):
@@ -139,6 +164,7 @@ def refresh(new_ds, art_dir: str):
     from .. import training_queries as tq
     from .._io import rd as _rd
 
+    _recover_live(art_dir)                   # crashed-swap recovery
     with open(os.path.join(art_dir, "_MANIFEST.json")) as f:
         json.load(f)                         # existence/shape check
 

@@ -30,6 +30,16 @@ def _read(sf_dir, table, columns=None):
     return _read_table(sf_dir, table, columns)
 
 
+def _round_c(x) -> np.ndarray:
+    """value·100 → cents with DuckDB round() semantics (half AWAY from
+    zero).  np.round / pc.round are half-to-even and disagree on exact
+    .5 products — a latent 1-cent oracle drift the repo's newer queries
+    avoid via floor(x·100+0.5); this helper is the sign-correct form of
+    the same convention for columns that may be negative."""
+    a = np.asarray(x, dtype=np.float64)
+    return (np.sign(a) * np.floor(np.abs(a) * 100.0 + 0.5)).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # frontier / scheduler operators (SURVEY §2.1, §2.5, §2.6)
 # ---------------------------------------------------------------------------
@@ -79,7 +89,7 @@ def q_merge_on_put(sf_dir):
     priority=max, exetime=min, grouped by key."""
     from ray.data.aggregate import Max, Min
     def prep(b: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(b["value"], 100)).cast(pa.int64())
+        cents = pa.array(_round_c(b["value"].to_numpy()))
         us = b["ts"].cast(pa.int64())
         return pa.table({"user_id": b["user_id"], "value_cents": cents,
                          "ts_us": us})
@@ -93,7 +103,7 @@ def q_merge_on_put(sf_dir):
 def q_priority_topk(sf_dir):
     """O1 — priority DESC, key ASC emission order, top 100."""
     def prep(b: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(b["o_totalprice"], 100)).cast(pa.int64())
+        cents = pa.array(_round_c(b["o_totalprice"].to_numpy()))
         return pa.table({"o_orderkey": b["o_orderkey"],
                          "price_cents": cents})
     return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -218,8 +228,7 @@ class _JoinCustomer:
         idx = np.clip(idx, 0, len(self.keys) - 1)
         hit = self.keys[idx] == ck
         nk = np.where(hit, self.vals[idx], -1)
-        cents = pc.round(pc.multiply(b["o_totalprice"], 100)) \
-            .cast(pa.int64()).to_numpy()
+        cents = _round_c(b["o_totalprice"].to_numpy())
         out = pa.table({"c_nationkey": pa.array(nk.astype(np.int64)),
                         "price_cents": pa.array(cents)})
         return out.filter(pa.array(hit))
@@ -698,8 +707,7 @@ def q_windowed_counter(sf_dir):
     def partial(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy()
         win = us // (300 * 1_000_000)
-        cents = pc.round(pc.multiply(b["value"], 100)).cast(pa.int64()) \
-            .to_numpy()
+        cents = _round_c(b["value"].to_numpy())
         import pandas as pd
         g = pd.DataFrame({"win": win, "n": 1, "value_cents": cents}) \
             .groupby("win", as_index=False).sum()
@@ -876,8 +884,7 @@ class _RangeJoinCount:
         import pyarrow.parquet as pq
         t = pq.read_table(f"{sf_dir}/orders.parquet",
                           columns=["o_totalprice"])
-        cents = np.round(t["o_totalprice"].to_numpy() * 100) \
-            .astype(np.int64)
+        cents = _round_c(t["o_totalprice"].to_numpy())
         self.prices = np.sort(cents)
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -1151,7 +1158,7 @@ def q_window_p95_value(sf_dir):
 
     def prep(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy()
-        v = np.round(b["value"].to_numpy() * 100.0).astype(np.int64)
+        v = _round_c(b["value"].to_numpy())
         return pa.table({"win": pa.array(us // _HOUR_US),
                          "v": pa.array(v)})
 
@@ -1258,8 +1265,7 @@ def q_customer_order_activity(sf_dir):
 
     def partial(b: pa.Table) -> pa.Table:
         k = b["o_custkey"].to_numpy().astype(np.int64)
-        cents = np.round(b["o_totalprice"].to_numpy()
-                         * 100.0).astype(np.int64)
+        cents = _round_c(b["o_totalprice"].to_numpy())
         g = (pd.DataFrame({"k": k, "c": cents})
              .groupby("k", sort=False)["c"].agg(["sum", "size"])
              .reset_index())

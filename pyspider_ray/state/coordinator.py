@@ -168,8 +168,10 @@ class Coordinator:
         return totals
 
     def dispatch_requests(self, tasks: Iterable[dict]) -> dict:
-        """Per-batch dedup (D2: last-wins unless force_update skips the
-        overwrite guard, scheduler.py:387-412) then shard routing."""
+        """Per-batch dedup (D2: FIRST-wins unless a later duplicate
+        carries force_update, which takes the slot — matching the
+        reference's run_once drain, scheduler.py:387-412) then shard
+        routing."""
         merged: dict[tuple[str, str], dict] = {}
         for task in list(self._pending_control) + list(tasks):
             key = (task.get("project", ""), task.get("taskid", ""))

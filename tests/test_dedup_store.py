@@ -169,3 +169,51 @@ class TestDedupStore:
         with open(os.path.join(dedup_store._version_dir(art, 1),
                                "manifest.json")) as f:
             assert json.load(f)["n_keys"] == 9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrashRecovery:
+    def test_orphan_version_dir_does_not_wedge(self, tmp_path):
+        """Crash window: version N+1's dir was renamed into place but
+        LATEST never flipped.  The retry re-targets N+1 and must
+        succeed (os.replace onto a non-empty dir raises ENOTEMPTY
+        without the orphan cleanup)."""
+        from pyspider_ray.pipelines import dedup_store as ds_mod
+        hist = tmp_path / "hist.parquet"
+        _write_docs(str(hist), HIST)
+        art = str(tmp_path / "art")
+        ds_mod.build(_ds(str(hist)), art)
+        # simulate the orphan: a fully-written version=00001 dir with
+        # no LATEST flip
+        orphan = os.path.join(art, "version=00001")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "junk.bin"), "w").write("stale")
+        batch = tmp_path / "a.parquet"
+        _write_docs(str(batch), BATCH_A)
+        surv, manifest = ds_mod.refresh(_ds(str(batch)), art)
+        assert manifest["version"] == 1
+        assert open(os.path.join(art, "LATEST")).read() == "1"
+        assert not os.path.exists(os.path.join(orphan, "junk.bin"))
+
+    def test_stale_tmp_dir_does_not_wedge(self, tmp_path):
+        """Crash window: a refresh died after hard-linking some
+        buckets into version=00001.tmp.  The retry must start clean
+        instead of raising FileExistsError on the carry-forward."""
+        from pyspider_ray.pipelines import dedup_store as ds_mod
+        hist = tmp_path / "hist.parquet"
+        _write_docs(str(hist), HIST)
+        art = str(tmp_path / "art")
+        ds_mod.build(_ds(str(hist)), art)
+        stale = os.path.join(art, "version=00001.tmp")
+        os.makedirs(stale)
+        # a bucket file the crashed run had already linked
+        import shutil as sh
+        v0 = os.path.join(art, "version=00000")
+        for f in os.listdir(v0):
+            if f.startswith("bucket="):
+                sh.copy(os.path.join(v0, f), os.path.join(stale, f))
+                break
+        batch = tmp_path / "a.parquet"
+        _write_docs(str(batch), BATCH_A)
+        surv, manifest = ds_mod.refresh(_ds(str(batch)), art)
+        assert manifest["version"] == 1

@@ -322,3 +322,37 @@ class TestEncodingDetection:
         body = b"plain english text " * 40 + b"\xfe\xff" + b" tail"
         r = self._resp(body, ctype="text/html; charset=utf-8")
         assert r.encoding == "utf-8"
+
+
+class TestCronInheritanceDedup:
+    def test_override_does_not_double_fire(self):
+        """A subclass overriding an @every method must carry ONE job
+        under that name — the override — never the stale parent
+        implementation alongside it."""
+        from pyspider_ray.handler import BaseHandler, every
+
+        class Parent(BaseHandler):
+            @every(seconds=120)
+            def job(self):
+                return "parent"
+
+            @every(seconds=180)
+            def other(self):
+                return "other"
+
+        class Child(Parent):
+            @every(seconds=60)
+            def job(self):
+                return "child"
+
+        names = [j.__name__ for j in Child._cron_jobs]
+        assert sorted(names) == ["job", "other"]
+        job = next(j for j in Child._cron_jobs if j.__name__ == "job")
+        assert job(None) == "child"
+        assert job.tick == 60
+        # plain (non-@every) override DISABLES the inherited job
+        class Quiet(Parent):
+            def job(self):
+                return "plain"
+
+        assert [j.__name__ for j in Quiet._cron_jobs] == ["other"]

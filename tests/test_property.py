@@ -266,3 +266,23 @@ class TestFrontierShardProperties:
         s2 = shard.on_follow_batch(*args, "p", 0)
         assert s2["new"] == 0
         assert s2["ignored"] == len(ids)
+
+
+class TestRoundCentsProperties:
+    @given(v=st.floats(-1e6, 1e6, allow_nan=False))
+    @settings(max_examples=150, deadline=None)
+    def test_matches_half_away_from_zero(self, v):
+        """_round_c must equal DuckDB round(v*100): half AWAY from
+        zero, sign-correct — including exact .5 products where
+        np.round (half-to-even) diverges."""
+        import math
+        from pyspider_ray.queries import _round_c
+        got = int(_round_c(np.array([v]))[0])
+        x = v * 100.0
+        exp = int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+        assert got == exp
+
+    def test_exact_halves(self):
+        from pyspider_ray.queries import _round_c
+        assert list(_round_c(np.array([0.125, -0.125, 0.135,
+                                       -0.135]))) == [13, -13, 14, -14]

@@ -688,3 +688,50 @@ class TestNeardupStore:
         assert got == exp
         assert (100, 1) in got and (101, 1) in got and (103, 4) in got
         assert not any(n == 102 for n, _ in got)
+
+
+class TestNeardupStoreCrashSafety:
+    def test_rebuild_keeps_old_artifact_until_swap(self, ray_session,
+                                                   tmp_path):
+        """A rebuild must leave the LIVE artifact readable while it
+        runs (the old delete-first flow destroyed both versions on a
+        mid-build crash), and a crashed swap must be recoverable."""
+        import json as _json
+        import os as _os
+        import shutil as _sh
+
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from pyspider_ray.pipelines import neardup_store
+        rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}")
+                for i in range(8)]
+        t = _pa.table({
+            "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+            "text": _pa.array([r[1] for r in rows], _pa.string())})
+        art = str(tmp_path / "art")
+        m1 = neardup_store.build(rd.from_arrow(t), art)
+        live_manifest = _os.path.join(art, "_MANIFEST.json")
+        before = open(live_manifest).read()
+
+        # crash simulation 1: a stale .tmp from a dead build must not
+        # block (or corrupt) the next build, and the live artifact is
+        # still there for readers in the meantime
+        _os.makedirs(art + ".tmp", exist_ok=True)
+        open(_os.path.join(art + ".tmp", "junk"), "w").write("x")
+        assert open(live_manifest).read() == before
+        m2 = neardup_store.build(rd.from_arrow(t), art)
+        assert m2["n_docs"] == m1["n_docs"]
+        assert not _os.path.exists(_os.path.join(art, "junk"))
+
+        # crash simulation 2: swap died between "live -> .old" and
+        # ".tmp -> live" — refresh must recover the displaced version
+        _sh.move(art, art + ".old")
+        assert not _os.path.exists(art)
+        new_t = _pa.table({
+            "doc_id": _pa.array([100, 101], _pa.int64()),
+            "text": _pa.array([rows[0][1], rows[1][1]], _pa.string())})
+        pairs = neardup_store.refresh(rd.from_arrow(new_t), art)
+        assert not _os.path.exists(art + ".old")
+        assert _json.load(open(live_manifest))["n_docs"] == m2["n_docs"]
+        assert pairs.count() >= 2      # exact dups of docs 0 and 1
