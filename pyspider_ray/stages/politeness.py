@@ -109,13 +109,23 @@ class PolitenessGate:
 
     # -- checkpoint ----------------------------------------------------------
     def snapshot(self) -> dict:
-        return {"buckets": {h: b.snapshot() for h, b in self._buckets.items()},
+        snap = {"buckets": {h: b.snapshot()
+                            for h, b in self._buckets.items()},
                 "defer_delay": self.defer_delay}
+        if self.robots_cache is not None:
+            # a resumed crawl must honor the ORIGINAL robots TTL
+            # schedule — without this every host refetched at first
+            # admission after resume, applying a mid-TTL robots change
+            # earlier than the uninterrupted run would have
+            snap["robots"] = self.robots_cache.snapshot()
+        return snap
 
     def restore_buckets(self, snap: dict) -> None:
         for host, bsnap in snap.get("buckets", {}).items():
             self._buckets[host] = TokenBucket.restore(bsnap, self._clock)
         self.defer_delay = snap.get("defer_delay", self.defer_delay)
+        if self.robots_cache is not None and "robots" in snap:
+            self.robots_cache.restore_state(snap["robots"])
 
 
 class ShardedPolitenessGate(PolitenessGate):

@@ -70,19 +70,25 @@ class RobotsCache:
                           for h, (t, _) in self._cache.items()},
                 "ttl": self.ttl}
 
-    @classmethod
-    def restore(cls, snap: dict, fetch_fn, clock=wall_clock) -> "RobotsCache":
-        rc = cls(fetch_fn, ttl=snap.get("ttl", 3600), clock=clock)
+    def restore_state(self, snap: dict) -> None:
+        """In-place restore into an EXISTING cache — the politeness
+        gate's checkpoint path, where fetch_fn/clock are already
+        bound.  Hosts with legacy time-only entries (no stored body)
+        are skipped: installing an empty allow-all parser pinned at
+        the original fetch time would silently ignore disallow rules
+        until TTL expiry, so those refetch on demand instead."""
+        self.ttl = snap.get("ttl", self.ttl)
         for host, entry in (snap.get("hosts") or {}).items():
             if not isinstance(entry, (list, tuple)):
-                # legacy time-only snapshot: no stored body — installing
-                # an empty (allow-all) parser pinned at the original
-                # fetch time would silently ignore disallow rules until
-                # TTL expiry, so fall back to on-demand refetch instead
                 continue
             t, body = entry
             parser = RobotFileParser()
             parser.parse((body or "").splitlines())
-            rc._cache[host] = (float(t), parser)
-            rc._bodies[host] = body or ""
+            self._cache[host] = (float(t), parser)
+            self._bodies[host] = body or ""
+
+    @classmethod
+    def restore(cls, snap: dict, fetch_fn, clock=wall_clock) -> "RobotsCache":
+        rc = cls(fetch_fn, ttl=snap.get("ttl", 3600), clock=clock)
+        rc.restore_state(snap)
         return rc

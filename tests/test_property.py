@@ -267,6 +267,27 @@ class TestFrontierShardProperties:
         assert s2["new"] == 0
         assert s2["ignored"] == len(ids)
 
+    @given(ids=st.lists(st.integers(0, 60), min_size=1, max_size=80))
+    @settings(max_examples=30, deadline=None)
+    def test_follow_batch_correct_when_filter_saturated(self, ids):
+        """A saturated cuckoo must fall back to the exact store with
+        identical semantics (the fast path may only fire while the
+        filter is authoritative-for-absence)."""
+        from pyspider_ray.state.clock import VirtualClock
+        from pyspider_ray.state.frontier import (FrontierShard,
+                                                 ProjectConfig)
+        shard = FrontierShard(0, 1, clock=VirtualClock(1e9),
+                              seen_capacity=4)       # saturates fast
+        shard.update_project(ProjectConfig("p", rate=1e9, burst=1e9))
+        shard.seen_filter.saturated = True           # worst case
+        tids = [f"t{i}" for i in ids]
+        args = (tids, ids, [f"u{i}" for i in ids],
+                ["h"] * len(ids), list(range(1, len(ids) + 1)))
+        s1 = shard.on_follow_batch(*args, "p", 0)
+        assert s1["new"] == len(set(ids))
+        s2 = shard.on_follow_batch(*args, "p", 0)
+        assert s2["new"] == 0 and s2["ignored"] == len(ids)
+
 
 class TestRoundCentsProperties:
     @given(v=st.floats(-1e6, 1e6, allow_nan=False))

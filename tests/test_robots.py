@@ -110,3 +110,38 @@ class TestCrawlWithFetchedRobots:
         assert fetched == set(range(100)) - {70, 75}
         # each host's robots.txt fetched once per TTL window, not per URL
         assert pipe.gate.robots_cache.fetch_count <= cfg.n_hosts
+
+
+class TestRobotsCheckpointWiring:
+    def test_gate_snapshot_carries_robots_and_resume_skips_refetch(self):
+        """The politeness gate's checkpoint must carry the robots
+        cache: a restored gate answers from the persisted bodies
+        WITHOUT refetching (fetch_fn raising proves it) and keeps the
+        original TTL schedule; past TTL it refetches as usual."""
+        from pyspider_ray.stages.politeness import PolitenessGate
+        from pyspider_ray.stages.robots import RobotsCache
+
+        now = [1000.0]
+        clock = lambda: now[0]
+        rc = RobotsCache(lambda h: "User-agent: *\nDisallow: /priv",
+                         ttl=600, clock=clock)
+        gate = PolitenessGate(clock=clock, robots_cache=rc)
+        assert gate.robots_allowed("h1.test", "http://h1.test/ok")
+        assert not gate.robots_allowed("h1.test", "http://h1.test/priv/x")
+        snap = gate.snapshot()
+        assert "robots" in snap
+
+        calls = []
+        rc2 = RobotsCache(lambda h: calls.append(h) or "",
+                          ttl=999, clock=clock)
+        gate2 = PolitenessGate(clock=clock, robots_cache=rc2)
+        gate2.restore_buckets(snap)
+        assert rc2.ttl == 600                      # original schedule
+        assert gate2.robots_allowed("h1.test", "http://h1.test/ok")
+        assert not gate2.robots_allowed("h1.test",
+                                        "http://h1.test/priv/x")
+        assert calls == []                         # no refetch on resume
+        # past the ORIGINAL TTL the refetch fires as usual
+        now[0] += 601
+        gate2.robots_allowed("h1.test", "http://h1.test/ok")
+        assert calls == ["h1.test"]
