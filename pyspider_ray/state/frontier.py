@@ -250,25 +250,19 @@ class FrontierShard:
         limit = self.inqueue_limit
         now = self._clock()
         new_hashes: list[int] = []
-        # cuckoo NEW-LINK FAST PATH: every insert path adds its urlhash
-        # to seen_filter, so (not saturated) ∧ (hash absent) ⇒ this
-        # link was NEVER inserted — skip the exact probes (taskid
-        # string hashing x 2 structures) for the common all-new batch.
-        # A filter HIT (or saturation, where inserts under-report)
-        # falls through to the authoritative exact check; an in-batch
-        # duplicate is caught by ``batch_seen`` because the filter
-        # itself is only updated after the loop.
-        pre = None
-        if not self.seen_filter.saturated:
-            import numpy as np
-            pre = self.seen_filter.contains_many(
-                np.asarray(urlhashes, dtype=np.int64))
-        batch_seen: set[int] = set()
+        # NOTE on seen_filter: it is maintained (every insert path
+        # adds its urlhash) and checkpointed, but deliberately NOT
+        # consulted here.  A wired prefilter ("hash absent ⇒ skip the
+        # exact probes") was measured 20-40% SLOWER than the plain
+        # dict probes on this in-memory store (84-90k vs 106-124k
+        # links/s ingest, same batch): the cuckoo's two random bucket
+        # reads cache-miss into a 16 MB table while the dicts stay
+        # hot.  The filter's payoff is the DISK-BACKED store of the
+        # scaled design, where a negative skips a disk/RPC probe —
+        # there `contains_many` gates the exact lookup; here exact is
+        # already O(1)-in-memory and authoritative.
         for i, taskid in enumerate(taskids):
-            surely_new = (pre is not None and not pre[i]
-                          and urlhashes[i] not in batch_seen)
-            if not surely_new and (taskid in tq
-                                   or (project, taskid) in store):
+            if taskid in tq or (project, taskid) in store:
                 stats["ignored"] += 1
                 continue
             if limit and len(tq) >= limit:
@@ -286,7 +280,6 @@ class FrontierShard:
                 task["fetch"] = {"save": saves[i]}
             store[(project, taskid)] = task
             new_hashes.append(urlhashes[i])
-            batch_seen.add(urlhashes[i])
             tq.put(taskid, prio, 0, sequence=seqs[i])
             self._count(project, "pending")
             stats["new"] += 1
