@@ -535,7 +535,8 @@ _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
 
 _EVENTS_SCALE_OPS = {"funnel_stages", "asof_join", "session_windows",
                      "user_retention_cohorts", "window_p95_value",
-                     "event_transition_matrix", "event_debounce"}
+                     "event_transition_matrix", "event_debounce",
+                     "value_outliers_mad"}
 
 
 def _build_sf1_events(out_dir: str = "/tmp/events_sf1_v1") -> str:

@@ -1183,6 +1183,87 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+_MAD_K = 5
+
+
+def q_value_outliers_mad(sf_dir):
+    """Robust outlier gate — the data-cleaning pass a metrics/quality
+    pipeline runs before aggregating: flag events whose value sits
+    more than 5 MADs from their event-type's median.  Median and MAD
+    are EXACT rank statistics (the rank-⌈n/2⌉ element, integer cents)
+    — no float quantile interpolation, so both engines agree
+    bit-for-bit.
+
+    Scale shape: the classic two-scan histogram trick — pass 1
+    collapses each batch to per-(type, value) counts (exchange volume
+    = O(distinct cents), NOT rows), the per-type fold takes the exact
+    median off the cumsum and then the exact MAD by re-folding the
+    SAME histogram through |v − med| (no second data pass for the
+    deviations); pass 2 re-scans with the 5-entry (type → med, mad)
+    map in the closure and streams out the flagged rows.  Nothing
+    sorts the corpus; group size never matters."""
+    import pandas as pd
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        v = _round_c(b["value"].to_numpy())
+        g = (pd.DataFrame({"event_type": et, "v": v, "n": 1})
+             .groupby(["event_type", "v"], as_index=False)["n"].sum())
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    from .neardup import partition_apply
+
+    def hist_fold(part: pa.Table) -> pa.Table:
+        g = (part.to_pandas()
+             .groupby(["event_type", "v"], as_index=False)["n"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    hist_schema = pa.schema([("event_type", pa.string()),
+                             ("v", pa.int64()), ("n", pa.int64())])
+    hist = partition_apply(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(hist_partial, batch_format="pyarrow"),
+        "v", hist_fold, hist_schema,
+        n_buckets=16).take_all()         # O(types · distinct cents)
+
+    stats: dict[str, tuple[int, int]] = {}
+    df = pd.DataFrame(hist)
+    for et, g in df.groupby("event_type", sort=False):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        total = int(n.sum())
+        rank = (total + 1) // 2                      # lower median
+        med = int(v[np.searchsorted(np.cumsum(n), rank)])
+        ad = np.abs(v - med)
+        order = np.argsort(ad, kind="stable")
+        mad = int(ad[order][np.searchsorted(
+            np.cumsum(n[order]), rank)])
+        stats[str(et)] = (med, mad)
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        v = _round_c(b["value"].to_numpy())
+        med = np.array([stats[t][0] for t in et], dtype=np.int64)
+        mad = np.array([stats[t][1] for t in et], dtype=np.int64)
+        m = np.abs(v - med) > _MAD_K * mad
+        return pa.table({
+            "event_id": pa.array(b["event_id"].to_numpy()[m]
+                                 .astype(np.int64)),
+            "event_type": pa.array(list(et[m]), pa.string()),
+            "value_cents": pa.array(v[m]),
+            "med_cents": pa.array(med[m]),
+            "mad_cents": pa.array(mad[m])})
+
+    return (_read(sf_dir, "events",
+                  ["event_id", "event_type", "value"])
+            .map_batches(flag, batch_format="pyarrow"))
+
+
 _DEBOUNCE_US = 21_600 * 1_000_000       # 6-hour duplicate window
 
 
@@ -1952,6 +2033,30 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "value_outliers_mad": """
+        WITH t AS (SELECT event_id, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        med AS (SELECT event_type, v AS med FROM (
+                    SELECT event_type, v,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY v) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM t) WHERE rn = (n + 1) // 2),
+        d AS (SELECT t.event_id, t.event_type, t.v, med.med,
+                     abs(t.v - med.med) AS ad
+              FROM t JOIN med USING (event_type)),
+        mad AS (SELECT event_type, ad AS mad FROM (
+                    SELECT event_type, ad,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY ad) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM d) WHERE rn = (n + 1) // 2)
+        SELECT d.event_id, d.event_type, d.v AS value_cents,
+               d.med AS med_cents, mad.mad AS mad_cents
+        FROM d JOIN mad USING (event_type)
+        WHERE d.ad > 5 * mad.mad
+    """,
     "event_debounce": """
         WITH s AS (SELECT event_id, user_id, event_type,
                           epoch_us(ts) AS t,
@@ -2136,6 +2241,7 @@ QUERIES = {
     "event_transition_matrix": q_event_transition_matrix,
     "customer_order_activity": q_customer_order_activity,
     "event_debounce": q_event_debounce,
+    "value_outliers_mad": q_value_outliers_mad,
     "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
