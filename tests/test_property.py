@@ -307,3 +307,34 @@ class TestRoundCentsProperties:
         from pyspider_ray.queries import _round_c
         assert list(_round_c(np.array([0.125, -0.125, 0.135,
                                        -0.135]))) == [13, -13, 14, -14]
+
+
+class TestRequestPackProperties:
+    @given(host=st.from_regex(r"[a-z][a-z0-9\-]{0,15}", fullmatch=True),
+           port=st.integers(1, 65535),
+           user=st.from_regex(r"[a-zA-Z0-9]{0,8}", fullmatch=True),
+           pw=st.from_regex(r"[a-zA-Z0-9]{0,8}", fullmatch=True))
+    @settings(max_examples=80, deadline=None)
+    def test_parse_proxy_total_and_faithful(self, host, port, user, pw):
+        from pyspider_ray.functions.requests_pack import parse_proxy
+        out = parse_proxy(f"{host}:{port}")
+        assert out["proxy_host"] == host and out["proxy_port"] == port
+        if user and pw:
+            out2 = parse_proxy(f"http://{user}:{pw}@{host}:{port}")
+            assert out2["proxy_username"] == user
+            assert out2["proxy_password"] == pw
+
+    @given(cookies=st.dictionaries(
+        st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,10}", fullmatch=True),
+        st.from_regex(r"[a-zA-Z0-9_\-]{0,12}", fullmatch=True),
+        max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def test_cookie_header_roundtrip(self, cookies):
+        """pack → Cookie-header → parse must reproduce the jar."""
+        from pyspider_ray.functions.cookies import merge_cookies
+        from pyspider_ray.functions.requests_pack import \
+            pack_cookie_header
+        hdr = pack_cookie_header(cookies)
+        back = dict(p.split("=", 1) for p in hdr.split("; ") if p)
+        assert back == {k: v for k, v in cookies.items()}
+        assert merge_cookies(cookies, None, {}) == cookies
