@@ -531,7 +531,7 @@ _TPCH_SCALE_OPS = {"shipping_priority", "pricing_summary",
                    "order_priority_count", "local_supplier_volume",
                    "returned_item_report", "promo_revenue_share",
                    "large_order_customers", "customer_order_activity",
-                   "parts_never_ordered"}
+                   "parts_never_ordered", "customer_running_total"}
 
 _EVENTS_SCALE_OPS = {"funnel_stages", "asof_join", "session_windows",
                      "user_retention_cohorts", "window_p95_value",

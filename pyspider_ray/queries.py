@@ -1183,6 +1183,61 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+def q_customer_running_total(sf_dir):
+    """Running window aggregate — SUM OVER (PARTITION BY customer
+    ORDER BY date) ROWS UNBOUNDED PRECEDING: every order row with the
+    customer's cumulative spend in exact cents, the
+    lifetime-value-to-date series a reporting layer charts.
+    Deterministic ordering via the (o_orderdate, o_orderkey)
+    tie-break.
+
+    Scale shape: ONE sort-free custkey hash exchange co-locates each
+    customer's orders, each partition orders ALL its customers with
+    one lexsort and computes every running series with one segmented
+    cumsum (global cumsum minus each customer-run's starting offset —
+    no per-customer Python); group size is bounded by
+    orders-per-customer, never corpus size."""
+    from .neardup import partition_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["o_custkey"].cast(pa.int64()),
+            "okey": b["o_orderkey"].cast(pa.int64()),
+            "odate_us": pa.array(b["o_orderdate"].to_numpy()
+                                 .astype("datetime64[us]")
+                                 .astype(np.int64)),
+            "cents": pa.array(_round_c(b["o_totalprice"].to_numpy()))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        k = part["k"].to_numpy()
+        okey = part["okey"].to_numpy()
+        d = part["odate_us"].to_numpy()
+        c = part["cents"].to_numpy()
+        order = np.lexsort((okey, d, k))
+        k, okey, d, c = k[order], okey[order], d[order], c[order]
+        cum = np.cumsum(c)
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        base = np.repeat(cum[first] - c[first],
+                         np.diff(np.r_[np.flatnonzero(first), len(k)]))
+        return pa.table({
+            "o_orderkey": pa.array(okey),
+            "o_custkey": pa.array(k),
+            "odate_us": pa.array(d),
+            "running_cents": pa.array(cum - base)})
+
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                        ("odate_us", pa.int64()),
+                        ("running_cents", pa.int64())])
+    return partition_apply(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate",
+               "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        "k", fold, schema, n_buckets=32)
+
+
 _MAD_K = 5
 
 
@@ -2033,6 +2088,16 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "customer_running_total": """
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+               epoch_us(o_orderdate) AS odate_us,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_cents
+        FROM orders
+    """,
     "value_outliers_mad": """
         WITH t AS (SELECT event_id, event_type,
                           CAST(round(value * 100) AS BIGINT) AS v
@@ -2242,6 +2307,7 @@ QUERIES = {
     "customer_order_activity": q_customer_order_activity,
     "event_debounce": q_event_debounce,
     "value_outliers_mad": q_value_outliers_mad,
+    "customer_running_total": q_customer_running_total,
     "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
