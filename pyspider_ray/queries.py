@@ -1183,6 +1183,54 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+_PIVOT_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                "5-LOW")
+
+
+def q_status_priority_pivot(sf_dir):
+    """Wide pivot (crosstab) — the reporting shape dashboards want:
+    one row per order STATUS with one count column PER PRIORITY
+    (rows→columns), plus a row total.  The column set is the fixed
+    priority domain, so the schema is static and engine-independent.
+
+    Scale shape: each batch collapses to a ≤|status|×|prio| crosstab
+    INSIDE map_batches (vectorized bincount over status·K+prio
+    codes — the pivot happens before the exchange, so the shuffle
+    moves ≤15 wide rows per batch), then a statuses-bounded groupby
+    sums the partials column-wise.  No row-level data ever pivots
+    post-shuffle."""
+    from ray.data.aggregate import Sum
+
+    K = len(_PIVOT_PRIOS)
+
+    def crosstab(b: pa.Table) -> pa.Table:
+        st_ = b["o_orderstatus"].combine_chunks().dictionary_encode()
+        sc = st_.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = pc.fill_null(
+            pc.index_in(b["o_orderpriority"],
+                        pa.array(list(_PIVOT_PRIOS), pa.string())),
+            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pr >= 0                       # out-of-domain rows dropped
+        n_st = len(st_.dictionary)
+        code = sc[m] * K + pr[m]
+        cnt = np.bincount(code, minlength=n_st * K) \
+            .reshape(n_st, K).astype(np.int64)
+        cols = {"o_orderstatus": pa.array(
+            st_.dictionary.to_pylist(), pa.string())}
+        for j, p in enumerate(_PIVOT_PRIOS):
+            cols[f"n_p{j + 1}"] = pa.array(cnt[:, j])
+        cols["n_total"] = pa.array(cnt.sum(axis=1))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_p{j + 1}", alias_name=f"n_p{j + 1}")
+            for j in range(K)] + [Sum("n_total", alias_name="n_total")]
+    return (_read(sf_dir, "orders",
+                  ["o_orderstatus", "o_orderpriority"])
+            .map_batches(crosstab, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(*aggs))
+
+
 def q_customer_running_total(sf_dir):
     """Running window aggregate — SUM OVER (PARTITION BY customer
     ORDER BY date) ROWS UNBOUNDED PRECEDING: every order row with the
@@ -2088,6 +2136,22 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "status_priority_pivot": """
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS n_p1,
+               CAST(count(*) FILTER (o_orderpriority = '2-HIGH')
+                    AS BIGINT) AS n_p2,
+               CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM')
+                    AS BIGINT) AS n_p3,
+               CAST(count(*) FILTER (o_orderpriority =
+                                     '4-NOT SPECIFIED')
+                    AS BIGINT) AS n_p4,
+               CAST(count(*) FILTER (o_orderpriority = '5-LOW')
+                    AS BIGINT) AS n_p5,
+               count(*) AS n_total
+        FROM orders GROUP BY o_orderstatus
+    """,
     "customer_running_total": """
         SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
                epoch_us(o_orderdate) AS odate_us,
@@ -2308,6 +2372,7 @@ QUERIES = {
     "event_debounce": q_event_debounce,
     "value_outliers_mad": q_value_outliers_mad,
     "customer_running_total": q_customer_running_total,
+    "status_priority_pivot": q_status_priority_pivot,
     "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
