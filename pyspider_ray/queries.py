@@ -1183,6 +1183,52 @@ def q_window_p95_value(sf_dir):
         "win", fold, schema, n_buckets=32)
 
 
+def q_top_event_type_per_user(sf_dir):
+    """Grouped MODE with deterministic ties — each user's most
+    frequent event type (ties → lexicographically smallest type), the
+    dominant-behavior label a segmentation pipeline assigns.
+
+    Scale shape: per-batch (user, type) count combiner bounds the
+    exchange by users×types (not events), ONE sort-free user-hash
+    exchange, each partition resolves ALL its users' modes with one
+    pandas sort + drop_duplicates — no per-user Python."""
+    from .neardup import partition_apply
+
+    def counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "event_type": b["event_type"].to_pylist(),
+            "n": 1})
+            .groupby(["user_id", "event_type"], as_index=False)["n"]
+            .sum())
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    def fold(part: pa.Table) -> pa.Table:
+        df = (part.to_pandas()
+              .groupby(["user_id", "event_type"], as_index=False)["n"]
+              .sum()
+              .sort_values(["user_id", "n", "event_type"],
+                           ascending=[True, False, True],
+                           kind="stable")
+              .drop_duplicates("user_id"))
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "top_type": pa.array(df["event_type"], pa.string()),
+            "n": pa.array(df["n"].to_numpy(np.int64))})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("top_type", pa.string()),
+                        ("n", pa.int64())])
+    return partition_apply(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(counts, batch_format="pyarrow"),
+        "user_id", fold, schema, n_buckets=32)
+
+
 _PIVOT_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
                 "5-LOW")
 
@@ -2136,6 +2182,16 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
               ::UBIGINT % 100 < 10
     """,
+    "top_event_type_per_user": """
+        WITH c AS (SELECT user_id, event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type AS top_type, n FROM (
+            SELECT user_id, event_type, n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type)
+                       AS rn
+            FROM c) WHERE rn = 1
+    """,
     "status_priority_pivot": """
         SELECT o_orderstatus,
                CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
@@ -2373,6 +2429,7 @@ QUERIES = {
     "value_outliers_mad": q_value_outliers_mad,
     "customer_running_total": q_customer_running_total,
     "status_priority_pivot": q_status_priority_pivot,
+    "top_event_type_per_user": q_top_event_type_per_user,
     "parts_never_ordered": q_parts_never_ordered,
     "user_retention_cohorts": q_user_retention_cohorts,
     "window_p95_value": q_window_p95_value,
